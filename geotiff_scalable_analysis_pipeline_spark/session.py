@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+The reference sizes its chunk grid from a closed-form memory model
+(reference: src/eo_core/memory_utils.py:10-125). The Spark-native analog is
+sizing Arrow batches and shuffle partitions up front; AQE handles runtime
+re-planning (skew splits, partition coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Target bytes per Arrow batch entering a pandas UDF. A 256x256x4 uint16 tile
+# payload is ~512 KiB, so ~64 tiles/batch keeps a decode batch ~32 MiB —
+# comfortably inside one task's memory at 32 concurrent tasks.
+ARROW_MAX_RECORDS = 256
+
+
+def get_spark(
+    app_name: str = "gsap-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Parallelism comes from ``master`` (default ``local[$SPARK_GRAFT_CPUS]``);
+    shuffle partitions default to the core count so local runs don't pay for
+    200 tiny shuffle files.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or cpus
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
