@@ -1,0 +1,127 @@
+"""Cell-bucketed kNN join via ring expansion (SURVEY.md §2.4 J5).
+
+For each query point, the k nearest tile centroids. Spark-first design:
+
+* targets are bucketed by level-L quad cell once (small broadcastable table
+  at golden scale; at 100 TB it is the cell-partitioned tiles table and the
+  same plan holds with a shuffle hash join on ``cell``);
+* each round, *unfinished* queries explode the Chebyshev disk of lattice
+  radius r around their own cell (pure Catalyst ``sequence()`` × 2) and
+  equi-join targets on ``cell``;
+* a query finishes when it has ≥k candidates with kth distance ≤ r·res —
+  any target outside disk(r) lies at Euclidean distance ≥ r·res, so the
+  result is provably exact (no approximation);
+* radius doubles per round; stragglers (queries in empty space) fall back to
+  a brute-force join on the last round.
+
+Determinism: distances are exact integer squares; ties broken by
+``media_ref`` ascending — bit-identical to the DuckDB brute-force oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cells import cell_res, morton_col
+
+DEFAULT_LEVEL = 5
+
+
+def _with_lattice(df: DataFrame, x: str, y: str, level: int) -> DataFrame:
+    res = cell_res(level)
+    n = (1 << level) - 1
+
+    def lat(c):
+        return F.greatest(
+            F.lit(0), F.least(F.lit(n), F.floor(F.col(c) / F.lit(res)).cast("long"))
+        )
+
+    return df.withColumn("_qix", lat(x)).withColumn("_qiy", lat(y))
+
+
+def knn_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    level: int = DEFAULT_LEVEL,
+    x: str = "qx",
+    y: str = "qy",
+    tx: str = "cx",
+    ty: str = "cy",
+    target_id: str = "media_ref",
+    initial_radius: int = 2,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Exact kNN: (q_id, rank, <target_id>, dist_sq), rank 1..k."""
+    res = cell_res(level)
+    n = (1 << level) - 1
+
+    # target cell key = raw Morton code at `level` (single level → no suffix)
+    tgt = targets.select(
+        F.col(target_id),
+        F.col(tx).cast("long").alias("_tx"),
+        F.col(ty).cast("long").alias("_ty"),
+    )
+    tgt = tgt.withColumn(
+        "_tcell",
+        morton_col(
+            F.greatest(F.lit(0), F.least(F.lit(n), F.floor(F.col("_tx") / F.lit(res)).cast("long"))),
+            F.greatest(F.lit(0), F.least(F.lit(n), F.floor(F.col("_ty") / F.lit(res)).cast("long"))),
+            level,
+        ),
+    )
+    tgt = tgt.persist()
+
+    remaining = _with_lattice(queries.select("q_id", x, y), x, y, level).persist()
+    finished: list[DataFrame] = []
+    w = Window.partitionBy("q_id").orderBy("dist_sq", target_id)
+
+    r = initial_radius
+    for round_i in range(max_rounds):
+        last = round_i == max_rounds - 1
+        if last:
+            cand = remaining.crossJoin(F.broadcast(tgt))
+        else:
+            disk = (
+                remaining.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                .withColumn("_cix", F.col("_qix") + F.col("_dx"))
+                .withColumn("_ciy", F.col("_qiy") + F.col("_dy"))
+                .filter(
+                    (F.col("_cix") >= 0) & (F.col("_cix") <= n) & (F.col("_ciy") >= 0) & (F.col("_ciy") <= n)
+                )
+                .withColumn("_tcell", morton_col(F.col("_cix"), F.col("_ciy"), level))
+            )
+            cand = disk.join(F.broadcast(tgt), "_tcell")
+
+        scored = cand.withColumn(
+            "dist_sq",
+            (F.col(x).cast("long") - F.col("_tx")) * (F.col(x).cast("long") - F.col("_tx"))
+            + (F.col(y).cast("long") - F.col("_ty")) * (F.col(y).cast("long") - F.col("_ty")),
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", target_id, "dist_sq")
+        )
+        if last:
+            finished.append(topk)
+            break
+
+        # a query is final iff it has k hits and the kth is ≤ r*res (guarantee bound)
+        bound = float(r * res) ** 2
+        per_q = topk.groupBy("q_id").agg(
+            F.count("*").alias("_cnt"), F.max("dist_sq").alias("_kth")
+        )
+        done_q = per_q.filter((F.col("_cnt") == k) & (F.col("_kth") <= bound)).select("q_id")
+        finished.append(topk.join(F.broadcast(done_q), "q_id"))
+        remaining = remaining.join(F.broadcast(done_q), "q_id", "left_anti").persist()
+        if remaining.isEmpty():
+            break
+        r *= 2
+
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.unionByName(f)
+    return out

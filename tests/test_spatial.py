@@ -1,0 +1,168 @@
+"""Spatial operators vs DuckDB oracles — exact row/value parity.
+
+These mirror exactly what the driver's correctness harness does: the Spark
+operator result is compared against an independent SQL recomputation of the
+same deterministic corpus.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geotiff_scalable_analysis_pipeline_spark import datagen as dg
+from geotiff_scalable_analysis_pipeline_spark.operators import knn as knn_op
+from geotiff_scalable_analysis_pipeline_spark.operators import pip_join, raster, zonal
+
+CFG = dg.GoldenConfig(n_tiles=400, n_points=120, n_docs=300, n_media_tiles=24)
+
+
+def _pairs(df_pandas, cols):
+    return set(map(tuple, df_pandas[cols].itertuples(index=False, name=None)))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return {
+        "tiles": dg.tiles_df(spark, CFG),
+        "rects": dg.rect_zones_df(spark, CFG),
+        "polys": dg.poly_zones_df(spark, CFG),
+        "points": dg.points_df(spark, CFG),
+    }
+
+
+def test_pip_rect_exact(spark, duck, corpus):
+    got = (
+        pip_join.pip_join_rect(
+            corpus["tiles"].select("media_ref", "cx", "cy"), corpus["rects"], x="cx", y="cy"
+        )
+        .toPandas()
+    )
+    oracle = duck.execute(
+        f"""WITH {dg.tiles_sql(CFG)}, {dg.rect_zones_sql(CFG)}
+        SELECT t.media_ref, z.zone_id FROM tiles_geo t JOIN rzones z
+        ON t.cx BETWEEN z.minx AND z.maxx AND t.cy BETWEEN z.miny AND z.maxy"""
+    ).fetchdf()
+    assert len(got) == len(oracle)
+    assert _pairs(got, ["media_ref", "zone_id"]) == _pairs(oracle, ["media_ref", "zone_id"])
+    assert len(got) > 100  # non-trivial
+
+
+def test_pip_poly_exact(spark, duck, corpus):
+    got = (
+        pip_join.pip_join_poly(
+            corpus["tiles"].select("media_ref", "cx", "cy"), corpus["polys"], x="cx", y="cy"
+        )
+        .toPandas()
+    )
+    cross = "( (ex2-ex1)*(t.cy-ey1) - (t.cx-ex1)*(ey2-ey1) )"
+    oracle = duck.execute(
+        f"""WITH {dg.tiles_sql(CFG)}, {dg.poly_edges_sql(CFG)}
+        SELECT t.media_ref, e.zone_id FROM tiles_geo t JOIN pedges e ON TRUE
+        GROUP BY t.media_ref, e.zone_id
+        HAVING SUM(CASE WHEN ((ey1 > t.cy) <> (ey2 > t.cy))
+                         AND (CASE WHEN ey2 > ey1 THEN {cross} > 0 ELSE {cross} < 0 END)
+                   THEN 1 ELSE 0 END) % 2 = 1"""
+    ).fetchdf()
+    assert _pairs(got, ["media_ref", "zone_id"]) == _pairs(oracle, ["media_ref", "zone_id"])
+    assert len(got) > 20
+
+
+def test_knn_exact_including_ring_expansion(spark, duck, corpus):
+    got = (
+        knn_op.knn_join(corpus["points"], corpus["tiles"], k=CFG.knn_k)
+        .orderBy("q_id", "rank")
+        .toPandas()
+    )
+    d = "(q.qx-t.cx)*(q.qx-t.cx)+(q.qy-t.cy)*(q.qy-t.cy)"
+    oracle = duck.execute(
+        f"""WITH {dg.tiles_sql(CFG)}, {dg.points_sql(CFG)},
+        scored AS (
+          SELECT q.q_id, t.media_ref, {d} AS dist_sq,
+                 row_number() OVER (PARTITION BY q.q_id ORDER BY {d}, t.media_ref) AS rank
+          FROM qpts q CROSS JOIN tiles_geo t)
+        SELECT q_id, rank, media_ref, dist_sq FROM scored WHERE rank <= {CFG.knn_k}
+        ORDER BY q_id, rank"""
+    ).fetchdf()
+    assert len(got) == CFG.n_points * CFG.knn_k == len(oracle)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"dist_sq": "int64", "rank": "int64"}),
+        oracle.reset_index(drop=True).astype({"dist_sq": "int64", "rank": "int64"}),
+    )
+
+
+def test_tile_footprint_cells(spark, duck, corpus):
+    level = 6
+    got = raster.tile_footprints(corpus["tiles"], level).toPandas()
+    from geotiff_scalable_analysis_pipeline_spark.functions.cells import cell_id_sql
+
+    res = 131072.0 / (1 << level)
+    oracle = duck.execute(
+        f"""WITH {dg.tiles_sql(CFG)},
+        latt AS (SELECT media_ref,
+            CAST(FLOOR(x0 / {res}) AS BIGINT) AS ix0, CAST(FLOOR((x1-1) / {res}) AS BIGINT) AS ix1,
+            CAST(FLOOR(y0 / {res}) AS BIGINT) AS iy0, CAST(FLOOR((y1-1) / {res}) AS BIGINT) AS iy1
+          FROM tiles_geo)
+        SELECT l.media_ref,
+               {cell_id_sql(f"(l.ix0 + gx.i) * {res}", f"(l.iy0 + gy.i) * {res}", level)} AS cell
+        FROM latt l
+        JOIN range(0, 64) gx(i) ON gx.i <= l.ix1 - l.ix0
+        JOIN range(0, 64) gy(i) ON gy.i <= l.iy1 - l.iy0"""
+    ).fetchdf()
+    assert _pairs(got, ["media_ref", "cell"]) == _pairs(oracle, ["media_ref", "cell"])
+
+
+def test_zonal_stats_exact(spark, duck, corpus):
+    media = dg.media_df(spark, CFG)
+    stats = raster.tile_pixel_stats(media)
+    pairs = pip_join.pip_join_rect(
+        corpus["tiles"].select("media_ref", "cx", "cy"), corpus["rects"], x="cx", y="cy"
+    )
+    got = zonal.zonal_stats(pairs, stats).toPandas().sort_values(["zone_id", "band"])
+
+    dn = dg.dn_sql("t.tile_k", "b.band", "r.i", "c.i")
+    oracle = duck.execute(
+        f"""WITH {dg.tiles_sql(CFG)}, {dg.rect_zones_sql(CFG)},
+        px AS (
+          SELECT t.tile_k, t.media_ref, b.band, {dn} AS dn,
+                 CASE WHEN t.tile_k % 2 = 1 THEN GREATEST({dn} - 1000, 0) ELSE {dn} END AS cal
+          FROM tiles_geo t, range(0, {CFG.n_bands}) b(band),
+               range(0, {CFG.tile_px}) r(i), range(0, {CFG.tile_px}) c(i)
+          WHERE t.tile_k < {CFG.n_media_tiles}),
+        tstats AS (
+          SELECT media_ref, band, count(*) AS cnt, sum(dn) AS sum_dn, sum(dn*dn) AS sum_sq,
+                 min(dn) AS min_dn, max(dn) AS max_dn, sum(cal) AS sum_cal
+          FROM px GROUP BY media_ref, band),
+        prs AS (
+          SELECT t.media_ref, z.zone_id FROM tiles_geo t JOIN rzones z
+          ON t.cx BETWEEN z.minx AND z.maxx AND t.cy BETWEEN z.miny AND z.maxy)
+        SELECT p.zone_id, s.band, count(*) AS n_tiles, sum(s.cnt) AS px_cnt,
+               sum(s.sum_dn) AS sum_dn, sum(s.sum_sq) AS sum_sq,
+               min(s.min_dn) AS min_dn, max(s.max_dn) AS max_dn, sum(s.sum_cal) AS sum_cal,
+               CAST(sum(s.sum_dn) AS DOUBLE) / sum(s.cnt) AS mean_dn,
+               CAST(sum(s.sum_cal) AS DOUBLE) / (10000.0 * sum(s.cnt)) AS mean_refl
+        FROM prs p JOIN tstats s USING (media_ref)
+        GROUP BY p.zone_id, s.band ORDER BY zone_id, band"""
+    ).fetchdf()
+    assert len(got) == len(oracle) > 0
+    for col in ["n_tiles", "px_cnt", "sum_dn", "sum_sq", "min_dn", "max_dn", "sum_cal"]:
+        assert np.array_equal(got[col].to_numpy().astype(np.int64),
+                              oracle[col].to_numpy().astype(np.int64)), col
+    # doubles are exact divisions of identical ints → bitwise equal
+    assert np.array_equal(got["mean_dn"].to_numpy(), oracle["mean_dn"].to_numpy())
+    assert np.array_equal(got["mean_refl"].to_numpy(), oracle["mean_refl"].to_numpy())
+
+
+def test_salted_zonal_identical(spark, corpus):
+    media = dg.media_df(spark, CFG)
+    stats = raster.tile_pixel_stats(media)
+    pairs = pip_join.pip_join_rect(
+        corpus["tiles"].select("media_ref", "cx", "cy"), corpus["rects"], x="cx", y="cy"
+    )
+    a = zonal.zonal_stats(pairs, stats).toPandas().sort_values(["zone_id", "band"]).reset_index(drop=True)
+    b = (
+        zonal.two_stage_zonal(pairs, stats, n_salts=8)
+        .toPandas()
+        .sort_values(["zone_id", "band"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
