@@ -1,0 +1,315 @@
+"""Relational query catalogue over the driver's TPC-H-ish tables.
+
+Covers the classic operator surface (scan/filter/agg/join/window/set-ops,
+SURVEY.md §2.5-§2.8 equivalence table) with exactness discipline for the
+value-hash comparison: float aggregates go through DECIMAL(18,2) casts (exact
+in both engines regardless of accumulation order), doubles appear only as
+final casts of exact decimals/integers, timestamps are emitted as epoch
+microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_D = "decimal(18,2)"
+
+
+# --- Q1-style pricing summary (scan + filter + groupBy agg, decimal-exact) --
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-12-31")
+    qty = F.col("l_quantity").cast(_D)
+    price = F.col("l_extendedprice").cast(_D)
+    disc = F.col("l_discount").cast(_D)
+    tax = F.col("l_tax").cast(_D)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(_D) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(_D) - disc) * (F.lit(1).cast(_D) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS {_D})) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS {_D})) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS {_D}) * (CAST(1 AS {_D}) - CAST(l_discount AS {_D}))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS {_D}) * (CAST(1 AS {_D}) - CAST(l_discount AS {_D}))
+            * (CAST(1 AS {_D}) + CAST(l_tax AS {_D}))) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order,
+  CAST(sum(CAST(l_quantity AS {_D})) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem WHERE l_shipdate <= DATE '2000-12-31'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+# --- Q3-style shipping priority (3-way join + top-k) ------------------------
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    rev = (F.col("l_extendedprice").cast(_D) * (F.lit(1).cast(_D) - F.col("l_discount").cast(_D)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS {_D}) * (CAST(1 AS {_D}) - CAST(l_discount AS {_D}))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1997-01-01'
+  AND l_shipdate > DATE '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+
+# --- Q5-style local supplier volume (5-way join through region) -------------
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (F.col("l_extendedprice").cast(_D) * (F.lit(1).cast(_D) - F.col("l_discount").cast(_D)))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+SQL_REGION_REVENUE = f"""
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS {_D}) * (CAST(1 AS {_D}) - CAST(l_discount AS {_D}))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name"""
+
+
+# --- window functions: latest event + per-user ranking ----------------------
+
+
+def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            F.col("rn").cast("long").alias("rn"),
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+
+
+SQL_EVENTS_LATEST = """
+SELECT user_id, rn, event_id, event_type, epoch_us(ts) AS ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn <= 3"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag(): gaps > 30 min start a new session —
+    window function + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(F.unix_micros(F.col("ts").cast("timestamp")), 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_no", sess)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("end_us"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+FROM s GROUP BY user_id, session_no"""
+
+
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast(_D)).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+SQL_EVENTS_TYPE_STATS = f"""
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS {_D})) AS DOUBLE) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type"""
+
+
+# --- string/regex + JSON extraction ------------------------------------------
+
+
+def q_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn("brand_no", F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long"))
+        .filter(F.col("p_type").startswith("ECONOMY") | F.col("p_name").rlike("red"))
+        .groupBy("brand_no")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast(_D)).cast("double").alias("sum_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+SQL_PART_BRANDS = f"""
+SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_no,
+       count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS {_D})) AS DOUBLE) AS sum_price,
+       max(p_size) AS max_size
+FROM part
+WHERE p_type LIKE 'ECONOMY%' OR regexp_matches(p_name, 'red')
+GROUP BY brand_no"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type"""
+
+
+# --- set ops + distinct -------------------------------------------------------
+
+
+def q_customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: nations with customers INTERSECT nations with suppliers,
+    UNION nations with neither side (EXCEPT)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("kind", F.lit("both"))
+    neither = n.exceptAll(c.unionByName(s).distinct()).withColumn("kind", F.lit("neither"))
+    return both.unionByName(neither)
+
+
+SQL_CUST_SUPP_NATIONS = """
+SELECT nationkey, 'both' AS kind FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT n_nationkey AS nationkey, 'neither' AS kind FROM nation
+WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)
+  AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)"""
+
+
+# --- orders rollup (grouping sets) -------------------------------------------
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(_D)).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+SQL_ORDERS_ROLLUP = f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS {_D})) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
+
+QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "shipping_priority_topk": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "region_revenue_5way": (q_region_revenue, SQL_REGION_REVENUE),
+    "events_latest_per_user": (q_events_latest_per_user, SQL_EVENTS_LATEST),
+    "events_sessionization": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
+    "part_brand_regex": (q_part_brands, SQL_PART_BRANDS),
+    "events_json_extract": (q_events_json_props, SQL_EVENTS_JSON),
+    "set_ops_nations": (q_customer_supplier_nations, SQL_CUST_SUPP_NATIONS),
+    "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
+}
