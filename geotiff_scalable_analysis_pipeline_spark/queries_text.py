@@ -1,0 +1,512 @@
+"""Training-data pipeline operators: dedup, text analysis, similarity search.
+
+First-class components for a 100 TB corpus engine (per the build brief):
+exact dedup, MinHash+LSH banding, n-gram Jaccard, SimHash hamming pairs,
+language-ID heuristic, quality scoring, token counting, rolling-hash
+fingerprints, and exact brute-force cosine top-k over embeddings (the ANN
+baseline; the LSH-banded variant shares the band-bucket machinery).
+
+Every query is paired with a DuckDB oracle. Exactness discipline: token ids
+come from a dense-rank vocabulary, every hash is integer arithmetic mod 2³¹,
+embeddings are quantized to int64 (round(x·10⁶)) before any arithmetic, and
+doubles appear only as final exact-operand divisions — so both engines agree
+bit-for-bit regardless of parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+P31 = 2147483647  # Mersenne prime 2^31-1 for minhash
+M31 = 2147483648  # 2^31 modulus for fingerprints
+
+# 8 minhash functions (literal constants, embedded identically in SQL)
+MINHASH_AB = [
+    (1103515245, 12345),
+    (1588635695, 54321),
+    (784588716, 987654),
+    (367003629, 111111),
+    (885157397, 222222),
+    (1294968135, 333333),
+    (521595368, 444444),
+    (947263125, 555555),
+]
+N_BANDS, ROWS_PER_BAND = 4, 2
+
+STOP_EN = ("the", "a", "of", "to", "and", "is")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, token) — whitespace tokenization, empties dropped."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .filter(F.col("token") != "")
+    )
+
+
+_TOKENS_CTE = """toks AS (
+  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+), tokens AS (SELECT * FROM toks WHERE token <> '')"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1"""
+
+
+# ---------------------------------------------------------------------------
+# text quality / language id / token counting / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    stop_hits = F.filter(toks, lambda t: t.isin(*STOP_EN))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias(
+            "sum_token_len"
+        ),
+        F.size(stop_hits).alias("n_stopwords"),
+        (
+            F.size(stop_hits).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("stopword_ratio"),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOP_EN)
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, n_chars,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+              (a, b) -> a + b) AS sum_token_len,
+  CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS INTEGER) AS n_stopwords,
+  CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE)
+    / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+FROM t"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language heuristic: en vs fr evidence counts."""
+    fr = ("le", "la", "de", "et", "un")
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    en_hits = F.size(F.filter(toks, lambda t: t.isin(*STOP_EN)))
+    fr_hits = F.size(F.filter(toks, lambda t: t.isin(*fr)))
+    return d.select(
+        "doc_id",
+        en_hits.alias("en_hits"),
+        fr_hits.alias("fr_hits"),
+        F.when(en_hits >= fr_hits, "en").otherwise("fr").alias("lang_guess"),
+    )
+
+
+_FR_LIST = ", ".join(f"'{s}'" for s in ("le", "la", "de", "et", "un"))
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS INTEGER) AS en_hits,
+  CAST(len(list_filter(toks, x -> x IN ({_FR_LIST}))) AS INTEGER) AS fr_hits,
+  CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_LIST})))
+         >= len(list_filter(toks, x -> x IN ({_FR_LIST}))) THEN 'en' ELSE 'fr' END AS lang_guess
+FROM t"""
+
+
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alpha runs + digit runs + punctuation marks."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_alpha"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_num"),
+        F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0)).alias("n_punct"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num,
+  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct
+FROM documents"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash over tokens (document fingerprinting):
+    acc = (acc·131 + code(token)) mod 2³¹, code = len·31 + ascii(first)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    code = lambda t: (F.length(t).cast("long") * 31 + F.ascii(t).cast("long"))
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: (a * 131 + code(t)) % M31
+        ).alias("fingerprint"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, x -> CAST(length(x) * 31 + ascii(x) AS BIGINT))),
+    (a, b) -> (a * 131 + b) % {M31}) AS fingerprint
+FROM t"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary + shingles (shared by minhash / jaccard / simhash)
+# ---------------------------------------------------------------------------
+
+
+def _vocab(tokens: DataFrame) -> DataFrame:
+    """(token, tid) dense ids by lexicographic order — deterministic."""
+    w = Window.orderBy("token")
+    return (
+        tokens.select("token")
+        .distinct()
+        .withColumn("tid", F.row_number().over(w).cast("long"))
+    )
+
+
+_VOCAB_CTE = """vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM tokens)),
+vsize AS (SELECT count(*) AS v FROM vocab)"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, code) 3-gram shingle codes: ((t1·V + t2)·V + t3)."""
+    toks = _tokens(spark, sf_dir)
+    vocab = _vocab(toks)
+    v = vocab.count()
+    tid = toks.join(F.broadcast(vocab), "token").select("doc_id", "pos", "tid")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tid.withColumn("t2", F.lead("tid", 1).over(w))
+        .withColumn("t3", F.lead("tid", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "doc_id",
+            ((F.col("tid") * v + F.col("t2")) * v + F.col("t3")).alias("code"),
+        )
+    )
+
+
+_SHINGLES_CTE = f"""{_TOKENS_CTE}, {_VOCAB_CTE},
+tid AS (
+  SELECT t.doc_id, t.pos, v.tid FROM tokens t JOIN vocab v USING (token)),
+tri AS (
+  SELECT doc_id, tid,
+         lead(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+         lead(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+  FROM tid),
+shingles AS (
+  SELECT doc_id, (tid * (SELECT v FROM vsize) + t2) * (SELECT v FROM vsize) + t3 AS code
+  FROM tri WHERE t3 IS NOT NULL)"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH banding → candidate duplicate pairs.
+
+    Scale path: band keys are shuffle keys (docs sharing a band bucket meet in
+    one partition) — no all-pairs comparison ever materializes."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min((F.col("code") * a + b) % P31).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(bi),
+                        *[
+                            F.col(f"mh{bi * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def _sql_minhash() -> str:
+    mh_cols = ", ".join(
+        f"min((code * {a} + {b}) % {P31}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, CAST({bi} AS VARCHAR) || ':' || ".format(bi=bi)
+        + " || ':' || ".join(
+            f"CAST(mh{bi * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sig"
+        for bi in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mh_cols} FROM shingles GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b USING (band_key)
+WHERE a.doc_id < b.doc_id"""
+
+
+SQL_MINHASH_LSH = _sql_minhash()
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.5 via shingle inverted index (integer-exact
+    threshold test: 2·|∩| ≥ |∪|)."""
+    sh = _shingles(spark, sf_dir).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "code")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .filter(F.col("n_inter") * 2 >= F.col("sz1") + F.col("sz2") - F.col("n_inter"))
+        .select(
+            "d1", "d2", "n_inter", "sz1", "sz2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+ds AS (SELECT DISTINCT doc_id, code FROM shingles),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM ds a JOIN ds b USING (code) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2, n_inter, s1.sz AS sz1, s2.sz AS sz2,
+       CAST(n_inter AS DOUBLE) / CAST(s1.sz + s2.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE n_inter * 2 >= s1.sz + s2.sz - n_inter"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over token-id hashes; near-dup pairs at hamming ≤ 3."""
+    toks = _tokens(spark, sf_dir)
+    vocab = _vocab(toks)
+    tid = toks.join(F.broadcast(vocab), "token").select(
+        "doc_id", ((F.col("tid") * 2654435761) % M31).alias("h")
+    )
+    bits = tid.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "h"
+    ).withColumn(
+        "contrib",
+        # the Python shift wrappers take only literal bit counts → SQL expr
+        F.expr("CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), bit)) % 2 = 1 THEN 1 ELSE -1 END"),
+    )
+    sig = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, 1).otherwise(0).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("bitval * shiftleft(CAST(1 AS BIGINT), bit)")).alias("simhash"))
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            "hamming",
+            F.col("a.simhash").alias("sim1"),
+            F.col("b.simhash").alias("sim2"),
+        )
+    )
+
+
+SQL_SIMHASH = f"""
+WITH {_TOKENS_CTE}, {_VOCAB_CTE},
+tid AS (SELECT t.doc_id, (v.tid * 2654435761) % {M31} AS h
+        FROM tokens t JOIN vocab v USING (token)),
+bits AS (
+  SELECT doc_id, b.bit, CASE WHEN (h // (1 << b.bit)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM tid, range(0, 16) b(bit)),
+sig AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * (1 << bit)) AS simhash
+  FROM (SELECT doc_id, bit, sum(contrib) AS s FROM bits GROUP BY doc_id, bit)
+  GROUP BY doc_id)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+       a.simhash AS sim1, b.simhash AS sim2
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (ANN baseline: exact cosine top-k)
+# ---------------------------------------------------------------------------
+
+TOPK = 10
+QSCALE = 1_000_000
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * QSCALE).cast("long")
+        ).alias("q"),
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN ground-truth baseline).
+
+    Scale path: the same scoring runs after an LSH/IVF bucket join (see
+    q_minhash_lsh_pairs for the banding machinery); brute force here is the
+    oracle-checkable reference."""
+    qv = _quantized(spark, sf_dir)
+    a = qv.select(
+        F.col("vec_id"), F.col("q"),
+        F.aggregate(F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x)
+        .alias("n2"),
+    )
+    b = (
+        a.select(
+            F.col("vec_id").alias("other_id"), F.col("q").alias("qb"), F.col("n2").alias("n2b")
+        )
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_id") != F.col("other_id"))
+    dot = F.aggregate(
+        F.zip_with("q", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    cos = dot.cast("double") / F.sqrt(F.col("n2").cast("double") * F.col("n2b").cast("double"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "other_id")
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("vec_id", "rank", "other_id", "cos")
+    )
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> x * x)), (a,b) -> a+b) AS n2
+  FROM q),
+flat AS (
+  SELECT vec_id, n2, unnest(q) AS qi, generate_subscripts(q, 1) AS i FROM n),
+dots AS (
+  SELECT a.vec_id, b.vec_id AS other_id, sum(a.qi * b.qi) AS dot,
+         any_value(a.n2) AS n2a, any_value(b.n2) AS n2b
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+scored AS (
+  SELECT vec_id, other_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) AS cos
+  FROM dots),
+ranked AS (
+  SELECT vec_id, other_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, other_id) AS rank
+  FROM scored)
+SELECT vec_id, rank, other_id, cos FROM ranked WHERE rank <= {TOPK}"""
+
+
+def q_embedding_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label agreement: majority label among top-10 cosine neighbors."""
+    topk = q_embedding_topk(spark, sf_dir)
+    labels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("other_id"), F.col("label").alias("nbr_label")
+    )
+    return (
+        topk.join(F.broadcast(labels), "other_id")
+        .groupBy("vec_id", "nbr_label")
+        .agg(F.count("*").alias("votes"))
+    )
+
+
+SQL_EMBEDDING_LABEL_KNN = f"""
+WITH topk AS ({SQL_EMBEDDING_TOPK})
+SELECT t.vec_id, e.label AS nbr_label, count(*) AS votes
+FROM topk t JOIN embeddings e ON e.vec_id = t.other_id
+GROUP BY t.vec_id, e.label"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
+    "token_count_regex": (q_token_count_regex, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_label_knn": (q_embedding_label_knn, SQL_EMBEDDING_LABEL_KNN),
+}

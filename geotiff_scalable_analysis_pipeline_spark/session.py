@@ -12,10 +12,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Target bytes per Arrow batch entering a pandas UDF. A 256x256x4 uint16 tile
-# payload is ~512 KiB, so ~64 tiles/batch keeps a decode batch ~32 MiB —
-# comfortably inside one task's memory at 32 concurrent tasks.
-ARROW_MAX_RECORDS = 256
+# Arrow batch size for pandas UDFs. Narrow-row UDFs (PIP candidates, span
+# rows) need LARGE batches or per-batch overhead dominates; fat-blob decode
+# UDFs bound their batches by partitioning instead (media_df repartitions to
+# ~64 payload rows per partition, ~32 MiB per decode batch).
+ARROW_MAX_RECORDS = 8192
 
 
 def get_spark(
