@@ -1,0 +1,161 @@
+"""Iceberg-*semantics* table catalog over partitioned Parquet.
+
+The sandbox has no Iceberg runtime jars, so the engine implements the
+semantics it needs from Iceberg directly (SURVEY.md §7.0):
+
+* **snapshots** — every commit writes data files under a new
+  ``data/snap-<id>/`` prefix plus a manifest JSON listing exactly the files
+  (with per-file partition values + row counts); a ``current`` pointer is
+  updated by atomic rename. Readers never list directories — they read the
+  manifest, so concurrent/failed writers are invisible (no partial reads).
+* **time travel** — ``read(table, snapshot_id)`` reads any retained snapshot.
+* **partition pruning** — manifests carry partition values; ``read`` with a
+  ``partition_filter`` selects files driver-side before Spark ever touches
+  them (manifest pruning, the Iceberg scan-planning analog; row-group pruning
+  inside files is still Spark's).
+
+This is NOT the Apache Iceberg file format — it is a minimal reimplementation
+of the snapshot/manifest/pruning contract the north rule requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableCatalog:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+
+    # -- paths ---------------------------------------------------------------
+    def _tdir(self, table: str) -> Path:
+        return self.root / table
+
+    def _manifest_path(self, table: str, snap: int) -> Path:
+        return self._tdir(table) / "_manifests" / f"snapshot-{snap}.json"
+
+    def _current_path(self, table: str) -> Path:
+        return self._tdir(table) / "_manifests" / "current"
+
+    # -- metadata ------------------------------------------------------------
+    def current_snapshot(self, table: str) -> int | None:
+        p = self._current_path(table)
+        if not p.exists():
+            return None
+        return int(p.read_text().strip())
+
+    def manifest(self, table: str, snap: int | None = None) -> dict:
+        snap = snap if snap is not None else self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table} has no snapshots")
+        return json.loads(self._manifest_path(table, snap).read_text())
+
+    def snapshots(self, table: str) -> list[int]:
+        mdir = self._tdir(table) / "_manifests"
+        if not mdir.exists():
+            return []
+        return sorted(
+            int(f.stem.split("-")[1]) for f in mdir.glob("snapshot-*.json")
+        )
+
+    # -- write path ----------------------------------------------------------
+    def commit(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        mode: str = "append",
+    ) -> int:
+        """Write df as a new snapshot; returns the snapshot id.
+
+        ``append`` snapshots include the parent's files; ``overwrite`` starts
+        fresh. The commit point is the atomic rename of the ``current``
+        pointer — a crash before that leaves the table at the old snapshot
+        with only unreachable orphan files (cleaned by expire).
+        """
+        parent = self.current_snapshot(table)
+        snap = (parent or 0) + 1
+        data_dir = self._tdir(table) / "data" / f"snap-{snap}"
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
+
+        files = []
+        for f in data_dir.rglob("*.parquet"):
+            rel = f.relative_to(self._tdir(table))
+            parts = {}
+            for seg in rel.parts:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    parts[k] = v
+            files.append({"path": str(rel), "partition": parts})
+
+        prev_files = []
+        if mode == "append" and parent is not None:
+            prev_files = self.manifest(table, parent)["files"]
+
+        man = {
+            "snapshot_id": snap,
+            "parent": parent,
+            "mode": mode,
+            "partition_spec": partition_by or [],
+            "schema": df.schema.json(),
+            "files": prev_files + files,
+        }
+        mpath = self._manifest_path(table, snap)
+        mpath.parent.mkdir(parents=True, exist_ok=True)
+        tmp = mpath.with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps(man, indent=1))
+        os.replace(tmp, mpath)  # manifest visible
+        tmp2 = self._current_path(table).with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp2.write_text(str(snap))
+        os.replace(tmp2, self._current_path(table))  # THE commit point
+        return snap
+
+    # -- read path -----------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot: int | None = None,
+        partition_filter=None,
+    ) -> DataFrame:
+        """Manifest-planned scan with driver-side partition pruning.
+
+        ``partition_filter``: callable dict→bool over a file's partition
+        values (strings, as encoded in paths).
+        """
+        man = self.manifest(table, snapshot)
+        files = man["files"]
+        if partition_filter is not None:
+            files = [f for f in files if partition_filter(f["partition"])]
+        if not files:
+            return spark.createDataFrame([], man["schema"])
+        paths = [str(self._tdir(table) / f["path"]) for f in files]
+        return (
+            spark.read.option("basePath", str(self._tdir(table) / "data"))
+            .parquet(*paths)
+        )
+
+    def expire(self, table: str, keep_last: int = 2) -> list[int]:
+        """Drop old snapshots' manifests + now-unreachable files."""
+        snaps = self.snapshots(table)
+        drop = snaps[:-keep_last] if keep_last else snaps
+        keep = [s for s in snaps if s not in drop]
+        live = set()
+        for s in keep:
+            live.update(f["path"] for f in self.manifest(table, s)["files"])
+        for s in drop:
+            for f in self.manifest(table, s)["files"]:
+                if f["path"] not in live:
+                    p = self._tdir(table) / f["path"]
+                    if p.exists():
+                        p.unlink()
+            self._manifest_path(table, s).unlink()
+        return drop

@@ -1,0 +1,128 @@
+"""Snapshot catalog, lineage resume, metrics, pyramid pruning."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_scalable_analysis_pipeline_spark import datagen as dg
+from geotiff_scalable_analysis_pipeline_spark.functions.cells import cell_id_np
+from geotiff_scalable_analysis_pipeline_spark.plans import lineage, metrics, pyramid
+from geotiff_scalable_analysis_pipeline_spark.plans.catalog import TableCatalog
+
+
+def test_snapshots_time_travel_and_atomic_commit(spark, tmp_path):
+    cat = TableCatalog(tmp_path)
+    s1 = cat.commit(spark.range(10).withColumn("v", F.col("id") * 2), "t", mode="overwrite")
+    s2 = cat.commit(spark.range(5).withColumn("v", F.col("id") * 3), "t", mode="append")
+    assert cat.snapshots("t") == [s1, s2] == [1, 2]
+    assert cat.read(spark, "t", snapshot=s1).count() == 10
+    assert cat.read(spark, "t", snapshot=s2).count() == 15  # append includes parent
+    assert cat.read(spark, "t").count() == 15  # current
+    s3 = cat.commit(spark.range(3).withColumn("v", F.lit(0)), "t", mode="overwrite")
+    assert cat.read(spark, "t").count() == 3
+    assert cat.read(spark, "t", snapshot=s2).count() == 15  # time travel intact
+
+
+def test_partition_pruning_via_manifest(spark, tmp_path):
+    cat = TableCatalog(tmp_path)
+    df = spark.range(100).withColumn("p", (F.col("id") % 4).cast("int"))
+    cat.commit(df, "pt", partition_by=["p"], mode="overwrite")
+    pruned = cat.read(spark, "pt", partition_filter=lambda pv: pv["p"] == "2")
+    rows = pruned.collect()
+    assert len(rows) == 25 and all(r["p"] == 2 for r in rows)
+    # driver-side pruning: the scan's input files only cover p=2
+    files = pruned.inputFiles()
+    assert files and all("p=2" in f for f in files)
+
+
+def test_expire_drops_unreachable(spark, tmp_path):
+    cat = TableCatalog(tmp_path)
+    cat.commit(spark.range(4), "e", mode="overwrite")
+    cat.commit(spark.range(6), "e", mode="overwrite")
+    cat.commit(spark.range(8), "e", mode="overwrite")
+    dropped = cat.expire("e", keep_last=1)
+    assert dropped == [1, 2]
+    assert cat.read(spark, "e").count() == 8
+    with pytest.raises(FileNotFoundError):
+        cat.manifest("e", 1)
+
+
+def test_resume_after_kill_is_byte_identical(spark, tmp_path):
+    """North-rule resume: kill mid-job, re-run, outputs identical to an
+    uninterrupted run."""
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    keys = spark.range(8).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+
+    def make_processor(outdir):
+        def process(key: str):
+            # deterministic per-key output, atomic via catalog-less rename
+            import os
+
+            p = outdir / f"{key}.out"
+            tmp = outdir / f"{key}.tmp"
+            outdir.mkdir(exist_ok=True)
+            tmp.write_text(f"payload-{key}-" + "x" * (hash(key) % 7 + 1))
+            os.replace(tmp, p)
+
+        return process
+
+    # uninterrupted run
+    log_a = lineage.LineageLog(tmp_path / "la", "job")
+    r = lineage.run_resumable(spark, keys, "key", make_processor(out_a), log_a)
+    assert r == {"processed": 8, "skipped": 0}
+
+    # killed run: crash after 3 keys, then resume
+    log_b = lineage.LineageLog(tmp_path / "lb", "job")
+    with pytest.raises(RuntimeError):
+        lineage.run_resumable(spark, keys, "key", make_processor(out_b), log_b, fail_after=3)
+    assert len(log_b.committed_keys()) == 3
+    r2 = lineage.run_resumable(spark, keys, "key", make_processor(out_b), log_b)
+    assert r2 == {"processed": 5, "skipped": 3}
+
+    fa = {p.name: p.read_text() for p in out_a.glob("*.out")}
+    fb = {p.name: p.read_text() for p in out_b.glob("*.out")}
+    assert fa == fb and len(fa) == 8
+
+
+def test_metrics_instrumentation(spark, tmp_path):
+    import pandas as pd
+
+    mdir = str(tmp_path / "metrics")
+
+    def double(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"v": pdf["id"] * 2})
+
+    df = spark.range(1000).repartition(4)
+    out = df.mapInPandas(
+        metrics.instrumented(double, mdir, "job1", "double"), "v long"
+    )
+    assert out.count() == 1000
+    m = metrics.metrics_table(spark, mdir)
+    rows = m.collect()
+    assert {r["stage"] for r in rows} == {"double"}
+    assert sum(r["rows_in"] for r in rows) == 1000
+    assert sum(r["rows_out"] for r in rows) == 1000
+    summ = metrics.stage_summary(m).collect()[0]
+    assert summ["n_partitions"] == 4
+
+
+def test_pyramid_build_and_viewport_pruning(spark, tmp_path):
+    cfg = dg.GoldenConfig(n_tiles=300)
+    cat = TableCatalog(tmp_path)
+    pyramid.build_pyramid(cat, dg.tiles_df(spark, cfg), finest=7, coarsest=5)
+    full = cat.read(spark, "tile_pyramid")
+    assert full.filter(F.col("level") == 7).count() > 0
+    # viewport over hotspot 0 (20000, 20000): anchor cell at level 2
+    anchor = int(cell_id_np(np.array([20000.0]), np.array([20000.0]), 2)[0])
+    vp = pyramid.read_viewport(cat, spark, level=6, anchor_cells={anchor})
+    rows = vp.collect()
+    assert rows and all(r["level"] == 6 and r["cell_anchor"] == anchor for r in rows)
+    files = vp.inputFiles()
+    assert files and all(f"cell_anchor={anchor}" in f for f in files)
+    # hierarchical consistency: total tile-cell memberships shrink with level
+    per_level = {
+        r["level"]: r["s"]
+        for r in full.groupBy("level").agg(F.sum("n_tiles").alias("s")).collect()
+    }
+    assert per_level[5] <= per_level[6] <= per_level[7]
