@@ -327,6 +327,241 @@ def q_global_class_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.global_class_probs(stats)
 
 
+# ---------------------------------------------------------------------------
+# temporal pairing (J6), series scan (S4), mosaic-max (A4/J1), top-k class
+# metrics (P9/P10/P12), window∩bounds intersection (J2)
+# ---------------------------------------------------------------------------
+
+_TS_CTE = """acq AS (
+  SELECT media_ref, tile_k, CAST(tile_k AS BIGINT) AS ts_h FROM tiles_geo)"""
+
+
+def q_asof_acquisitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of pairing (J6): per tile, the most recent earlier acquisition in
+    the same level-6 cell (acq time = tile_k hours, deterministic)."""
+    from pyspark.sql import Window
+
+    t = dg.tiles_df(spark, CFG)
+    cells = raster.tile_footprints(t, LEVEL).select("media_ref", "cell")
+    acq = t.select("media_ref", F.col("tile_k").cast("long").alias("ts_h")).join(cells, "media_ref")
+    w = Window.partitionBy("cell").orderBy("ts_h", "media_ref")
+    return acq.select(
+        "media_ref",
+        "cell",
+        "ts_h",
+        F.lag("media_ref", 1).over(w).alias("prev_ref"),
+        F.lag("ts_h", 1).over(w).alias("prev_ts_h"),
+    )
+
+
+def _sql_cells_cte(level: int) -> str:
+    res = cell_res(level)
+    return f"""cells AS (
+  SELECT l.media_ref,
+         {cell_id_sql(f"(CAST(FLOOR(l.x0 / {res}) AS BIGINT) + gx.i) * {res}",
+                      f"(CAST(FLOOR(l.y0 / {res}) AS BIGINT) + gy.i) * {res}", level)} AS cell
+  FROM tiles_geo l
+  JOIN range(0, 64) gx(i) ON gx.i <= CAST(FLOOR((l.x1-1) / {res}) AS BIGINT) - CAST(FLOOR(l.x0 / {res}) AS BIGINT)
+  JOIN range(0, 64) gy(i) ON gy.i <= CAST(FLOOR((l.y1-1) / {res}) AS BIGINT) - CAST(FLOOR(l.y0 / {res}) AS BIGINT))"""
+
+
+SQL_ASOF = f"""WITH {dg.tiles_sql(CFG)}, {_sql_cells_cte(LEVEL)}
+SELECT t.media_ref, c.cell, CAST(t.tile_k AS BIGINT) AS ts_h,
+       lag(t.media_ref) OVER w AS prev_ref,
+       lag(CAST(t.tile_k AS BIGINT)) OVER w AS prev_ts_h
+FROM tiles_geo t JOIN cells c USING (media_ref)
+WINDOW w AS (PARTITION BY c.cell ORDER BY CAST(t.tile_k AS BIGINT), t.media_ref)"""
+
+
+def q_series_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-temporal series scan (S4): time-ordered acquisition list per
+    cell — ``sort_array(collect_list(...))`` per SURVEY §2.1."""
+    t = dg.tiles_df(spark, CFG)
+    cells = raster.tile_footprints(t, LEVEL).select("media_ref", "cell")
+    acq = t.select("media_ref", F.col("tile_k").cast("long").alias("ts_h")).join(cells, "media_ref")
+    return acq.groupBy("cell").agg(
+        F.count("*").alias("n_acq"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_h", "media_ref"))),
+                lambda s: s["media_ref"],
+            ),
+        ).alias("series"),
+    )
+
+
+SQL_SERIES = f"""WITH {dg.tiles_sql(CFG)}, {_sql_cells_cte(LEVEL)}
+SELECT c.cell, count(*) AS n_acq,
+       string_agg(t.media_ref, ',' ORDER BY CAST(t.tile_k AS BIGINT), t.media_ref) AS series
+FROM tiles_geo t JOIN cells c USING (media_ref)
+GROUP BY c.cell"""
+
+
+def q_cell_mosaic_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic-max (A4/J1 semantics): overlapping sources per cell resolved by
+    per-(cell, band) max of the tile statistic."""
+    t = dg.tiles_df(spark, CFG).filter(F.col("tile_k") < CFG.n_media_tiles)
+    cells = raster.tile_footprints(t, LEVEL).select("media_ref", "cell")
+    stats = raster.tile_pixel_stats(dg.media_df(spark, CFG))
+    return (
+        stats.join(cells, "media_ref")
+        .groupBy("cell", "band")
+        .agg(
+            F.max("sum_dn").alias("max_sum_dn"),
+            F.min("min_dn").cast("int").alias("min_dn"),
+            F.count("*").alias("n_sources"),
+        )
+        .withColumn("band", F.col("band").cast("int"))
+    )
+
+
+SQL_CELL_MOSAIC_MAX = f"""WITH {dg.tiles_sql(CFG)}, {_PX_CTE},
+tstats AS (
+  SELECT media_ref, band, sum(dn) AS sum_dn, min(dn) AS min_dn
+  FROM px GROUP BY media_ref, band),
+{_sql_cells_cte(LEVEL).replace('FROM tiles_geo l', f'FROM (SELECT * FROM tiles_geo WHERE tile_k < {CFG.n_media_tiles}) l')}
+SELECT c.cell, CAST(s.band AS INTEGER) AS band, max(s.sum_dn) AS max_sum_dn,
+       CAST(min(s.min_dn) AS INTEGER) AS min_dn, count(*) AS n_sources
+FROM tstats s JOIN cells c USING (media_ref)
+GROUP BY c.cell, s.band"""
+
+
+def q_tile_class_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant class / confidence / top-2 gap (P9, P10, P12) computed from
+    the per-band means (exact doubles), deterministic band-asc tiebreak."""
+    from pyspark.sql import Window
+
+    stats = raster.tile_pixel_stats(dg.media_df(spark, CFG)).select(
+        "media_ref", "band", "mean_dn"
+    )
+    w = Window.partitionBy("media_ref").orderBy(F.desc("mean_dn"), "band")
+    ranked = stats.withColumn("rk", F.row_number().over(w))
+    top1 = ranked.filter(F.col("rk") == 1).select(
+        "media_ref",
+        F.col("band").cast("int").alias("argmax_band"),
+        F.col("mean_dn").alias("top1"),
+    )
+    top2 = ranked.filter(F.col("rk") == 2).select("media_ref", F.col("mean_dn").alias("top2"))
+    return top1.join(top2, "media_ref").select(
+        "media_ref", "argmax_band", "top1", "top2", (F.col("top1") - F.col("top2")).alias("gap")
+    )
+
+
+SQL_TILE_CLASS_TOPK = f"""WITH {dg.tiles_sql(CFG)}, {_PX_CTE},
+tstats AS (
+  SELECT media_ref, band, CAST(sum(dn) AS DOUBLE) / count(*) AS mean_dn
+  FROM px GROUP BY media_ref, band),
+ranked AS (
+  SELECT media_ref, band, mean_dn,
+         row_number() OVER (PARTITION BY media_ref ORDER BY mean_dn DESC, band) AS rk
+  FROM tstats)
+SELECT a.media_ref, CAST(a.band AS INTEGER) AS argmax_band, a.mean_dn AS top1,
+       b.mean_dn AS top2, a.mean_dn - b.mean_dn AS gap
+FROM ranked a JOIN ranked b ON a.media_ref = b.media_ref AND a.rk = 1 AND b.rk = 2"""
+
+
+def q_window_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-window ∩ image-bounds intersection + reflect-pad amounts (J2/P5
+    arithmetic — reference data.py:155-162, 241-245) as pure Catalyst."""
+    tiles = dg.tiles_df(spark, CFG).filter(F.col("tile_k") < 100).select("media_ref")
+    g = chunking.chunk_grid(tiles, height_px=256, width_px=256, zor=96, halo=16)
+    H = W = 256
+    return g.select(
+        "media_ref",
+        F.col("chunk_r").cast("int").alias("chunk_r"),
+        F.col("chunk_c").cast("int").alias("chunk_c"),
+        F.greatest(F.col("win_r0"), F.lit(0)).cast("int").alias("read_r0"),
+        F.greatest(F.col("win_c0"), F.lit(0)).cast("int").alias("read_c0"),
+        F.least(F.col("win_r0") + F.col("win_h"), F.lit(H)).cast("int").alias("read_r1"),
+        F.least(F.col("win_c0") + F.col("win_w"), F.lit(W)).cast("int").alias("read_c1"),
+        (F.greatest(F.col("win_r0"), F.lit(0)) - F.col("win_r0")).cast("int").alias("pad_top"),
+        (F.col("win_r0") + F.col("win_h") - F.least(F.col("win_r0") + F.col("win_h"), F.lit(H)))
+        .cast("int")
+        .alias("pad_bottom"),
+    )
+
+
+SQL_WINDOW_INTERSECTION = f"""WITH {dg.tiles_sql(CFG)},
+grid AS (
+  SELECT media_ref, CAST(r.i * 96 AS INTEGER) AS chunk_r, CAST(c.i * 96 AS INTEGER) AS chunk_c
+  FROM tiles_geo, range(0, 3) r(i), range(0, 3) c(i)
+  WHERE tile_k < 100)
+SELECT media_ref, chunk_r, chunk_c,
+  CAST(GREATEST(chunk_r - 16, 0) AS INTEGER) AS read_r0,
+  CAST(GREATEST(chunk_c - 16, 0) AS INTEGER) AS read_c0,
+  CAST(LEAST(chunk_r - 16 + 128, 256) AS INTEGER) AS read_r1,
+  CAST(LEAST(chunk_c - 16 + 128, 256) AS INTEGER) AS read_c1,
+  CAST(GREATEST(chunk_r - 16, 0) - (chunk_r - 16) AS INTEGER) AS pad_top,
+  CAST((chunk_r - 16 + 128) - LEAST(chunk_r - 16 + 128, 256) AS INTEGER) AS pad_bottom
+FROM grid"""
+
+
+def q_mask_pixel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector→raster masking (north_star): per (tile, polygon-zone) pair the
+    count of pixel centers inside the zone — the Spark side rasterizes real
+    uint8 masks; the oracle ray-casts the same centers in SQL."""
+    from .operators import raster_vector as rv
+
+    cfg = dg.GoldenConfig(n_tiles=150, tile_px=16)
+    tiles = dg.tiles_df(spark, cfg)
+    meta = tiles.select(
+        "media_ref", "x0", "y1",
+        F.lit(cfg.tile_px).alias("width"), F.lit(cfg.tile_px).alias("height"),
+        F.lit(float(cfg.px_size)).alias("px"),
+    )
+    polys = dg.poly_zones_df(spark, cfg)
+    zb = polys.select(
+        "zone_id",
+        F.expr("aggregate(ring, cast('inf' as double), (a, p) -> least(a, p.x))").alias("zminx"),
+        F.expr("aggregate(ring, cast('-inf' as double), (a, p) -> greatest(a, p.x))").alias("zmaxx"),
+        F.expr("aggregate(ring, cast('inf' as double), (a, p) -> least(a, p.y))").alias("zminy"),
+        F.expr("aggregate(ring, cast('-inf' as double), (a, p) -> greatest(a, p.y))").alias("zmaxy"),
+    )
+    cand = (
+        tiles.crossJoin(F.broadcast(zb))
+        .filter((F.col("x0") <= F.col("zmaxx")) & (F.col("x1") >= F.col("zminx"))
+                & (F.col("y0") <= F.col("zmaxy")) & (F.col("y1") >= F.col("zminy")))
+        .select("media_ref", "zone_id")
+    )
+    return rv.rasterize_zones(meta, polys, cand).select("media_ref", "zone_id", "n_inside")
+
+
+def _sql_mask_counts() -> str:
+    cfg = dg.GoldenConfig(n_tiles=150, tile_px=16)
+    e = cfg.extent
+    cross = "( (ex2-ex1)*(py-ey1) - (px-ex1)*(ey2-ey1) )"
+    tiles_cte = dg.tiles_sql(cfg)
+    return f"""WITH {tiles_cte}, {dg.poly_edges_sql(cfg)},
+zb AS (
+  SELECT zone_id, min(least(ex1, ex2)) AS zminx, max(greatest(ex1, ex2)) AS zmaxx,
+         min(least(ey1, ey2)) AS zminy, max(greatest(ey1, ey2)) AS zmaxy
+  FROM pedges GROUP BY zone_id),
+cand AS (
+  SELECT t.media_ref, t.x0, t.y1, z.zone_id
+  FROM tiles_geo t JOIN zb z
+  ON t.x0 <= z.zmaxx AND t.x1 >= z.zminx AND t.y0 <= z.zmaxy AND t.y1 >= z.zminy),
+centers AS (
+  SELECT c.media_ref, c.zone_id,
+         c.x0 + (cc.i + 0.5) * {cfg.px_size} AS px,
+         c.y1 - (rr.i + 0.5) * {cfg.px_size} AS py
+  FROM cand c, range(0, {cfg.tile_px}) rr(i), range(0, {cfg.tile_px}) cc(i)),
+hits AS (
+  SELECT s.media_ref, s.zone_id, s.px, s.py
+  FROM centers s JOIN pedges e USING (zone_id)
+  GROUP BY s.media_ref, s.zone_id, s.px, s.py
+  HAVING SUM(CASE WHEN ((ey1 > s.py) <> (ey2 > s.py))
+                   AND (CASE WHEN ey2 > ey1 THEN {cross.replace('px','s.px').replace('py','s.py')} > 0
+                        ELSE {cross.replace('px','s.px').replace('py','s.py')} < 0 END)
+             THEN 1 ELSE 0 END) % 2 = 1)
+SELECT c.media_ref, c.zone_id, count(h.px) AS n_inside
+FROM cand c LEFT JOIN hits h ON h.media_ref = c.media_ref AND h.zone_id = c.zone_id
+GROUP BY c.media_ref, c.zone_id"""
+
+
+SQL_MASK_COUNTS = _sql_mask_counts()
+
+
 QUERIES = {
     "pip_join_rect": (q_pip_rect, SQL_PIP_RECT),
     "pip_join_poly": (q_pip_poly, SQL_PIP_POLY),
@@ -340,5 +575,11 @@ QUERIES = {
     "span_fingerprints": (q_span_fingerprints, SQL_SPAN_FINGERPRINTS),
     "media_span_zones": (q_media_span_zones, SQL_MEDIA_SPAN_ZONES),
     "chunk_grid": (q_chunk_grid, SQL_CHUNK_GRID),
+    "asof_acquisitions": (q_asof_acquisitions, SQL_ASOF),
+    "series_per_cell": (q_series_per_cell, SQL_SERIES),
+    "cell_mosaic_max": (q_cell_mosaic_max, SQL_CELL_MOSAIC_MAX),
+    "tile_class_topk": (q_tile_class_topk, SQL_TILE_CLASS_TOPK),
+    "window_intersection": (q_window_intersection, SQL_WINDOW_INTERSECTION),
+    "mask_pixel_counts": (q_mask_pixel_counts, SQL_MASK_COUNTS),
     "global_class_probs": (q_global_class_probs, None),
 }

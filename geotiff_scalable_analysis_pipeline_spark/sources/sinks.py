@@ -1,0 +1,67 @@
+"""Export sinks (SURVEY.md §2.1 K1-K5).
+
+The heavy sinks are snapshot tables (plans/catalog.py — the K1/K2 analog:
+partitioned Parquet of chunk stats / mask payloads). These helpers cover the
+small-output sinks the reference writes driver-side:
+
+* K1 small-scale GeoTIFF export — re-encode a stats/class raster per tile to
+  an actual .tif blob (round-trips through formats/tiff.py)
+* K3 global probability vectors → JSON
+* K5 classmap (label → index + color) → JSON
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+
+def export_geotiff_classmaps(class_rows: DataFrame, out_dir: str | Path, class_of_rows) -> list[str]:
+    """Collect per-tile rows (small scale only), build class rasters, encode
+    .tif files. ``class_of_rows``: fn(pandas-subframe) -> (arr, x0, y1, px)."""
+    from ..formats import tiff
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pdf = class_rows.toPandas()
+    written = []
+    for ref, grp in pdf.groupby("media_ref"):
+        arr, x0, y1, px = class_of_rows(grp)
+        buf = tiff.encode(
+            arr.astype(np.uint16)[None] if arr.ndim == 2 else arr.astype(np.uint16),
+            pixel_scale=(px, px),
+            tiepoint=(x0, y1),
+        )
+        p = out / f"{ref}_class.tif"
+        p.write_bytes(buf)
+        written.append(str(p))
+    return written
+
+
+def export_global_probs_json(global_probs: DataFrame, out_path: str | Path) -> str:
+    """K3: per-tile class probability vectors as JSON (float64-accumulated,
+    reference reporters/aggregated.py:45-63)."""
+    rows = global_probs.orderBy("media_ref", "class").collect()
+    tiles: dict[str, list[float]] = {}
+    for r in rows:
+        tiles.setdefault(r["media_ref"], []).append(float(r["mean_prob"]))
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps({"tiles": tiles}, indent=1))
+    return str(p)
+
+
+def export_classmap_json(labels: list[str], colors: list[tuple[int, int, int]], out_path: str | Path) -> str:
+    """K5: label → (index, RGB) metadata sink (reference reporters/metadata.py:22-47)."""
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(
+        json.dumps(
+            {lab: {"index": i, "color": list(colors[i % len(colors)])} for i, lab in enumerate(labels)},
+            indent=1,
+        )
+    )
+    return str(p)

@@ -1,0 +1,71 @@
+"""Media store (resolve join + pruning) and export sinks."""
+
+import json
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geotiff_scalable_analysis_pipeline_spark import datagen as dg
+from geotiff_scalable_analysis_pipeline_spark.formats import tiff
+from geotiff_scalable_analysis_pipeline_spark.functions.cells import cell_id_np
+from geotiff_scalable_analysis_pipeline_spark.operators import chunking, spans
+from geotiff_scalable_analysis_pipeline_spark.plans.catalog import TableCatalog
+from geotiff_scalable_analysis_pipeline_spark.sources import media_store, sinks
+
+CFG = dg.GoldenConfig(n_tiles=60, tile_px=32, n_docs=200, n_media_tiles=60)
+
+
+def test_media_store_write_prune_resolve(spark, tmp_path):
+    cat = TableCatalog(tmp_path)
+    media = dg.media_df(spark, CFG)
+    tiles = dg.tiles_df(spark, CFG)
+    media_store.write_media_store(cat, media, tiles)
+
+    # pruned read: only hotspot-0 anchor partitions are scanned
+    anchor = int(cell_id_np(np.array([20000.0]), np.array([20000.0]), 3)[0])
+    vp = media_store.read_media_viewport(cat, spark, {anchor})
+    files = vp.inputFiles()
+    assert files and all(f"cell_anchor={anchor}" in f for f in files)
+
+    # resolve spans → payloads; unmatched refs surface as lineage
+    docs = dg.documents_df(spark, CFG)
+    m = spans.media_spans(docs)
+    full = cat.read(spark, "media")
+    resolved, unmatched = media_store.resolve_media(m, full, broadcast_media=True)
+    assert resolved.count() > 0
+    assert unmatched.count() == 0  # all refs < n_tiles = n_media_tiles
+    # now drop half the store → unmatched must surface exactly the gap
+    half = full.filter(F.col("tile_k") < 30)
+    r2, u2 = media_store.resolve_media(m, half)
+    assert r2.count() + u2.count() == m.count()
+    assert u2.select("media_ref").distinct().count() > 0
+
+
+def test_export_sinks(spark, tmp_path):
+    media = dg.media_df(spark, dg.GoldenConfig(n_tiles=4, tile_px=32, n_media_tiles=4))
+    stats = chunking.chunk_class_stats(media, zor=16, halo=8, patch=16, stride=8)
+    gp = chunking.global_class_probs(stats)
+    jpath = sinks.export_global_probs_json(gp, tmp_path / "global.json")
+    data = json.loads(open(jpath).read())
+    assert len(data["tiles"]) == 4
+    for v in data["tiles"].values():
+        assert abs(sum(v) - 1.0) < 1e-6  # softmax class vector
+
+    cpath = sinks.export_classmap_json(["water", "forest"], [(0, 0, 255), (0, 255, 0)], tmp_path / "cm.json")
+    cm = json.loads(open(cpath).read())
+    assert cm["forest"]["index"] == 1
+
+    # K1: class raster re-encoded as a real GeoTIFF and decodable
+    pdf_src = media.toPandas()
+
+    def class_of_rows(grp):
+        arr, prof = tiff.decode(bytes(pdf_src[pdf_src.media_ref == grp.media_ref.iloc[0]].payload.iloc[0]))
+        cls = (arr[0] > 5000).astype(np.uint16)
+        return cls, prof.tiepoint[0], prof.tiepoint[1], prof.pixel_scale[0]
+
+    files = sinks.export_geotiff_classmaps(
+        media.select("media_ref", "payload"), tmp_path / "tifs", class_of_rows
+    )
+    assert len(files) == 4
+    arr, prof = tiff.decode(open(files[0], "rb").read())
+    assert arr.shape == (1, 32, 32) and set(np.unique(arr)) <= {0, 1}
