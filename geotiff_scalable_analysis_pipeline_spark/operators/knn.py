@@ -40,20 +40,35 @@ def _with_lattice(df: DataFrame, x: str, y: str, level: int) -> DataFrame:
     return df.withColumn("_qix", lat(x)).withColumn("_qiy", lat(y))
 
 
+def pick_level(n_targets: int) -> int:
+    """Bucket level targeting ~6 targets/cell over the 100 km frame:
+    cells(L) ≈ (0.763·2^L)² ⇒ L = log4(n/3.5), clamped to [3, 10]."""
+    import math
+
+    if n_targets < 8:
+        return 3
+    return max(3, min(10, round(math.log(n_targets / 3.5, 4))))
+
+
 def knn_join(
     queries: DataFrame,
     targets: DataFrame,
     k: int = 5,
-    level: int = DEFAULT_LEVEL,
+    level: int | None = None,
     x: str = "qx",
     y: str = "qy",
     tx: str = "cx",
     ty: str = "cy",
     target_id: str = "media_ref",
-    initial_radius: int = 2,
-    max_rounds: int = 4,
+    initial_radius: int = 1,
 ) -> DataFrame:
-    """Exact kNN: (q_id, rank, <target_id>, dist_sq), rank 1..k."""
+    """Exact kNN: (q_id, rank, <target_id>, dist_sq), rank 1..k.
+
+    ``level=None`` auto-sizes the cell grid from the target count so the
+    per-query candidate set stays O(k) regardless of scale.
+    """
+    if level is None:
+        level = pick_level(targets.count())
     res = cell_res(level)
     n = (1 << level) - 1
 
@@ -77,23 +92,24 @@ def knn_join(
     finished: list[DataFrame] = []
     w = Window.partitionBy("q_id").orderBy("dist_sq", target_id)
 
+    # radius doubles until the disk provably covers the whole lattice —
+    # candidates stay proximity-bounded (no all-pairs crossJoin ever: a
+    # straggler in empty space joins only the cells within its ring, which is
+    # exactly the tiles within ~r·res of it).
     r = initial_radius
-    for round_i in range(max_rounds):
-        last = round_i == max_rounds - 1
-        if last:
-            cand = remaining.crossJoin(F.broadcast(tgt))
-        else:
-            disk = (
-                remaining.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-                .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-                .withColumn("_cix", F.col("_qix") + F.col("_dx"))
-                .withColumn("_ciy", F.col("_qiy") + F.col("_dy"))
-                .filter(
-                    (F.col("_cix") >= 0) & (F.col("_cix") <= n) & (F.col("_ciy") >= 0) & (F.col("_ciy") <= n)
-                )
-                .withColumn("_tcell", morton_col(F.col("_cix"), F.col("_ciy"), level))
+    while True:
+        covers_all = r >= (1 << level)
+        disk = (
+            remaining.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("_cix", F.col("_qix") + F.col("_dx"))
+            .withColumn("_ciy", F.col("_qiy") + F.col("_dy"))
+            .filter(
+                (F.col("_cix") >= 0) & (F.col("_cix") <= n) & (F.col("_ciy") >= 0) & (F.col("_ciy") <= n)
             )
-            cand = disk.join(F.broadcast(tgt), "_tcell")
+            .withColumn("_tcell", morton_col(F.col("_cix"), F.col("_ciy"), level))
+        )
+        cand = disk.join(F.broadcast(tgt), "_tcell")
 
         scored = cand.withColumn(
             "dist_sq",
@@ -105,17 +121,18 @@ def knn_join(
             .filter(F.col("rank") <= k)
             .select("q_id", "rank", target_id, "dist_sq")
         )
-        if last:
+        if covers_all:
             finished.append(topk)
             break
 
-        # a query is final iff it has k hits and the kth is ≤ r*res (guarantee bound)
+        # a query is final iff it has k hits and the kth is ≤ r*res (any
+        # target outside disk(r) is at distance ≥ r*res)
         bound = float(r * res) ** 2
         per_q = topk.groupBy("q_id").agg(
             F.count("*").alias("_cnt"), F.max("dist_sq").alias("_kth")
         )
         done_q = per_q.filter((F.col("_cnt") == k) & (F.col("_kth") <= bound)).select("q_id")
-        finished.append(topk.join(F.broadcast(done_q), "q_id"))
+        finished.append(topk.join(F.broadcast(done_q), "q_id").persist())
         remaining = remaining.join(F.broadcast(done_q), "q_id", "left_anti").persist()
         if remaining.isEmpty():
             break

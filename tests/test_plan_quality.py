@@ -1,0 +1,90 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+These tests pin the plan shapes that matter at scale: broadcast joins where
+the dim side is small, predicate pushdown + column pruning reaching the
+parquet scan, pure-Catalyst (no Python) for the grid/cell/PIP-rect paths,
+and partial (map-side) aggregation before shuffles.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_scalable_analysis_pipeline_spark import datagen as dg
+from geotiff_scalable_analysis_pipeline_spark.operators import knn as knn_op
+from geotiff_scalable_analysis_pipeline_spark.operators import pip_join
+
+CFG = dg.GoldenConfig(n_tiles=500, n_points=80)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_rect_is_broadcast_and_python_free(spark):
+    out = pip_join.pip_join_rect(
+        dg.tiles_df(spark, CFG).select("media_ref", "cx", "cy"),
+        dg.rect_zones_df(spark, CFG),
+        x="cx",
+        y="cy",
+    )
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p  # rect path never leaves the JVM
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    from geotiff_scalable_analysis_pipeline_spark.queries_relational import q_pricing_summary
+
+    df = q_pricing_summary(spark, "/root/testdata/sf0.01")
+    p = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the scan must not read unused columns like l_comment/l_partkey
+    assert "l_partkey" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_scan_column_pruning_events(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select("event_type").groupBy(
+        "event_type"
+    ).count()
+    sched = _plan(ev).split("ReadSchema")[1].split("\n")[0]
+    assert "event_type" in sched and "props" not in sched and "value" not in sched
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    p = _plan(agg)
+    # two HashAggregates (partial + final) around the exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in p
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    from geotiff_scalable_analysis_pipeline_spark.queries_relational import q_region_revenue
+
+    p = _plan(q_region_revenue(spark, "/root/testdata/sf0.01"))
+    assert p.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+@pytest.mark.parametrize("k", [1, 5, 20])
+def test_knn_k_variants_match_bruteforce(spark, duck, k):
+    cfg = dg.GoldenConfig(n_tiles=300, n_points=60)
+    got = (
+        knn_op.knn_join(dg.points_df(spark, cfg), dg.tiles_df(spark, cfg), k=k)
+        .orderBy("q_id", "rank")
+        .toPandas()
+    )
+    d = "(q.qx-t.cx)*(q.qx-t.cx)+(q.qy-t.cy)*(q.qy-t.cy)"
+    oracle = duck.execute(
+        f"""WITH {dg.tiles_sql(cfg)}, {dg.points_sql(cfg)},
+        scored AS (
+          SELECT q.q_id, t.media_ref, {d} AS dist_sq,
+                 row_number() OVER (PARTITION BY q.q_id ORDER BY {d}, t.media_ref) AS rank
+          FROM qpts q CROSS JOIN tiles_geo t)
+        SELECT q_id, rank, media_ref, dist_sq FROM scored WHERE rank <= {k}
+        ORDER BY q_id, rank"""
+    ).fetchdf()
+    assert len(got) == len(oracle) == cfg.n_points * k
+    assert (got.media_ref.values == oracle.media_ref.values).all()
+    assert (got.dist_sq.values.astype("int64") == oracle.dist_sq.values.astype("int64")).all()
