@@ -29,8 +29,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 LO = int(os.environ.get("SCALING_LO", "2"))
 HI = int(os.environ.get("SCALING_HI", "8"))
-BENCH_ONLY = os.environ.get("SCALING_BENCH_ONLY", "pip_zonal,knn,raster_stats")
+BENCH_ONLY = os.environ.get(
+    "SCALING_BENCH_ONLY", "pip_zonal,knn,raster_stats,zonal_stats"
+)
 BENCH_SCALE = os.environ.get("SCALING_BENCH_SCALE", "10")
+BENCH_REPS = os.environ.get("SCALING_BENCH_REPS", "2")
 
 
 def _pywork(_):
@@ -61,6 +64,8 @@ def run_at(cpus: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_ONLY=BENCH_ONLY,
         BENCH_SCALE=BENCH_SCALE,
+        BENCH_REPS=BENCH_REPS,
+        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

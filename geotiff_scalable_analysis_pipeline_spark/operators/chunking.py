@@ -212,6 +212,34 @@ def chunk_class_stats(
     )
 
 
+def class_metrics(global_probs: DataFrame) -> DataFrame:
+    """Per-tile class metrics from the pooled probability vector
+    (reference reporters/geotiff.py:68-102): argmax class (P9), max-prob
+    confidence (P10), Shannon entropy −Σ p·log(clip(p,1e-6,1)) (P11), top-2
+    gap (P12), and the binary-class gradient probs[1] (P13) when |C|==2.
+
+    Pure Column expressions over the collected class vector — array HOFs,
+    no UDF; log stays engine-side (never SQL-oracle-paired; libm divergence).
+    """
+    vec = global_probs.groupBy("media_ref").agg(
+        F.array_sort(F.collect_list(F.struct("class", "mean_prob"))).alias("cv")
+    )
+    probs = F.transform("cv", lambda s: s["mean_prob"])
+    desc = F.array_sort(probs, lambda a, b: F.when(a > b, -1).when(a < b, 1).otherwise(0))
+    return vec.select(
+        "media_ref",
+        (F.array_position(probs, F.array_max(probs)) - 1).cast("int").alias("argmax_class"),
+        F.array_max(probs).alias("max_prob"),
+        F.aggregate(
+            probs,
+            F.lit(0.0),
+            lambda acc, p: acc - p * F.log(F.least(F.greatest(p, F.lit(1e-6)), F.lit(1.0))),
+        ).alias("entropy"),
+        (desc[0] - desc[1]).alias("pred_gap"),
+        F.when(F.size(probs) == 2, probs[1]).alias("binary_gradient"),
+    )
+
+
 def global_class_probs(chunk_stats: DataFrame) -> DataFrame:
     """Global average pooling per tile (reference reporters/aggregated.py:27-47)
     with an order-pinned float64 fold: partials are sorted by chunk coordinate

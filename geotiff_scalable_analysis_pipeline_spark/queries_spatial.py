@@ -327,6 +327,11 @@ def q_global_class_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.global_class_probs(stats)
 
 
+def q_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9-P13 per-tile metrics (argmax/conf/entropy/gap) — rows-only (log)."""
+    return chunking.class_metrics(q_global_class_probs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # temporal pairing (J6), series scan (S4), mosaic-max (A4/J1), top-k class
 # metrics (P9/P10/P12), window∩bounds intersection (J2)
@@ -582,4 +587,5 @@ QUERIES = {
     "window_intersection": (q_window_intersection, SQL_WINDOW_INTERSECTION),
     "mask_pixel_counts": (q_mask_pixel_counts, SQL_MASK_COUNTS),
     "global_class_probs": (q_global_class_probs, None),
+    "class_metrics": (q_class_metrics, None),
 }

@@ -49,7 +49,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fat-binary tables (media payloads) must split into many more input
+        # partitions than the 128 MB default bins allow, or the decode stage
+        # runs a handful of giant tasks (poor balance + 100 MB Arrow batches)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
+    # shuffle spill files on tmpfs: this VM's disk serializes concurrent
+    # shuffle writes (threads anti-scale on /tmp); a real cluster has
+    # per-executor local SSDs, which tmpfs approximates here
+    if os.path.isdir("/dev/shm"):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

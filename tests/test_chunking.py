@@ -101,6 +101,30 @@ def test_global_class_probs_deterministic_fold(spark):
     assert (a.groupby("media_ref").mean_prob.sum().round(6) == 1.0).all()
 
 
+def test_class_metrics_match_numpy(spark):
+    """P9-P13 from the pooled class vector vs a direct numpy recomputation."""
+    cfg = dg.GoldenConfig(n_tiles=6, tile_px=48, n_media_tiles=6)
+    media = dg.media_df(spark, cfg)
+    gp = chunking.global_class_probs(
+        chunking.chunk_class_stats(media, zor=16, halo=8, patch=16, stride=8)
+    )
+    got = chunking.class_metrics(gp).orderBy("media_ref").toPandas()
+    vecs = gp.orderBy("media_ref", "class").toPandas()
+    for i, (ref, grp) in enumerate(vecs.groupby("media_ref")):
+        p = grp.mean_prob.to_numpy()
+        row = got.iloc[i]
+        assert row.media_ref == ref
+        assert row.argmax_class == int(np.argmax(p))
+        assert row.max_prob == p.max()
+        want_h = float(-(p * np.log(np.clip(p, 1e-6, 1.0))).sum())
+        assert abs(row.entropy - want_h) < 1e-12
+        s = np.sort(p)[::-1]
+        assert abs(row.pred_gap - (s[0] - s[1])) < 1e-15
+        import pandas as pd
+
+        assert pd.isna(row.binary_gradient) or len(p) == 2
+
+
 def test_chunk_grid_is_pure_catalyst(spark):
     cfg = dg.GoldenConfig(n_tiles=10)
     grid = chunking.chunk_grid(dg.tiles_df(spark, cfg), 64, 64, 16, 8)
