@@ -422,11 +422,19 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-k (the ANN ground-truth baseline).
+    """Brute-force exact cosine top-k (the ANN ground-truth baseline) via the
+    vectorized matmul kernel (operators/similarity.py) — identical results to
+    the Column-form implementation below and the SQL oracle."""
+    from .operators import similarity
 
-    Scale path: the same scoring runs after an LSH/IVF bucket join (see
-    q_minhash_lsh_pairs for the banding machinery); brute force here is the
-    oracle-checkable reference."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = similarity.quantize(e)
+    return similarity.cosine_topk(qv, qv, k=TOPK)
+
+
+def q_embedding_topk_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-form (zip_with/aggregate) variant — JVM-side, used for small
+    candidate sets after a bucket join; kept as a second exact path."""
     qv = _quantized(spark, sf_dir)
     a = qv.select(
         F.col("vec_id"), F.col("q"),
@@ -508,5 +516,6 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_topk_columnar": (q_embedding_topk_columnar, SQL_EMBEDDING_TOPK),
     "embedding_label_knn": (q_embedding_label_knn, SQL_EMBEDDING_LABEL_KNN),
 }
