@@ -88,3 +88,92 @@ def cosine_topk(
             yield pd.DataFrame(out)
 
     return queries.mapInPandas(run, "vec_id long, rank long, other_id long, cos double")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path): random-hyperplane signatures → bucket join
+# ---------------------------------------------------------------------------
+
+# Tuned for high-dimensional weak-similarity corpora (the hard LSH case —
+# e.g. 64-d near-gaussian embeddings where a top-10 neighbor has cos ≈ 0.45):
+# per-plane agreement p = 1 − θ/π ≈ 0.65 ⇒ 5 planes → 0.116/table, 6 tables
+# → recall ≈ 0.5 with a candidate set ~20% of all-pairs. Tighter corpora
+# (dedup-grade cos ≥ 0.9) support many more planes and ~0 candidate ratios.
+N_PLANES = 5
+N_TABLES = 6
+_PLANE_SALT = 77
+
+
+def _planes(dim: int) -> np.ndarray:
+    """(tables, planes, dim) deterministic pseudo-random hyperplanes in
+    [-1, 1) — integer-hash generated, reproducible across runs/executors."""
+    idx = np.arange(N_TABLES * N_PLANES * dim, dtype=np.int64)
+    h = (idx * 2654435761 + _PLANE_SALT * 40503 + 12345) % 2147483648
+    return (h.astype(np.float64) / 2**30 - 1.0).reshape(N_TABLES, N_PLANES, dim)
+
+
+def lsh_buckets(qdf: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, q, n2) → one row per table: (vec_id, table, bucket, q, n2).
+
+    Bucket = packed sign bits of plane dot products. Vectorized numpy over
+    Arrow batches; at corpus scale the bucket id is the shuffle key — no
+    all-pairs comparison ever materializes.
+    """
+    import pandas as pd
+
+    planes = _planes(dim)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.stack(pdf["q"].to_numpy()).astype(np.float64)  # (B, d)
+            out = {"vec_id": [], "table": [], "bucket": [], "q": [], "n2": []}
+            for t in range(N_TABLES):
+                signs = (qm @ planes[t].T) > 0  # (B, planes)
+                bucket = (signs * (1 << np.arange(N_PLANES))).sum(axis=1)
+                out["vec_id"] += pdf["vec_id"].tolist()
+                out["table"] += [t] * len(pdf)
+                out["bucket"] += bucket.astype(np.int64).tolist()
+                out["q"] += pdf["q"].tolist()
+                out["n2"] += pdf["n2"].tolist()
+            yield pd.DataFrame(out)
+
+    return qdf.mapInPandas(run, "vec_id long, table int, bucket long, q array<long>, n2 long")
+
+
+def lsh_topk(embeddings: DataFrame, k: int = 10, dim: int = 64) -> DataFrame:
+    """Approximate cosine top-k: bucket join → exact rescoring of candidates.
+
+    Candidates = pairs sharing ≥1 (table, bucket); scores are the exact
+    int64-quantized cosine (identical formula to :func:`cosine_topk`), so any
+    returned pair's score matches the exact ground truth — only *coverage* is
+    approximate (recall measured in tests).
+    """
+    qv = quantize(embeddings)
+    b = lsh_buckets(qv, dim)
+    a = b.select(
+        F.col("vec_id"), "table", "bucket", F.col("q").alias("qa"), F.col("n2").alias("n2a")
+    )
+    c = b.select(
+        F.col("vec_id").alias("other_id"), "table", "bucket",
+        F.col("q").alias("qb"), F.col("n2").alias("n2b"),
+    )
+    pairs = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("other_id"))
+        .dropDuplicates(["vec_id", "other_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    cos = dot.cast("double") / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "other_id")
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "other_id", "cos")
+    )

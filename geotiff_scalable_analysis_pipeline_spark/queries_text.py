@@ -506,8 +506,18 @@ FROM topk t JOIN embeddings e ON e.vec_id = t.other_id
 GROUP BY t.vec_id, e.label"""
 
 
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH bucket join (scale path);
+    returned scores are exact cosines, coverage is approximate → rows-only."""
+    from .operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(e, k=TOPK)
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "embedding_ann_lsh": (q_embedding_ann_lsh, None),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "token_count_regex": (q_token_count_regex, SQL_TOKEN_COUNT),

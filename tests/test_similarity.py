@@ -1,0 +1,63 @@
+"""ANN: vectorized exact kernel ≡ columnar form; LSH recall + exactness of
+returned scores; candidate-set efficiency."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geotiff_scalable_analysis_pipeline_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_matmul_kernel_equals_columnar(spark):
+    from geotiff_scalable_analysis_pipeline_spark import queries_text as qt
+
+    a = qt.q_embedding_topk(spark, SF_DIR).orderBy("vec_id", "rank").toPandas()
+    b = qt.q_embedding_topk_columnar(spark, SF_DIR).orderBy("vec_id", "rank").toPandas()
+    assert (a.other_id.values == b.other_id.values).all()
+    assert np.array_equal(a.cos.values, b.cos.values)  # bitwise
+
+
+def test_lsh_recall_and_exact_scores(spark):
+    e = _emb(spark)
+    exact = (
+        sim.cosine_topk(sim.quantize(e), sim.quantize(e), k=10)
+        .toPandas()
+        .groupby("vec_id")
+        .other_id.apply(set)
+    )
+    approx_df = sim.lsh_topk(e, k=10).toPandas()
+    approx = approx_df.groupby("vec_id").other_id.apply(set)
+    recalls = [
+        len(exact[v] & approx.get(v, set())) / len(exact[v]) for v in exact.index
+    ]
+    r = float(np.mean(recalls))
+    assert r >= 0.15, f"LSH recall collapsed: {r}"
+    # every returned score is the exact cosine (only coverage is approximate)
+    ex_all = sim.cosine_topk(sim.quantize(e), sim.quantize(e), k=500).toPandas()
+    exact_cos = {(a, b): c for a, b, c in zip(ex_all.vec_id, ex_all.other_id, ex_all.cos)}
+    sample = approx_df.head(200)
+    for a, b, c in zip(sample.vec_id, sample.other_id, sample.cos):
+        if (a, b) in exact_cos:
+            assert c == exact_cos[(a, b)]
+
+
+def test_lsh_candidates_prune(spark):
+    """The bucket join must not approach all-pairs."""
+    e = _emb(spark)
+    n = e.count()
+    qv = sim.quantize(e)
+    b = sim.lsh_buckets(qv)
+    a = b.select("vec_id", "table", "bucket")
+    c = b.select(F.col("vec_id").alias("other_id"), "table", "bucket")
+    cand = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("other_id"))
+        .dropDuplicates(["vec_id", "other_id"])
+        .count()
+    )
+    assert cand < 0.35 * n * (n - 1), f"candidates {cand} ~ all-pairs {n*(n-1)}"
