@@ -301,8 +301,32 @@ SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
 
+# --- tumbling time windows (hourly rollup) -----------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via integer epoch bucketing (exact both
+    engines; Spark's window() and DuckDB's time_bucket agree with this)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)).cast("long")
+    return (
+        ev.groupBy(hour.alias("hour_bucket"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_D)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS {_D})) AS DOUBLE) AS sum_value
+FROM events GROUP BY hour_bucket, event_type"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "events_hourly_windows": (q_events_hourly, SQL_EVENTS_HOURLY),
     "shipping_priority_topk": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "region_revenue_5way": (q_region_revenue, SQL_REGION_REVENUE),
     "events_latest_per_user": (q_events_latest_per_user, SQL_EVENTS_LATEST),
