@@ -137,11 +137,21 @@ class TableCatalog:
             files = [f for f in files if partition_filter(f["partition"])]
         if not files:
             return spark.createDataFrame([], man["schema"])
-        paths = [str(self._tdir(table) / f["path"]) for f in files]
-        return (
-            spark.read.option("basePath", str(self._tdir(table) / "data"))
-            .parquet(*paths)
-        )
+        # one scan per snapshot prefix: partition-value directories live
+        # BELOW each snap dir, so each scan gets its own basePath (a single
+        # basePath across snapshots trips partition discovery)
+        by_snap: dict[str, list[str]] = {}
+        for f in files:
+            snap_prefix = "/".join(f["path"].split("/")[:2])  # data/snap-N
+            by_snap.setdefault(snap_prefix, []).append(str(self._tdir(table) / f["path"]))
+        parts = [
+            spark.read.option("basePath", str(self._tdir(table) / prefix)).parquet(*paths)
+            for prefix, paths in sorted(by_snap.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def expire(self, table: str, keep_last: int = 2) -> list[int]:
         """Drop old snapshots' manifests + now-unreachable files."""

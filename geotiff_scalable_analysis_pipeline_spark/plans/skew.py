@@ -1,0 +1,67 @@
+"""Explicit skew handling (north rule) — measured, not assumed.
+
+AQE's skew-join splitting only helps *shuffle joins*; a skewed ``groupBy``
+key or a hot broadcast-probe cell still lands on one task. This module makes
+the salting decision data-driven, the way the driver would on a real cluster:
+
+1. :func:`hot_keys` — sample-based key histogram → keys whose share exceeds
+   ``threshold`` × the mean;
+2. :func:`salt_plan` — per-key salt factor sized so each salted partition
+   holds ≈ the mean key load;
+3. :func:`apply_salts` — deterministic salt column (hash of a stable row
+   attribute, never rand() — resume semantics require reproducible salts)
+   joined from the (tiny, broadcast) salt plan; follow with two-stage
+   aggregation (partial on (key, salt), final on key — exact for the
+   engine's integer partials).
+
+The synthetic corpus is deliberately Zipf-skewed (FIXTURES.md: hotspot cells
++ hot tiles take ~40% of media spans), so the tests exercise real skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_histogram(df: DataFrame, key: str, sample_fraction: float | None = None) -> DataFrame:
+    """(key, cnt) — optionally from a deterministic sample (seeded)."""
+    d = df.sample(fraction=sample_fraction, seed=42) if sample_fraction else df
+    return d.groupBy(key).agg(F.count("*").alias("cnt"))
+
+
+def salt_plan(hist: DataFrame, key: str, threshold: float = 4.0, max_salts: int = 64) -> DataFrame:
+    """Keys hotter than ``threshold``× the mean get ``ceil(cnt/mean)`` salts
+    (capped). Returns (key, n_salts) — empty if the distribution is flat."""
+    mean_cnt = hist.agg(F.avg("cnt")).first()[0] or 1.0
+    return (
+        hist.filter(F.col("cnt") > threshold * mean_cnt)
+        .select(
+            key,
+            F.least(
+                F.lit(max_salts), F.ceil(F.col("cnt") / F.lit(mean_cnt)).cast("int")
+            ).alias("n_salts"),
+        )
+    )
+
+
+def apply_salts(df: DataFrame, key: str, plan: DataFrame, seed_col: str) -> DataFrame:
+    """Add a deterministic ``_salt`` column: 0 for cold keys, hash(seed_col)
+    mod n_salts for hot ones. Join is broadcast (plan is tiny)."""
+    out = df.join(F.broadcast(plan), key, "left")
+    return out.withColumn(
+        "_salt",
+        F.when(
+            F.col("n_salts").isNotNull(),
+            (F.xxhash64(F.col(seed_col)) % F.col("n_salts") + F.col("n_salts"))
+            % F.col("n_salts"),
+        ).otherwise(F.lit(0)),
+    ).drop("n_salts")
+
+
+def salted_two_stage_count(df: DataFrame, key: str, plan: DataFrame, seed_col: str) -> DataFrame:
+    """Reference pattern: skew-safe exact count per key (partial on
+    (key, _salt) → final on key)."""
+    salted = apply_salts(df, key, plan, seed_col)
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("c"))
+    return partial.groupBy(key).agg(F.sum("c").alias("cnt"))

@@ -1,0 +1,60 @@
+"""Skew handling on the deliberately-Zipf corpus: detection, deterministic
+salting, exactness of two-stage aggregation."""
+
+from pyspark.sql import functions as F
+
+from geotiff_scalable_analysis_pipeline_spark import datagen as dg
+from geotiff_scalable_analysis_pipeline_spark.functions.cells import cell_id_col
+from geotiff_scalable_analysis_pipeline_spark.operators import spans
+from geotiff_scalable_analysis_pipeline_spark.plans import skew
+
+CFG = dg.GoldenConfig(n_tiles=500, n_docs=3000)
+
+
+def _media_span_cells(spark):
+    m = spans.media_spans(dg.documents_df(spark, CFG))
+    tiles = dg.tiles_df(spark, CFG).select(
+        "media_ref", cell_id_col(F.col("cx").cast("double"), F.col("cy").cast("double"), 5).alias("cell")
+    )
+    return m.join(tiles, "media_ref")
+
+
+def test_hot_keys_detected(spark):
+    # hot TILES by construction: tiles 0..49 absorb ~40% of media spans
+    df = _media_span_cells(spark)
+    hist = skew.key_histogram(df, "media_ref")
+    plan = skew.salt_plan(hist, "media_ref", threshold=3.0)
+    hot = plan.collect()
+    assert len(hot) >= 10
+    assert all(r["n_salts"] >= 3 for r in hot)
+    assert all(r["media_ref"] < "tile00000050" for r in hot)  # exactly the Zipf head
+
+
+def test_salted_counts_exact_and_deterministic(spark):
+    df = _media_span_cells(spark)
+    plan = skew.salt_plan(skew.key_histogram(df, "cell"), "cell")
+    a = (
+        skew.salted_two_stage_count(df, "cell", plan, seed_col="doc_id")
+        .orderBy("cell")
+        .collect()
+    )
+    plain = df.groupBy("cell").agg(F.count("*").alias("cnt")).orderBy("cell").collect()
+    assert [(r["cell"], r["cnt"]) for r in a] == [(r["cell"], r["cnt"]) for r in plain]
+    # determinism across partitionings (resume semantics): same salts
+    b = (
+        skew.salted_two_stage_count(df.repartition(11), "cell", plan, seed_col="doc_id")
+        .orderBy("cell")
+        .collect()
+    )
+    assert [(r["cell"], r["cnt"]) for r in b] == [(r["cell"], r["cnt"]) for r in a]
+
+
+def test_salts_spread_hot_keys(spark):
+    df = _media_span_cells(spark)
+    plan = skew.salt_plan(skew.key_histogram(df, "media_ref"), "media_ref", threshold=3.0)
+    salted = skew.apply_salts(df, "media_ref", plan, seed_col="doc_id")
+    hot = plan.orderBy(F.desc("n_salts")).first()["media_ref"]
+    n_buckets = (
+        salted.filter(F.col("media_ref") == hot).select("_salt").distinct().count()
+    )
+    assert n_buckets >= 3  # the hot key really fans out
