@@ -184,7 +184,7 @@ s AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_no
   FROM g)
-SELECT user_id, session_no, count(*) AS n_events,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
        min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
 FROM s GROUP BY user_id, session_no"""
 
@@ -244,7 +244,8 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_JSON = """
-SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type"""
 

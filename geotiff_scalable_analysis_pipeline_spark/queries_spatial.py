@@ -192,9 +192,9 @@ _PX_CTE = f"""px AS (
 
 SQL_TILE_PIXEL_STATS = f"""WITH {dg.tiles_sql(CFG)}, {_PX_CTE}
 SELECT media_ref, CAST(band AS INTEGER) AS band, count(*) AS cnt,
-       sum(dn) AS sum_dn, sum(dn*dn) AS sum_sq,
+       CAST(sum(dn) AS BIGINT) AS sum_dn, CAST(sum(dn*dn) AS BIGINT) AS sum_sq,
        CAST(min(dn) AS INTEGER) AS min_dn, CAST(max(dn) AS INTEGER) AS max_dn,
-       sum(cal) AS sum_cal,
+       CAST(sum(cal) AS BIGINT) AS sum_cal,
        CAST(sum(dn) AS DOUBLE) / count(*) AS mean_dn,
        CAST(sum(cal) AS DOUBLE) / (10000.0 * count(*)) AS mean_refl
 FROM px GROUP BY media_ref, band"""
@@ -235,9 +235,10 @@ prs AS (
   SELECT t.media_ref, z.zone_id FROM tiles_geo t JOIN rzones z
   ON t.cx BETWEEN z.minx AND z.maxx AND t.cy BETWEEN z.miny AND z.maxy)
 SELECT p.zone_id, CAST(s.band AS INTEGER) AS band, count(*) AS n_tiles,
-       sum(s.cnt) AS px_cnt, sum(s.sum_dn) AS sum_dn, sum(s.sum_sq) AS sum_sq,
+       CAST(sum(s.cnt) AS BIGINT) AS px_cnt, CAST(sum(s.sum_dn) AS BIGINT) AS sum_dn,
+       CAST(sum(s.sum_sq) AS BIGINT) AS sum_sq,
        CAST(min(s.min_dn) AS INTEGER) AS min_dn, CAST(max(s.max_dn) AS INTEGER) AS max_dn,
-       sum(s.sum_cal) AS sum_cal,
+       CAST(sum(s.sum_cal) AS BIGINT) AS sum_cal,
        CAST(sum(s.sum_dn) AS DOUBLE) / sum(s.cnt) AS mean_dn,
        CAST(sum(s.sum_cal) AS DOUBLE) / (10000.0 * sum(s.cnt)) AS mean_refl
 FROM prs p JOIN tstats s USING (media_ref)
@@ -426,7 +427,7 @@ tstats AS (
   SELECT media_ref, band, sum(dn) AS sum_dn, min(dn) AS min_dn
   FROM px GROUP BY media_ref, band),
 {_sql_cells_cte(LEVEL).replace('FROM tiles_geo l', f'FROM (SELECT * FROM tiles_geo WHERE tile_k < {CFG.n_media_tiles}) l')}
-SELECT c.cell, CAST(s.band AS INTEGER) AS band, max(s.sum_dn) AS max_sum_dn,
+SELECT c.cell, CAST(s.band AS INTEGER) AS band, CAST(max(s.sum_dn) AS BIGINT) AS max_sum_dn,
        CAST(min(s.min_dn) AS INTEGER) AS min_dn, count(*) AS n_sources
 FROM tstats s JOIN cells c USING (media_ref)
 GROUP BY c.cell, s.band"""

@@ -88,3 +88,29 @@ def test_knn_k_variants_match_bruteforce(spark, duck, k):
     assert len(got) == len(oracle) == cfg.n_points * k
     assert (got.media_ref.values == oracle.media_ref.values).all()
     assert (got.dist_sq.values.astype("int64") == oracle.dist_sq.values.astype("int64")).all()
+
+
+def test_simhash_has_no_cartesian_product(spark):
+    """Round-2 fix: near-dup candidates come from a (band_idx, band_val)
+    equi-join — an all-pairs crossJoin is a 100 TB scale-killer."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_text import q_simhash_pairs
+
+    p = _plan(q_simhash_pairs(spark, "/root/testdata/sf0.01"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_shingles_have_no_global_window(spark):
+    """Round-2 fix: token ids are inline char hashes — no dense-rank vocab,
+    so no Window without PARTITION BY (single-task funnel) anywhere."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_text import (
+        q_minhash_lsh_pairs,
+        q_ngram_jaccard_pairs,
+        q_simhash_pairs,
+    )
+
+    for q in (q_minhash_lsh_pairs, q_ngram_jaccard_pairs, q_simhash_pairs):
+        p = _plan(q(spark, "/root/testdata/sf0.01"))
+        for line in p.splitlines():
+            if "Window" in line:
+                assert "doc_id" in line, f"unpartitioned window in {q.__name__}: {line}"
