@@ -55,6 +55,35 @@ def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
+def resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear resize, center-aligned (src = (dst+0.5)·S/D − 0.5), matching
+    the reference's probability-cube upsample (reference:
+    src/eo_core/prithvi_adapter.py:426-432, torch interpolate bilinear,
+    align_corners=False). Fixed-point integer index/weight arithmetic —
+    deterministic across platforms. Accepts (H, W) or (H, W, C); returns
+    float64 (callers cast)."""
+    H, W = img.shape[:2]
+
+    def axis(n_src: int, n_dst: int):
+        i = np.arange(n_dst, dtype=np.int64)
+        m = (2 * i + 1) * n_src - n_dst  # src coord = m / (2·n_dst)
+        d = 2 * n_dst
+        i0 = np.floor_divide(m, d)
+        f = m - d * i0  # fractional numerator ∈ [0, d)
+        return np.clip(i0, 0, n_src - 1), np.clip(i0 + 1, 0, n_src - 1), f, d
+
+    r0, r1, fy, dy = axis(H, h)
+    c0, c1, fx, dx = axis(W, w)
+    a = img.astype(np.float64)
+    v00, v01 = a[r0][:, c0], a[r0][:, c1]
+    v10, v11 = a[r1][:, c0], a[r1][:, c1]
+    trail = (1,) * (img.ndim - 2)
+    wy1 = (fy / dy).reshape(-1, 1, *trail)
+    wx1 = (fx / dx).reshape(1, -1, *trail)
+    wy0, wx0 = 1.0 - wy1, 1.0 - wx1
+    return wy0 * (wx0 * v00 + wx1 * v01) + wy1 * (wx0 * v10 + wx1 * v11)
+
+
 def extract_features(media: DataFrame, target_hw: tuple[int, int] = (16, 16), n_sample_frames: int = 4) -> DataFrame:
     """Decode → resize / frame-sample → per-channel mean features.
 

@@ -1,0 +1,185 @@
+"""Warp / resample operator — reproject source rasters onto a reference grid.
+
+The reference pipeline warps every source onto the Sentinel-2 10 m reference
+grid before any math: S1 amplitude via GCP bilinear reprojection accumulated
+with mosaic-max (reference: src/eo_core/data.py:140-205), S2 classification
+bands via nearest-neighbor reprojection (reference: src/eo_core/data.py:
+401-410), both with ``dst_nodata=0`` zero-filled destination buffers.
+
+Spark-first shape:
+
+1. **Candidates** (pure Catalyst): tile bbox × destination chunk lattice →
+   (media_ref, chx, chy) via integer floor-div + ``sequence``/``explode`` —
+   predicate pushdown and partition pruning apply, no UDF.
+2. **Warp + mosaic + stats** (one ``applyInPandas`` per destination chunk):
+   each chunk group holds the payloads of every intersecting source; decode,
+   warp onto the chunk window with vectorized integer index arithmetic,
+   accumulate elementwise max (``dst_nodata=0`` semantics), emit per-band
+   integer statistics. The chunk key is the shuffle key — sources meet their
+   destination exactly once, no all-pairs anything.
+
+Exactness: both resamplers are pure integer arithmetic. Dest pixel centers
+are mapped through the affine grids in half-unit integers; NEAREST samples
+the source pixel containing the center (GDAL convention); BILINEAR uses
+fixed-point weights over 2·src_ps so the interpolated value is an exact
+integer scaled by (2·src_ps)². The DuckDB oracle reproduces both formulas
+bit-for-bit (queries_spatial.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# keeps floor-division numerators positive (DuckDB // truncates toward zero;
+# adding a divisor multiple makes floor == trunc in both engines)
+BIAS = 1 << 20
+
+WARP_STATS_SCHEMA = (
+    "chx long, chy long, band int, px_cnt long, sum_v long, max_v long, n_sources long"
+)
+
+
+def warp_np(
+    src: np.ndarray,
+    src_x0: int,
+    src_y1: int,
+    src_ps: int,
+    dst_x0: int,
+    dst_y1: int,
+    dst_ps: int,
+    dst_h: int,
+    dst_w: int,
+    method: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Warp (bands, H, W) ``src`` onto a destination window.
+
+    Grids: pixel (r, c) of a raster with origin (x0, y1) and scale ps covers
+    world x ∈ [x0 + c·ps, x0 + (c+1)·ps), y ∈ (y1 − (r+1)·ps, y1 − r·ps]
+    (row 0 at top, y decreasing down rows).
+
+    Returns (values, valid): values is (bands, dst_h, dst_w) int64 — the
+    source DN for ``nearest``, or the bilinear interpolation scaled by
+    (2·src_ps)² for ``bilinear`` — and valid marks dest pixels whose center
+    falls inside the source footprint (others are nodata).
+    """
+    nb, H, W = src.shape
+    c = np.arange(dst_w, dtype=np.int64)
+    r = np.arange(dst_h, dtype=np.int64)
+    d = 2 * src_ps
+    # dest pixel center offsets from the source origin, in half-world-units
+    nx = 2 * (dst_x0 - src_x0) + (2 * c + 1) * dst_ps
+    ny = 2 * (src_y1 - dst_y1) + (2 * r + 1) * dst_ps
+    cs = (nx + BIAS * d) // d - BIAS  # source col containing the center
+    rs = (ny + BIAS * d) // d - BIAS
+    valid = ((rs >= 0) & (rs < H))[:, None] & ((cs >= 0) & (cs < W))[None, :]
+
+    s = src.astype(np.int64)
+    if method == "nearest":
+        vals = s[:, np.clip(rs, 0, H - 1)[:, None], np.clip(cs, 0, W - 1)[None, :]]
+        return vals, valid
+    if method != "bilinear":
+        raise ValueError(f"unknown resampling method {method!r}")
+
+    # fixed-point bilinear: fractional source coords in units of 1/(2·src_ps)
+    mx = nx - src_ps
+    my = ny - src_ps
+    ix0 = (mx + BIAS * d) // d - BIAS
+    iy0 = (my + BIAS * d) // d - BIAS
+    fx = mx - d * ix0  # ∈ [0, 2·src_ps)
+    fy = my - d * iy0
+    cx0 = np.clip(ix0, 0, W - 1)
+    cx1 = np.clip(ix0 + 1, 0, W - 1)
+    cy0 = np.clip(iy0, 0, H - 1)
+    cy1 = np.clip(iy0 + 1, 0, H - 1)
+    v00 = s[:, cy0[:, None], cx0[None, :]]
+    v01 = s[:, cy0[:, None], cx1[None, :]]
+    v10 = s[:, cy1[:, None], cx0[None, :]]
+    v11 = s[:, cy1[:, None], cx1[None, :]]
+    wx0, wx1 = (d - fx)[None, :], fx[None, :]
+    wy0, wy1 = (d - fy)[:, None], fy[:, None]
+    vals = wy0 * (wx0 * v00 + wx1 * v01) + wy1 * (wx0 * v10 + wx1 * v11)
+    return vals, valid
+
+
+def chunk_candidates(tiles_meta: DataFrame, chunk_px: int, dst_ps: int) -> DataFrame:
+    """(media_ref, chx, chy) for every destination chunk a tile bbox touches.
+
+    Pure Catalyst (floor-div + sequence/explode) — the distributed analog of
+    the reference's per-chunk manifest scan (src/eo_core/data.py:96-128).
+    """
+    ext = chunk_px * dst_ps
+    cx0 = F.floor(F.col("x0") / ext)
+    cx1 = F.floor((F.col("x1") - 1) / ext)
+    cy0 = F.floor(F.col("y0") / ext)
+    cy1 = F.floor((F.col("y1") - 1) / ext)
+    return (
+        tiles_meta.select(
+            "media_ref",
+            F.explode(F.sequence(cx0, cx1)).alias("chx"),
+            cy0.alias("_cy0"),
+            cy1.alias("_cy1"),
+        )
+        .select("media_ref", "chx", F.explode(F.sequence("_cy0", "_cy1")).alias("chy"))
+    )
+
+
+def warp_mosaic_stats(
+    tiles_meta: DataFrame,
+    media: DataFrame,
+    chunk_px: int,
+    dst_ps: int,
+    method: str = "nearest",
+) -> DataFrame:
+    """Warp every source onto the chunk lattice, mosaic-max, per-band stats.
+
+    ``tiles_meta``: (media_ref, x0, y0, x1, y1) footprints (Catalyst side).
+    ``media``: (media_ref, payload BINARY) GeoTIFF blobs carrying their own
+    grid (tiepoint + pixel scale). Output: one row per (chunk, band) with
+    integer-exact px_cnt / sum_v / max_v / n_sources.
+    """
+    import pandas as pd
+
+    ext = chunk_px * dst_ps
+    cand = chunk_candidates(tiles_meta, chunk_px, dst_ps).join(
+        media.select("media_ref", "payload"), "media_ref"
+    )
+
+    def mosaic(key, pdf):
+        from ..formats import tiff
+
+        chx, chy = int(key[0]), int(key[1])
+        dst_x0, dst_y1 = chx * ext, (chy + 1) * ext
+        buf = None
+        for payload in pdf["payload"]:
+            arr, prof = tiff.decode(bytes(payload))
+            vals, valid = warp_np(
+                arr,
+                int(prof.tiepoint[0]),
+                int(prof.tiepoint[1]),
+                int(prof.pixel_scale[0]),
+                dst_x0,
+                dst_y1,
+                dst_ps,
+                chunk_px,
+                chunk_px,
+                method,
+            )
+            if buf is None:
+                buf = np.zeros_like(vals)
+            np.maximum(buf, vals, out=buf, where=valid[None, :, :])
+        nb = buf.shape[0]
+        return pd.DataFrame(
+            {
+                "chx": [chx] * nb,
+                "chy": [chy] * nb,
+                "band": list(range(nb)),
+                "px_cnt": [chunk_px * chunk_px] * nb,
+                "sum_v": buf.sum(axis=(1, 2)).tolist(),
+                "max_v": buf.max(axis=(1, 2)).tolist(),
+                "n_sources": [len(pdf)] * nb,
+            }
+        )
+
+    return cand.groupBy("chx", "chy").applyInPandas(mosaic, WARP_STATS_SCHEMA)

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from . import datagen as dg
 from .functions.cells import cell_id_sql, cell_res
-from .operators import chunking, knn, pip_join, raster, spans, zonal
+from .operators import chunking, knn, pip_join, raster, spans, warp, zonal
 
 # fixed correctness-scale corpus (driver runs these at sf0.01)
 CFG = dg.GoldenConfig(n_tiles=2000, n_points=500, n_docs=5000, n_media_tiles=200)
@@ -568,6 +568,143 @@ GROUP BY c.media_ref, c.zone_id"""
 SQL_MASK_COUNTS = _sql_mask_counts()
 
 
+# ---------------------------------------------------------------------------
+# warp / resample to a reference grid + mosaic-max (S3/J1 pixel math —
+# reference data.py:140-205 bilinear, data.py:401-410 nearest)
+# ---------------------------------------------------------------------------
+
+WARP_CFG = dg.GoldenConfig(n_tiles=40, tile_px=32, n_bands=2, n_media_tiles=40)
+WARP_CHUNK, WARP_DPS = 32, 5  # 32×32-px dest chunks at 5 m (2× upsample of 10 m)
+
+
+def _warp_inputs(spark: SparkSession):
+    tiles = dg.tiles_df(spark, WARP_CFG).filter(
+        F.col("tile_k") < WARP_CFG.n_media_tiles
+    )
+    return (
+        tiles.select("media_ref", "x0", "y0", "x1", "y1"),
+        dg.media_df(spark, WARP_CFG),
+    )
+
+
+def q_warp_mosaic_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, m = _warp_inputs(spark)
+    return warp.warp_mosaic_stats(t, m, WARP_CHUNK, WARP_DPS, "nearest")
+
+
+def q_warp_mosaic_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, m = _warp_inputs(spark)
+    return warp.warp_mosaic_stats(t, m, WARP_CHUNK, WARP_DPS, "bilinear")
+
+
+def _sql_warp(method: str) -> str:
+    cfg = WARP_CFG
+    ps, dps, ch = cfg.px_size, WARP_DPS, WARP_CHUNK
+    ext, d, bias, w = ch * dps, 2 * cfg.px_size, warp.BIAS, cfg.tile_px
+    nx = f"(2*(p.chx*{ext} - m.x0) + (2*p.cc + 1)*{dps})"
+    ny = f"(2*(m.y1 - (p.chy + 1)*{ext}) + (2*p.rr + 1)*{dps})"
+    cs = f"(({nx} + {bias * d}) // {d} - {bias})"
+    rs = f"(({ny} + {bias * d}) // {d} - {bias})"
+    if method == "nearest":
+        val = dg.dn_sql("m.tile_k", "p.band", rs, cs)
+    else:
+        mx, my = f"({nx} - {ps})", f"({ny} - {ps})"
+        ix0 = f"(({mx} + {bias * d}) // {d} - {bias})"
+        iy0 = f"(({my} + {bias * d}) // {d} - {bias})"
+        fx = f"({mx} - {d}*{ix0})"
+        fy = f"({my} - {d}*{iy0})"
+        cx0 = f"GREATEST(LEAST({ix0}, {w - 1}), 0)"
+        cx1 = f"GREATEST(LEAST({ix0} + 1, {w - 1}), 0)"
+        cy0 = f"GREATEST(LEAST({iy0}, {w - 1}), 0)"
+        cy1 = f"GREATEST(LEAST({iy0} + 1, {w - 1}), 0)"
+        dn = lambda rr, cc: f"({dg.dn_sql('m.tile_k', 'p.band', rr, cc)})"
+        val = (
+            f"(({d} - {fy}) * (({d} - {fx}) * {dn(cy0, cx0)} + {fx} * {dn(cy0, cx1)})"
+            f" + {fy} * (({d} - {fx}) * {dn(cy1, cx0)} + {fx} * {dn(cy1, cx1)}))"
+        )
+    return f"""WITH {dg.tiles_sql(cfg)},
+media AS (SELECT * FROM tiles_geo WHERE tile_k < {cfg.n_media_tiles}),
+chunks AS (
+  SELECT DISTINCT (m.x0 // {ext}) + gx.i AS chx, (m.y0 // {ext}) + gy.i AS chy
+  FROM media m
+  JOIN range(0, 4) gx(i) ON gx.i <= (m.x1 - 1) // {ext} - m.x0 // {ext}
+  JOIN range(0, 4) gy(i) ON gy.i <= (m.y1 - 1) // {ext} - m.y0 // {ext}),
+cand AS (
+  SELECT (m.x0 // {ext}) + gx.i AS chx, (m.y0 // {ext}) + gy.i AS chy,
+         m.tile_k, m.x0, m.y1
+  FROM media m
+  JOIN range(0, 4) gx(i) ON gx.i <= (m.x1 - 1) // {ext} - m.x0 // {ext}
+  JOIN range(0, 4) gy(i) ON gy.i <= (m.y1 - 1) // {ext} - m.y0 // {ext}),
+pix AS (
+  SELECT c.chx, c.chy, b.band, r.i AS rr, cc.i AS cc
+  FROM chunks c, range(0, {cfg.n_bands}) b(band),
+       range(0, {ch}) r(i), range(0, {ch}) cc(i)),
+vals AS (
+  SELECT p.chx, p.chy, p.band, p.rr, p.cc, max({val}) AS v
+  FROM pix p JOIN cand m ON m.chx = p.chx AND m.chy = p.chy
+  WHERE {cs} BETWEEN 0 AND {w - 1} AND {rs} BETWEEN 0 AND {w - 1}
+  GROUP BY p.chx, p.chy, p.band, p.rr, p.cc),
+nsrc AS (SELECT chx, chy, count(*) AS n_sources FROM cand GROUP BY chx, chy)
+SELECT p.chx, p.chy, CAST(p.band AS INTEGER) AS band, count(*) AS px_cnt,
+       CAST(sum(COALESCE(v.v, 0)) AS BIGINT) AS sum_v,
+       CAST(max(COALESCE(v.v, 0)) AS BIGINT) AS max_v,
+       n.n_sources
+FROM pix p
+LEFT JOIN vals v ON v.chx = p.chx AND v.chy = p.chy AND v.band = p.band
+                AND v.rr = p.rr AND v.cc = p.cc
+JOIN nsrc n ON n.chx = p.chx AND n.chy = p.chy
+GROUP BY p.chx, p.chy, p.band, n.n_sources"""
+
+
+SQL_WARP_NEAREST = _sql_warp("nearest")
+SQL_WARP_BILINEAR = _sql_warp("bilinear")
+
+
+# ---------------------------------------------------------------------------
+# temporal replicate/reshape/pad (R3+R4 — reference prithvi_adapter.py:380-413)
+# ---------------------------------------------------------------------------
+
+N_FRAMES = 4
+
+
+def q_temporal_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (cell, band) time series of tile statistics reshaped to exactly
+    N_FRAMES frames: truncate long series, pad short ones by repeating the
+    last acquisition (single acquisition ⇒ replicate)."""
+    from .operators import temporal
+
+    t = dg.tiles_df(spark, CFG).filter(F.col("tile_k") < CFG.n_media_tiles)
+    cells = raster.tile_footprints(t, LEVEL).select("media_ref", "cell")
+    stats = raster.tile_pixel_stats(dg.media_df(spark, CFG)).select(
+        "media_ref", "band", F.col("sum_dn").alias("v")
+    )
+    acq = (
+        stats.join(t.select("media_ref", F.col("tile_k").cast("long").alias("ts_h")), "media_ref")
+        .join(cells, "media_ref")
+    )
+    out = temporal.temporal_stack(acq, N_FRAMES, keys=("cell", "band"))
+    return out.select(
+        "cell", F.col("band").cast("int").alias("band"), "n_acq", "t", "v"
+    )
+
+
+SQL_TEMPORAL_STACK = f"""WITH {dg.tiles_sql(CFG)}, {_PX_CTE},
+tstats AS (
+  SELECT media_ref, band, CAST(sum(dn) AS BIGINT) AS v
+  FROM px GROUP BY media_ref, band),
+{_sql_cells_cte(LEVEL).replace('FROM tiles_geo l', f'FROM (SELECT * FROM tiles_geo WHERE tile_k < {CFG.n_media_tiles}) l')},
+ser AS (
+  SELECT c.cell, s.band, count(*) AS n_acq,
+         list(s.v ORDER BY t.tile_k, s.media_ref) AS vals
+  FROM tstats s
+  JOIN tiles_geo t USING (media_ref)
+  JOIN cells c USING (media_ref)
+  GROUP BY c.cell, s.band)
+SELECT cell, CAST(band AS INTEGER) AS band, n_acq, CAST(ft.t AS INTEGER) AS t,
+       vals[CAST(least(ft.t, n_acq - 1) + 1 AS INTEGER)] AS v
+FROM ser, range(0, {N_FRAMES}) ft(t)"""
+
+
 QUERIES = {
     "pip_join_rect": (q_pip_rect, SQL_PIP_RECT),
     "pip_join_poly": (q_pip_poly, SQL_PIP_POLY),
@@ -587,6 +724,9 @@ QUERIES = {
     "tile_class_topk": (q_tile_class_topk, SQL_TILE_CLASS_TOPK),
     "window_intersection": (q_window_intersection, SQL_WINDOW_INTERSECTION),
     "mask_pixel_counts": (q_mask_pixel_counts, SQL_MASK_COUNTS),
+    "warp_mosaic_nearest": (q_warp_mosaic_nearest, SQL_WARP_NEAREST),
+    "warp_mosaic_bilinear": (q_warp_mosaic_bilinear, SQL_WARP_BILINEAR),
+    "temporal_stack_frames": (q_temporal_stack, SQL_TEMPORAL_STACK),
     "global_class_probs": (q_global_class_probs, None),
     "class_metrics": (q_class_metrics, None),
 }

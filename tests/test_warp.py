@@ -1,0 +1,105 @@
+"""Warp/resample kernel: vectorized form vs an independent per-pixel oracle.
+
+The oracle computes every dest pixel with scalar float arithmetic straight
+from the textbook definition — no shared code with warp_np's integer
+fixed-point vectorization.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geotiff_scalable_analysis_pipeline_spark.operators.multimodal import resize_bilinear
+from geotiff_scalable_analysis_pipeline_spark.operators.warp import warp_np
+
+
+def _oracle_pixel(src, src_x0, src_y1, ps, x, y, method):
+    """(value, valid) for one dest pixel center (x, y) — scalar reference."""
+    H, W = src.shape
+    cs = int(np.floor((x - src_x0) / ps))
+    rs = int(np.floor((src_y1 - y) / ps))
+    valid = 0 <= cs < W and 0 <= rs < H
+    if method == "nearest":
+        return src[min(max(rs, 0), H - 1), min(max(cs, 0), W - 1)], valid
+    # bilinear, scaled by (2*ps)^2
+    fsx = (x - src_x0) / ps - 0.5
+    fsy = (src_y1 - y) / ps - 0.5
+    ix0, iy0 = int(np.floor(fsx)), int(np.floor(fsy))
+    fx, fy = fsx - ix0, fsy - iy0
+    cl = lambda i, n: min(max(i, 0), n - 1)
+    v00 = src[cl(iy0, H), cl(ix0, W)]
+    v01 = src[cl(iy0, H), cl(ix0 + 1, W)]
+    v10 = src[cl(iy0 + 1, H), cl(ix0, W)]
+    v11 = src[cl(iy0 + 1, H), cl(ix0 + 1, W)]
+    v = (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
+    return v * (2 * ps) ** 2, valid
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    src_ps=st.sampled_from([4, 10]),
+    dst_ps=st.sampled_from([3, 5, 10, 20]),
+    method=st.sampled_from(["nearest", "bilinear"]),
+    off_x=st.integers(-25, 25),
+    off_y=st.integers(-25, 25),
+)
+def test_warp_np_matches_scalar_oracle(seed, src_ps, dst_ps, method, off_x, off_y):
+    rng = np.random.default_rng(seed)
+    H = W = 8
+    src = rng.integers(0, 10001, (1, H, W)).astype(np.int64)
+    src_x0, src_y1 = 100, 300
+    dst_h = dst_w = 6
+    dst_x0, dst_y1 = src_x0 + off_x, src_y1 + off_y
+    vals, valid = warp_np(src, src_x0, src_y1, src_ps, dst_x0, dst_y1, dst_ps, dst_h, dst_w, method)
+    for r in range(dst_h):
+        for c in range(dst_w):
+            x = dst_x0 + (c + 0.5) * dst_ps
+            y = dst_y1 - (r + 0.5) * dst_ps
+            ov, ovalid = _oracle_pixel(src[0], src_x0, src_y1, src_ps, x, y, method)
+            assert valid[r, c] == ovalid, (r, c)
+            if ovalid:
+                assert abs(vals[0, r, c] - round(ov)) <= (0 if method == "nearest" else 1), (
+                    r, c, vals[0, r, c], ov,
+                )
+
+
+def test_warp_np_identity_grid_is_exact_copy():
+    src = np.arange(2 * 5 * 7, dtype=np.int64).reshape(2, 5, 7)
+    vals, valid = warp_np(src, 0, 50, 10, 0, 50, 10, 5, 7, "nearest")
+    assert valid.all()
+    assert (vals == src).all()
+    vals_b, valid_b = warp_np(src, 0, 50, 10, 0, 50, 10, 5, 7, "bilinear")
+    assert valid_b.all()
+    assert (vals_b == src * 400).all()  # zero fractional part → pure v00·(2ps)²
+
+
+def test_resize_bilinear_matches_scalar_oracle():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 9)).astype(np.float64)
+    for h, w in [(10, 18), (3, 4), (5, 9), (7, 7)]:
+        got = resize_bilinear(img, h, w)
+        H, W = img.shape
+        for r in range(h):
+            for c in range(w):
+                sy = (r + 0.5) * H / h - 0.5
+                sx = (c + 0.5) * W / w - 0.5
+                iy0, ix0 = int(np.floor(sy)), int(np.floor(sx))
+                fy, fx = sy - iy0, sx - ix0
+                cl = lambda i, n: min(max(i, 0), n - 1)
+                v = (1 - fy) * (
+                    (1 - fx) * img[cl(iy0, H), cl(ix0, W)]
+                    + fx * img[cl(iy0, H), cl(ix0 + 1, W)]
+                ) + fy * (
+                    (1 - fx) * img[cl(iy0 + 1, H), cl(ix0, W)]
+                    + fx * img[cl(iy0 + 1, H), cl(ix0 + 1, W)]
+                )
+                assert got[r, c] == pytest.approx(v, abs=1e-9)
+
+
+def test_resize_bilinear_channels_broadcast():
+    img = np.stack([np.full((4, 4), 10.0), np.full((4, 4), 20.0)], axis=-1)
+    out = resize_bilinear(img, 8, 8)
+    assert out.shape == (8, 8, 2)
+    assert np.allclose(out[..., 0], 10.0) and np.allclose(out[..., 1], 20.0)
