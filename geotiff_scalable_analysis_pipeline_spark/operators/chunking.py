@@ -134,6 +134,45 @@ CHUNK_CLASS_SCHEMA = (
 )
 
 
+def iter_chunk_probs(buf: bytes, baseline: int, zor: int, halo: int, patch: int, stride: int):
+    """Per-chunk probability cubes for one tile blob.
+
+    Yields (r0, c0, zorp) with zorp float32 (C, h_ok, w_ok) — the full
+    pipeline: windowed-block decode → calibrate → reflect pad → patches
+    (tail rule) → class scores → sinusoidal overlap-add → ZoR crop.
+    Shared by the stats operator and the K2 full-res payload operator.
+    """
+    from ..formats import tiff
+
+    prof = tiff.read_profile(buf)
+    H_full, W_full = prof.height, prof.width
+    side = zor + 2 * halo
+    for r0 in range(0, H_full, zor):
+        for c0 in range(0, W_full, zor):
+            wr, wc = r0 - halo, c0 - halo
+            ir0, ic0 = max(wr, 0), max(wc, 0)
+            ir1, ic1 = min(wr + side, H_full), min(wc + side, W_full)
+            arr = tiff.decode_window(buf, ir0, ic0, ir1 - ir0, ic1 - ic0)
+            a = arr.astype(np.float32)
+            if baseline >= 400:
+                a = np.maximum(a - 1000.0, 0.0)
+            a = a / 10000.0
+            pads = (ir0 - wr, wr + side - ir1, ic0 - wc, wc + side - ic1)
+            if any(p > 0 for p in pads):
+                a = reflect_pad_np(a, pads)
+            coords = patch_coords_np(side, side, patch, stride)
+            patches = np.stack([a[:, r : r + patch, c : c + patch] for r, c in coords])
+            scores = patch_class_scores_np(patches)
+            probs = overlap_add_np(scores, coords, side, side, patch)
+            zorp = probs[:, halo : side - halo, halo : side - halo]
+            # clip ZoR to image extent (reference process.py:161-166)
+            h_ok = min(zor, H_full - r0)
+            w_ok = min(zor, W_full - c0)
+            if h_ok <= 0 or w_ok <= 0:
+                continue
+            yield r0, c0, zorp[:, :h_ok, :w_ok]
+
+
 def chunk_class_stats(
     media: DataFrame,
     zor: int,
@@ -151,64 +190,76 @@ def chunk_class_stats(
     import pandas as pd
 
     def run(batches):
-        from ..formats import tiff
-
         for pdf in batches:
-            yield _run_batch(pdf, tiff)
+            yield _run_batch(pdf)
 
-    def _run_batch(pdf: pd.DataFrame, tiff):
-
+    def _run_batch(pdf: pd.DataFrame):
         out = {k: [] for k in (
             "media_ref", "chunk_r", "chunk_c", "class", "zor_sum", "zor_cnt",
             "zor_min", "zor_max",
         )}
         for ref, baseline, payload in zip(pdf["media_ref"], pdf["proc_baseline"], pdf["payload"]):
-            buf = bytes(payload)
-            prof = tiff.read_profile(buf)
-            H_full, W_full = prof.height, prof.width
-            side = zor + 2 * halo
-            for r0 in range(0, H_full, zor):
-                for c0 in range(0, W_full, zor):
-                    wr, wc = r0 - halo, c0 - halo
-                    # clamp window ∩ image, then reflect-pad to full side
-                    ir0, ic0 = max(wr, 0), max(wc, 0)
-                    ir1, ic1 = min(wr + side, H_full), min(wc + side, W_full)
-                    arr = tiff.decode_window(buf, ir0, ic0, ir1 - ir0, ic1 - ic0)
-                    a = arr.astype(np.float32)
-                    if baseline >= 400:
-                        a = np.maximum(a - 1000.0, 0.0)
-                    a = a / 10000.0
-                    pads = (ir0 - wr, wr + side - ir1, ic0 - wc, wc + side - ic1)
-                    if any(p > 0 for p in pads):
-                        a = reflect_pad_np(a, pads)
-                    coords = patch_coords_np(side, side, patch, stride)
-                    patches = np.stack(
-                        [a[:, r : r + patch, c : c + patch] for r, c in coords]
-                    )
-                    scores = patch_class_scores_np(patches)
-                    probs = overlap_add_np(scores, coords, side, side, patch)
-                    zorp = probs[:, halo : side - halo, halo : side - halo]
-                    # clip ZoR to image extent (reference process.py:161-166)
-                    h_ok = min(zor, H_full - r0)
-                    w_ok = min(zor, W_full - c0)
-                    if h_ok <= 0 or w_ok <= 0:
-                        continue
-                    zorp = zorp[:, :h_ok, :w_ok]
-                    nc = zorp.shape[0]
-                    out["media_ref"] += [ref] * nc
-                    out["chunk_r"] += [r0] * nc
-                    out["chunk_c"] += [c0] * nc
-                    out["class"] += list(range(nc))
-                    out["zor_sum"] += zorp.sum(axis=(1, 2), dtype=np.float64).tolist()
-                    out["zor_cnt"] += [h_ok * w_ok] * nc
-                    out["zor_min"] += zorp.min(axis=(1, 2)).astype(np.float64).tolist()
-                    out["zor_max"] += zorp.max(axis=(1, 2)).astype(np.float64).tolist()
+            for r0, c0, zorp in iter_chunk_probs(bytes(payload), baseline, zor, halo, patch, stride):
+                nc = zorp.shape[0]
+                out["media_ref"] += [ref] * nc
+                out["chunk_r"] += [r0] * nc
+                out["chunk_c"] += [c0] * nc
+                out["class"] += list(range(nc))
+                out["zor_sum"] += zorp.sum(axis=(1, 2), dtype=np.float64).tolist()
+                out["zor_cnt"] += [zorp.shape[1] * zorp.shape[2]] * nc
+                out["zor_min"] += zorp.min(axis=(1, 2)).astype(np.float64).tolist()
+                out["zor_max"] += zorp.max(axis=(1, 2)).astype(np.float64).tolist()
         return pd.DataFrame(out)
 
     # media_ref is the PK: rows are independent → mapInPandas (no shuffle,
     # unlike a grouped applyInPandas, which would hash-repartition the blobs)
     return media.select("media_ref", "proc_baseline", "payload").mapInPandas(
         run, CHUNK_CLASS_SCHEMA
+    )
+
+
+CHUNK_PROB_SCHEMA = (
+    "media_ref string, chunk_r int, chunk_c int, n_classes int, h int, w int, "
+    "payload binary"
+)
+
+
+def chunk_prob_payloads(
+    media: DataFrame, zor: int, halo: int, patch: int, stride: int
+) -> DataFrame:
+    """K2 full-resolution probability sink rows: one BINARY cell per chunk
+    holding the float32 (C, h, w) ZoR probability cube in C order.
+
+    The reference writes the full-res multi-band float32 cube per tile
+    (reference: src/eo_core/reporters/probability.py:17-66, windowed
+    ``dst.write`` per chunk). The distributed analog keeps the cube as
+    per-chunk BINARY cells committed through the table catalog (disjoint
+    ZoR windows ⇒ any subset of chunks is a valid partial mosaic);
+    ``sources.sinks.export_probability_geotiffs`` reassembles + encodes."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_ref", "chunk_r", "chunk_c", "n_classes", "h", "w", "payload",
+            )}
+            for ref, baseline, payload in zip(
+                pdf["media_ref"], pdf["proc_baseline"], pdf["payload"]
+            ):
+                for r0, c0, zorp in iter_chunk_probs(
+                    bytes(payload), baseline, zor, halo, patch, stride
+                ):
+                    out["media_ref"].append(ref)
+                    out["chunk_r"].append(r0)
+                    out["chunk_c"].append(c0)
+                    out["n_classes"].append(zorp.shape[0])
+                    out["h"].append(zorp.shape[1])
+                    out["w"].append(zorp.shape[2])
+                    out["payload"].append(np.ascontiguousarray(zorp).tobytes())
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "proc_baseline", "payload").mapInPandas(
+        run, CHUNK_PROB_SCHEMA
     )
 
 

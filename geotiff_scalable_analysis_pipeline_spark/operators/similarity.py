@@ -44,15 +44,25 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     exclude_self: bool = True,
+    max_targets: int = 1_000_000,
 ) -> DataFrame:
     """Exact cosine top-k via numpy matmul inside mapInPandas.
 
     ``queries``/``targets``: output of :func:`quantize`. Targets are
-    collected + broadcast (the dim side; at larger scale substitute a bucket
-    join upstream and apply per bucket).
+    collected + broadcast — this is the GROUND-TRUTH BASELINE for a dim-sized
+    target side. Feeding a corpus-sized target side would collect it onto the
+    driver, so the guard below refuses > ``max_targets`` rows: use
+    :func:`lsh_topk` (bucket join, no driver collect) as the scale path.
     """
     import pandas as pd
 
+    n_targets = targets.count()
+    if n_targets > max_targets:
+        raise ValueError(
+            f"cosine_topk collects the target side to the driver; got "
+            f"{n_targets} targets > max_targets={max_targets}. Use lsh_topk "
+            f"(LSH bucket join) for corpus-sized target sides."
+        )
     spark = queries.sparkSession
     t = targets.collect()
     t_ids = np.array([r[id_col] for r in t])
@@ -105,19 +115,23 @@ _PLANE_SALT = 77
 
 
 def _planes(dim: int) -> np.ndarray:
-    """(tables, planes, dim) deterministic pseudo-random hyperplanes in
-    [-1, 1) — integer-hash generated, reproducible across runs/executors."""
+    """(tables, planes, dim) deterministic pseudo-random INTEGER hyperplanes
+    in [−2³⁰, 2³⁰) — integer-hash generated, reproducible across runs,
+    executors, and engines (the DuckDB oracle regenerates the identical
+    lattice, so bucket ids — integer dot-product signs — are portable)."""
     idx = np.arange(N_TABLES * N_PLANES * dim, dtype=np.int64)
     h = (idx * 2654435761 + _PLANE_SALT * 40503 + 12345) % 2147483648
-    return (h.astype(np.float64) / 2**30 - 1.0).reshape(N_TABLES, N_PLANES, dim)
+    return (h - 2**30).reshape(N_TABLES, N_PLANES, dim)
 
 
 def lsh_buckets(qdf: DataFrame, dim: int = 64) -> DataFrame:
     """(vec_id, q, n2) → one row per table: (vec_id, table, bucket, q, n2).
 
-    Bucket = packed sign bits of plane dot products. Vectorized numpy over
-    Arrow batches; at corpus scale the bucket id is the shuffle key — no
-    all-pairs comparison ever materializes.
+    Bucket = packed sign bits of INTEGER plane dot products (exact int64:
+    |q| ≤ ~4·10⁶, |plane| < 2³⁰, d=64 ⇒ |dot| < 2⁶² — overflow-free, so the
+    bucket assignment is bit-reproducible in any engine). Vectorized numpy
+    over Arrow batches; at corpus scale the bucket id is the shuffle key —
+    no all-pairs comparison ever materializes.
     """
     import pandas as pd
 
@@ -127,7 +141,7 @@ def lsh_buckets(qdf: DataFrame, dim: int = 64) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qm = np.stack(pdf["q"].to_numpy()).astype(np.float64)  # (B, d)
+            qm = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (B, d)
             out = {"vec_id": [], "table": [], "bucket": [], "q": [], "n2": []}
             for t in range(N_TABLES):
                 signs = (qm @ planes[t].T) > 0  # (B, planes)

@@ -56,6 +56,7 @@ def run_resumable(
     process_key: Callable[[str], None],
     log: LineageLog,
     fail_after: int | None = None,
+    max_parallel_keys: int = 1,
 ) -> dict:
     """Process every key not yet committed; returns {processed, skipped}.
 
@@ -64,6 +65,13 @@ def run_resumable(
     processed then committed; a crash between the two re-runs that key only
     (process_key must therefore be idempotent — write-then-rename).
     ``fail_after`` injects a crash for the resume test.
+
+    Each key is one-or-more Spark jobs, so executors already parallelize
+    *within* a key. ``max_parallel_keys > 1`` additionally overlaps
+    independent keys via driver threads (Spark's scheduler is thread-safe;
+    FIFO across concurrently-submitted jobs) — use when keys are coarse
+    enough that a single key can't saturate the cluster. Key commits stay
+    independent, so crash-resume semantics are unchanged.
     """
     done = log.as_df(spark).withColumnRenamed("key", key_col)
     todo = (
@@ -74,6 +82,16 @@ def run_resumable(
     )
     todo_keys = [r[0] for r in todo.collect()]
     skipped = keys.select(key_col).distinct().count() - len(todo_keys)
+    if max_parallel_keys > 1 and fail_after is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(k: str) -> None:
+            process_key(k)
+            log.commit_key(k)
+
+        with ThreadPoolExecutor(max_workers=max_parallel_keys) as pool:
+            list(pool.map(one, todo_keys))  # re-raises the first failure
+        return {"processed": len(todo_keys), "skipped": skipped}
     for i, k in enumerate(todo_keys):
         if fail_after is not None and i >= fail_after:
             raise RuntimeError(f"injected failure before key {k}")

@@ -560,17 +560,73 @@ GROUP BY t.vec_id, e.label"""
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH bucket join (scale path);
-    returned scores are exact cosines, coverage is approximate → rows-only."""
+    """Approximate NN via random-hyperplane LSH bucket join (scale path).
+
+    Fully oracle-paired (round-2 upgrade): the hyperplanes are an integer
+    lattice and bucket ids are signs of exact int64 dot products, so DuckDB
+    regenerates the identical candidate set AND the identical exact-cosine
+    rescoring — approximation lives in the operator's *definition*, not in
+    any engine nondeterminism."""
     from .operators import similarity
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_topk(e, k=TOPK)
 
 
+def _sql_ann_lsh() -> str:
+    from .operators.similarity import N_PLANES, N_TABLES, _PLANE_SALT
+
+    d = 64  # embedding dim in the driver tables
+    add = _PLANE_SALT * 40503 + 12345
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> x * x)), (a,b) -> a+b) AS n2
+  FROM q),
+flat AS (
+  SELECT vec_id, n2, unnest(q) AS qi, generate_subscripts(q, 1) - 1 AS i FROM n),
+planes AS (
+  SELECT t.t, p.p, i.i,
+         ((CAST(t.t * {N_PLANES * d} + p.p * {d} + i.i AS BIGINT) * 2654435761 + {add})
+          % 2147483648) - 1073741824 AS w
+  FROM range(0, {N_TABLES}) t(t), range(0, {N_PLANES}) p(p), range(0, {d}) i(i)),
+dots AS (
+  SELECT f.vec_id, pl.t, pl.p, sum(f.qi * pl.w) AS s
+  FROM flat f JOIN planes pl ON pl.i = f.i
+  GROUP BY f.vec_id, pl.t, pl.p),
+buckets AS (
+  SELECT vec_id, t, CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS other_id
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id),
+pair_dots AS (
+  SELECT c.vec_id, c.other_id, sum(fa.qi * fb.qi) AS dot,
+         any_value(fa.n2) AS n2a, any_value(fb.n2) AS n2b
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.vec_id
+  JOIN flat fb ON fb.vec_id = c.other_id AND fb.i = fa.i
+  GROUP BY c.vec_id, c.other_id),
+ranked AS (
+  SELECT vec_id, other_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) AS cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) DESC,
+                                     other_id) AS rank
+  FROM pair_dots)
+SELECT vec_id, rank, other_id, cos FROM ranked WHERE rank <= {TOPK}"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "embedding_ann_lsh": (q_embedding_ann_lsh, None),
+    "embedding_ann_lsh": (q_embedding_ann_lsh, SQL_ANN_LSH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "token_count_regex": (q_token_count_regex, SQL_TOKEN_COUNT),

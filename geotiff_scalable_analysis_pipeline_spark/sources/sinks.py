@@ -41,6 +41,46 @@ def export_geotiff_classmaps(class_rows: DataFrame, out_dir: str | Path, class_o
     return written
 
 
+def export_probability_geotiffs(
+    prob_chunks: DataFrame,
+    tile_meta: dict[str, tuple[int, int, float, float, float]],
+    out_dir: str | Path,
+) -> dict[str, str]:
+    """K2: reassemble per-chunk BINARY probability cubes into full-resolution
+    multi-band float32 GeoTIFFs, one per tile (reference:
+    src/eo_core/reporters/probability.py:17-66 — windowed band writes into a
+    float32 ``count=num_classes`` raster).
+
+    ``prob_chunks``: rows from ``chunking.chunk_prob_payloads`` (possibly read
+    back through the table catalog). ``tile_meta``: media_ref → (H, W, px, x0,
+    y1). Chunks carry disjoint ZoR windows, so placement is pure assignment —
+    the distributed equivalent of rasterio's windowed write. Small-scale
+    export (driver-side collect), same contract as the classmap exporter.
+    """
+    from ..formats import tiff
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pdf = prob_chunks.toPandas()
+    written: dict[str, str] = {}
+    for ref, grp in pdf.groupby("media_ref"):
+        H, W, px, x0, y1 = tile_meta[ref]
+        nc = int(grp["n_classes"].iloc[0])
+        cube = np.zeros((nc, H, W), dtype=np.float32)
+        for _, row in grp.iterrows():
+            h, w = int(row["h"]), int(row["w"])
+            block = np.frombuffer(bytes(row["payload"]), dtype=np.float32).reshape(
+                int(row["n_classes"]), h, w
+            )
+            r0, c0 = int(row["chunk_r"]), int(row["chunk_c"])
+            cube[:, r0 : r0 + h, c0 : c0 + w] = block
+        buf = tiff.encode(cube, pixel_scale=(px, px), tiepoint=(x0, y1))
+        p = out / f"{ref}_probs.tif"
+        p.write_bytes(buf)
+        written[ref] = str(p)
+    return written
+
+
 def export_global_probs_json(global_probs: DataFrame, out_path: str | Path) -> str:
     """K3: per-tile class probability vectors as JSON (float64-accumulated,
     reference reporters/aggregated.py:45-63)."""

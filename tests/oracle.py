@@ -124,3 +124,32 @@ def oracle_chunk_class_stats(dn_cube, baseline, zor, halo, patch, stride):
                     )
                 )
     return rows
+
+
+def oracle_chunk_prob_cube(dn_cube, baseline, zor, halo, patch, stride):
+    """Full-resolution (C, H, W) float32 probability cube — the K2 payload
+    oracle: same per-chunk pipeline, chunks placed at their disjoint ZoR
+    windows (reference reporters/probability.py:17-66 windowed writes)."""
+    C, H_full, W_full = dn_cube.shape
+    side = zor + 2 * halo
+    cube = None
+    for r0 in range(0, H_full, zor):
+        for c0 in range(0, W_full, zor):
+            wr, wc = r0 - halo, c0 - halo
+            ir0, ic0 = max(wr, 0), max(wc, 0)
+            ir1, ic1 = min(wr + side, H_full), min(wc + side, W_full)
+            a = oracle_calibrate(dn_cube[:, ir0:ir1, ic0:ic1], baseline)
+            a = oracle_reflect_pad(a, ir0 - wr, wr + side - ir1, ic0 - wc, wc + side - ic1)
+            coords = oracle_patch_coords(side, side, patch, stride)
+            patches = np.stack([a[:, r : r + patch, c : c + patch] for r, c in coords])
+            scores = oracle_class_scores(patches)
+            probs = oracle_overlap_add(scores, coords, side, side, patch)
+            zorp = probs[:, halo : side - halo, halo : side - halo]
+            h_ok = min(zor, H_full - r0)
+            w_ok = min(zor, W_full - c0)
+            if h_ok <= 0 or w_ok <= 0:
+                continue
+            if cube is None:
+                cube = np.zeros((zorp.shape[0], H_full, W_full), dtype=np.float32)
+            cube[:, r0 : r0 + h_ok, c0 : c0 + w_ok] = zorp[:, :h_ok, :w_ok]
+    return cube

@@ -83,6 +83,16 @@ def test_resume_after_kill_is_byte_identical(spark, tmp_path):
     fb = {p.name: p.read_text() for p in out_b.glob("*.out")}
     assert fa == fb and len(fa) == 8
 
+    # parallel-key variant produces the same outputs and lineage
+    out_c = tmp_path / "c"
+    log_c = lineage.LineageLog(tmp_path / "lc", "job")
+    r3 = lineage.run_resumable(
+        spark, keys, "key", make_processor(out_c), log_c, max_parallel_keys=4
+    )
+    assert r3 == {"processed": 8, "skipped": 0}
+    fc = {p.name: p.read_text() for p in out_c.glob("*.out")}
+    assert fc == fa and len(log_c.committed_keys()) == 8
+
 
 def test_metrics_instrumentation(spark, tmp_path):
     import pandas as pd

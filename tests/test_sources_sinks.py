@@ -69,3 +69,40 @@ def test_export_sinks(spark, tmp_path):
     assert len(files) == 4
     arr, prof = tiff.decode(open(files[0], "rb").read())
     assert arr.shape == (1, 32, 32) and set(np.unique(arr)) <= {0, 1}
+
+
+def test_probability_sink_round_trip(spark, tmp_path):
+    """K2: chunked prob payloads → catalog commit → read → reassembled
+    float32 GeoTIFF, bit-identical to the single-process numpy oracle."""
+    from tests.oracle import oracle_chunk_prob_cube
+
+    cfg = dg.GoldenConfig(n_tiles=6, tile_px=64, n_media_tiles=6)
+    zor, halo, patch, stride = 32, 8, 16, 8
+    media = dg.media_df(spark, cfg)
+    payloads = chunking.chunk_prob_payloads(media, zor=zor, halo=halo, patch=patch, stride=stride)
+
+    cat = TableCatalog(tmp_path / "cat")
+    snap = cat.commit(payloads, "probs", partition_by=["media_ref"])
+    back = cat.read(spark, "probs", snapshot=snap)
+    assert back.count() == 6 * 4  # one row per chunk, 4 chunks per 64px tile at zor=32
+
+    tiles = dg.tiles_np(cfg)
+    meta = {
+        str(tiles["media_ref"][k]): (cfg.tile_px, cfg.tile_px, float(cfg.px_size),
+                                     float(tiles["x0"][k]), float(tiles["y1"][k]))
+        for k in range(cfg.n_media_tiles)
+    }
+    written = sinks.export_probability_geotiffs(back, meta, tmp_path / "out")
+    assert len(written) == 6
+
+    band, r, c = np.meshgrid(
+        np.arange(cfg.n_bands), np.arange(cfg.tile_px), np.arange(cfg.tile_px), indexing="ij"
+    )
+    for k in range(6):
+        ref = str(tiles["media_ref"][k])
+        arr, prof = tiff.decode(open(written[ref], "rb").read())
+        assert arr.dtype == np.float32 and prof.tiepoint == (float(tiles["x0"][k]), float(tiles["y1"][k]))
+        dn = dg.dn_np(np.int64(k), band, r, c)
+        want = oracle_chunk_prob_cube(dn, 300 if k % 2 == 0 else 500, zor, halo, patch, stride)
+        assert arr.shape == want.shape
+        assert (arr == want).all()  # bit-for-bit float32
