@@ -5,15 +5,32 @@ same job runs at two parallelism levels on the same input and we report
 throughput at both plus strong-scaling efficiency
     eff = (T_N / T_4N) / 4          (1.0 = perfect linear scaling)
 
-**Hardware calibration**: this VM's 32 "cores" do not deliver 32× single-core
-throughput (SMT siblings / host contention). A pure-python multiprocessing
-microbenchmark measures the per-process throughput ceiling at each level; the
-job efficiency is reported both raw and normalized by that ceiling. The
-default pair is 2 → 8 cores, the widest window where the hardware itself can
-express ≥0.8 (at 8→32 the hardware ceiling is ~0.66, so no job could pass).
+Methodology (round 2 — each point hard-won against this VM's noise):
 
-Writes BENCH/BASELINE.md and prints a JSON summary. Each Spark run is a fresh
-subprocess (fresh JVM) so executor-thread counts are honest.
+* **Per-query scales.** Fixed driver overhead (~2-6 s of job barriers,
+  broadcast builds, AQE stage scheduling) does not shrink with more cores;
+  a query must run long enough that compute dominates. Each query gets the
+  corpus scale where its 2-core wall is ≥ 30 s (pip_zonal/knn at
+  BENCH_SCALE=100 = 12 M interleaved units; raster/zonal at 40).
+* **Fresh JVM per measurement, warm + one timed rep inside.** Local-mode
+  JVMs DEGRADE on repeated heavy queries when the heap is large: with
+  SPARK_DRIVER_MEM=48g the *second* execution of the pip_zonal plan at
+  local[8] reliably collapses 16 s → 160-180 s (event-log: the parquet
+  scan stage's task CPU inflates 36×, zero GC time — pathological page/THP
+  behavior of a huge mostly-empty heap, reproduced 5×; never at local[2],
+  never with 12g). All measurements therefore use 12g heaps and fresh JVMs.
+  Round 1's 0.35-0.57 efficiencies were partly THIS artifact poisoning the
+  4N level.
+* **Interleaved levels, min over reps.** The host is multi-tenant: a
+  single-threaded CPU canary swings 3.6-5.3 s and Spark walls 3× between
+  noise windows minutes apart. Levels alternate (2,8,2,8,...) so both sample
+  the same windows; min-of-REPS per level estimates the uncontended wall.
+  The canary is recorded before every run so the windows are auditable.
+* **Hardware ceiling.** A pure-CPU multiprocessing microbenchmark bounds
+  what any job could scale on this VM (2→8 procs ≈ 1.0; 8→32 ≈ 0.66 due to
+  SMT siblings — which is why the N→4N evidence uses local[2] → local[8]).
+
+Writes BENCH/BASELINE.md and prints a JSON summary.
 """
 
 from __future__ import annotations
@@ -29,11 +46,15 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 LO = int(os.environ.get("SCALING_LO", "2"))
 HI = int(os.environ.get("SCALING_HI", "8"))
-BENCH_ONLY = os.environ.get(
-    "SCALING_BENCH_ONLY", "pip_zonal,knn,raster_stats,zonal_stats"
+REPS = int(os.environ.get("SCALING_REPS", "3"))
+# query -> corpus scale where compute dominates the driver floor
+QUERY_SCALES = json.loads(
+    os.environ.get(
+        "SCALING_QUERY_SCALES",
+        '{"pip_zonal": 100, "knn": 100, "raster_stats": 40, "zonal_stats": 40}',
+    )
 )
-BENCH_SCALE = os.environ.get("SCALING_BENCH_SCALE", "10")
-BENCH_REPS = os.environ.get("SCALING_BENCH_REPS", "2")
+DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "12g")  # see module docstring
 
 
 def _pywork(_):
@@ -41,6 +62,13 @@ def _pywork(_):
     for i in range(12_000_000):
         s += i * i
     return s
+
+
+def canary() -> float:
+    """Single-threaded CPU canary — logs the host-noise window."""
+    t0 = time.perf_counter()
+    _pywork(0)
+    return round(time.perf_counter() - t0, 2)
 
 
 def hardware_ceiling() -> dict:
@@ -51,21 +79,23 @@ def hardware_ceiling() -> dict:
         with mp.Pool(n) as p:
             p.map(_pywork, range(n))
         times[n] = time.perf_counter() - t0
-    thr = {n: times[1] / times[n] for n in times}  # relative per-proc throughput
+    thr = {n: times[1] / times[n] for n in times}
     return {
         "per_proc_throughput": {str(n): round(v, 3) for n, v in thr.items()},
         "strong_scaling_ceiling_lo_hi": round(thr[HI] / thr[LO], 3),
     }
 
 
-def run_at(cpus: int) -> dict:
+def run_one(query: str, cpus: int, scale: int) -> dict:
+    """One fresh-JVM bench.py run: warm + one timed rep of a single query."""
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
-        BENCH_ONLY=BENCH_ONLY,
-        BENCH_SCALE=BENCH_SCALE,
-        BENCH_REPS=BENCH_REPS,
-        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        BENCH_ONLY=query,
+        BENCH_SCALE=str(scale),
+        BENCH_REPS="1",
+        BENCH_STEADY="1",
+        SPARK_DRIVER_MEM=DRIVER_MEM,
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
@@ -77,80 +107,113 @@ def run_at(cpus: int) -> dict:
     )
     if out.returncode != 0:
         print(out.stderr[-4000:], file=sys.stderr)
-        raise SystemExit(f"bench at local[{cpus}] failed")
+        raise SystemExit(f"bench {query} at local[{cpus}] failed")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
     cal = hardware_ceiling()
     ceiling = cal["strong_scaling_ceiling_lo_hi"]
-    results = {c: run_at(c) for c in (LO, HI)}
-    t_lo, t_hi = results[LO]["value"], results[HI]["value"]
     ratio = HI / LO
-    eff = (t_lo / t_hi) / ratio
-    eff_norm = eff / ceiling if ceiling else None
+
+    # results[query][level] = list of (wall, canary_before)
+    results: dict[str, dict[int, list]] = {q: {LO: [], HI: []} for q in QUERY_SCALES}
+    meta: dict[str, dict] = {}
+    for rep in range(REPS):
+        for level in (LO, HI):
+            for q, scale in QUERY_SCALES.items():
+                c = canary()
+                r = run_one(q, level, scale)
+                wall = r["queries"][q]
+                results[q][level].append((wall, c))
+                meta[q] = r
+                print(
+                    f"# rep{rep} local[{level}] {q}@{scale}: {wall}s (canary {c}s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
 
     per_q = {}
-    for q in results[LO]["queries"]:
-        a, b = results[LO]["queries"][q], results[HI]["queries"].get(q)
+    for q in QUERY_SCALES:
+        t_lo = min(w for w, _ in results[q][LO])
+        t_hi = min(w for w, _ in results[q][HI])
         per_q[q] = {
-            "t_lo": a,
-            "t_hi": b,
-            "eff": round(a / b / ratio, 3) if b else None,
+            "scale": QUERY_SCALES[q],
+            "t_lo": t_lo,
+            "t_hi": t_hi,
+            "eff": round(t_lo / t_hi / ratio, 3),
+            "runs_lo": [w for w, _ in results[q][LO]],
+            "runs_hi": [w for w, _ in results[q][HI]],
+            "canaries": [c for _, c in results[q][LO] + results[q][HI]],
         }
+    suite_eff = round(
+        sum(v["t_lo"] for v in per_q.values())
+        / sum(v["t_hi"] for v in per_q.values())
+        / ratio,
+        3,
+    )
+    pz = per_q.get("pip_zonal")
+    headline_units = meta.get("pip_zonal", {}).get("tiles_plus_docs")
+    headline_thr = round(headline_units / pz["t_hi"], 1) if pz and headline_units else None
 
     md = [
         "# BENCH/BASELINE.md — measured throughput + scaling efficiency",
         "",
-        f"Benchmark subset `{BENCH_ONLY}` at BENCH_SCALE={BENCH_SCALE} "
-        f"({results[LO].get('tiles_plus_docs')} tiles+docs).",
+        "## North-rule evidence: same job, two parallelism levels "
+        f"(local[{LO}] → local[{HI}] = N → 4N)",
+        "",
+        "Method (full rationale in BENCH/run_scaling.py): per-query corpus "
+        "scales sized so compute dominates the fixed driver floor; fresh "
+        "12 GB-heap JVM per measurement (48 GB heaps reproducibly poison "
+        "repeat executions at the 4N level — a local-mode artifact "
+        "documented in the script); levels interleaved across "
+        f"{REPS} reps on a multi-tenant host, min per level reported; "
+        "single-thread CPU canary logged before every run.",
+        "",
+        f"| query | scale | local[{LO}] s (runs) | local[{HI}] s (runs) | raw efficiency |",
+        "|---|---|---|---|---|",
+        *(
+            f"| {q} | {v['scale']} | **{v['t_lo']}** {v['runs_lo']} | "
+            f"**{v['t_hi']}** {v['runs_hi']} | **{v['eff']}** |"
+            for q, v in per_q.items()
+        ),
+        "",
+        f"**Suite strong-scaling efficiency (Σ min walls): {suite_eff}** "
+        "(target ≥ 0.8 per BASELINE.json north_rule).",
+        "",
+        f"Headline throughput (north metric): **{headline_thr} tiles+docs/s** "
+        f"at local[{HI}], pip_zonal @ scale {QUERY_SCALES.get('pip_zonal')} "
+        f"({headline_units} interleaved units).",
         "",
         "## Hardware calibration (pure-CPU multiprocessing, this VM)",
         "",
         "| procs | relative per-process throughput |",
         "|---|---|",
-        *(
-            f"| {n} | {v} |"
-            for n, v in cal["per_proc_throughput"].items()
-        ),
+        *(f"| {n} | {v} |" for n, v in cal["per_proc_throughput"].items()),
         "",
         f"The VM's own strong-scaling ceiling for {LO}→{HI} cores is "
-        f"**{ceiling}** (and ~0.66 for 8→32 — SMT siblings / host contention),"
-        f" which is why the N→4N evidence uses local[{LO}] → local[{HI}].",
+        f"**{ceiling}** (and ~0.66-0.8 for 8→32 — SMT siblings / host "
+        f"contention), which is why the N→4N evidence uses local[{LO}] → "
+        f"local[{HI}].",
         "",
-        "## Job scaling (same job, same input, fresh JVM per run)",
-        "",
-        "| parallelism | suite wall (s) | pip_zonal throughput (tiles+docs/s) |",
-        "|---|---|---|",
-        *(
-            f"| local[{c}] | {results[c]['value']} | "
-            f"{results[c].get('throughput_tiles_docs_per_sec')} |"
-            for c in (LO, HI)
+        "Canary walls during the sweep (host-noise audit): "
+        + ", ".join(
+            f"{q}: {v['canaries']}" for q, v in per_q.items()
         ),
         "",
-        f"**Strong-scaling efficiency local[{LO}] → local[{HI}] (N → 4N): "
-        f"{eff:.3f} raw; {eff_norm:.3f} normalized to the hardware ceiling** "
-        "(target ≥ 0.8 per BASELINE.json north_rule).",
-        "",
-        "Per-query:",
-        "",
-        f"| query | local[{LO}] s | local[{HI}] s | raw efficiency |",
-        "|---|---|---|---|",
-        *(f"| {q} | {v['t_lo']} | {v['t_hi']} | {v['eff']} |" for q, v in per_q.items()),
-        "",
-        "Method: bench.py warms the JVM before timing; value excludes session"
-        " startup. Efficiency = (T_N / T_4N) / 4 on identical deterministic"
-        " input — the sandbox proxy for N vs 4N executors required by the"
-        " driver instruction.",
+        "Efficiency = (T_N / T_4N) / 4 on identical deterministic input — "
+        "the sandbox proxy for N vs 4N executors required by the driver "
+        "instruction. bench.py warms each JVM before timing; value excludes "
+        "session startup.",
     ]
     (REPO / "BENCH" / "BASELINE.md").write_text("\n".join(md) + "\n")
     print(
         json.dumps(
             {
-                "efficiency_raw": round(eff, 3),
-                "efficiency_hw_normalized": round(eff_norm, 3),
+                "efficiency_suite": suite_eff,
+                "per_query": {q: {k: v[k] for k in ("scale", "t_lo", "t_hi", "eff")} for q, v in per_q.items()},
+                "headline_throughput_tiles_docs_per_sec": headline_thr,
                 "hw_ceiling": ceiling,
-                "levels": {str(c): results[c] for c in (LO, HI)},
             }
         )
     )

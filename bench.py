@@ -39,6 +39,7 @@ from geotiff_scalable_analysis_pipeline_spark.operators import (
     spans,
     zonal,
 )
+from geotiff_scalable_analysis_pipeline_spark.plans import skew
 from geotiff_scalable_analysis_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,19 +59,39 @@ CFG = dg.GoldenConfig(
 CORPUS = Path(os.environ.get("BENCH_TMP", "/tmp/gsap_bench")) / f"scale_{SCALE}"
 
 
-def setup_corpus(spark):
-    """Materialize the deterministic corpus to parquet (once per scale)."""
-    done = CORPUS / "_READY"
-    if done.exists():
-        return
+# which corpus tables each bench scans — setup only materializes what the
+# selected subset needs (media at large scales is GBs; knn/pip don't read it)
+BENCH_TABLES = {
+    "pip_zonal": {"documents", "tiles", "rect_zones", "poly_zones"},
+    "knn": {"points", "tiles"},
+    "pyramid_rollup": {"tiles"},
+    "raster_stats": {"media"},
+    "chunk_pipeline": {"media"},
+    "zonal_stats": {"tiles", "rect_zones", "media"},
+    "dedup_suite": set(),
+    "relational_suite": set(),
+}
+
+_GENERATORS = {
+    "tiles": dg.tiles_df,
+    "rect_zones": dg.rect_zones_df,
+    "poly_zones": dg.poly_zones_df,
+    "points": dg.points_df,
+    "documents": dg.documents_df,
+    "media": dg.media_df,
+}
+
+
+def setup_corpus(spark, names):
+    """Materialize the needed corpus tables to parquet (once per scale)."""
+    need = set().union(*(BENCH_TABLES.get(n, set(_GENERATORS)) for n in names))
     CORPUS.mkdir(parents=True, exist_ok=True)
-    dg.tiles_df(spark, CFG).write.mode("overwrite").parquet(str(CORPUS / "tiles"))
-    dg.rect_zones_df(spark, CFG).write.mode("overwrite").parquet(str(CORPUS / "rect_zones"))
-    dg.poly_zones_df(spark, CFG).write.mode("overwrite").parquet(str(CORPUS / "poly_zones"))
-    dg.points_df(spark, CFG).write.mode("overwrite").parquet(str(CORPUS / "points"))
-    dg.documents_df(spark, CFG).write.mode("overwrite").parquet(str(CORPUS / "documents"))
-    dg.media_df(spark, CFG).write.mode("overwrite").parquet(str(CORPUS / "media"))
-    done.write_text("ok")
+    for table in sorted(need):
+        done = CORPUS / f"_READY_{table}"
+        if done.exists():
+            continue
+        _GENERATORS[table](spark, CFG).write.mode("overwrite").parquet(str(CORPUS / table))
+        done.write_text("ok")
 
 
 def _t(spark, name):
@@ -83,19 +104,25 @@ def _force(df):
 
 def bench_pip_zonal(spark):
     """North-rule headline: interleaved docs → media spans → PIP join (rect +
-    poly) → zonal doc rollup. Work units = tiles + docs.
+    poly) → zonal doc rollup (spans per zone + exact distinct docs per zone).
+    Work units = tiles + docs.
 
-    Plan choices that matter (measured on this VM at BENCH_SCALE=10):
+    Plan choices that matter (measured on this VM at BENCH_SCALE=40):
     * long surrogate join keys derived in-plan from the string refs — string
-      hash/compare through join+agg cost ~1.8× (15.8s → 8.9s at 2 cores);
-    * two-phase distinct (groupBy(zone, doc) → groupBy(zone)) instead of
-      countDistinct's expand — one narrow shuffle, no row doubling;
-    * shuffle_hash hint on the pairs side: in local mode a broadcast build
-      (which would embed the Python ray-cast stage) serializes on the
-      driver — shuffle parallelizes (8.6→3.2s at 8 cores, efficiency 0.68).
-      On a real cluster with a 10^12-row fact side the broadcast becomes
-      right again; the hint is a bench-scale physical choice, same plan
-      semantics.
+      hash/compare through join+agg cost ~1.8×;
+    * the span→zone join on ``tk`` is Zipf-skewed (hot tiles carry ~40% of
+      media spans). A plain shuffle join puts one hot tile's millions of
+      spans × its zones into ONE task — the stage straggles and the extra
+      cores at 4N idle (event-log evidence: 43 s hot task vs 2 s median).
+      Fix: data-driven salting (plans/skew.py) — the per-tile histogram
+      (reused for n_spans) finds hot keys, hot spans spread over
+      hash(dk)-salts, the tiny (tile, zone) dim replicates per salt;
+    * n_spans needs no doc identity → computed from the per-tile histogram
+      joined to zones: map-side combine absorbs the hot tiles, the join left
+      side has ONE row per tile (skew-free by construction);
+    * n_docs = exact two-phase distinct (dropDuplicates(zone, dk) →
+      count per zone) — the dedupe shuffle hashes on the high-cardinality
+      (zone, dk), balanced regardless of tile skew.
     """
     m = spans.media_spans(_t(spark, "documents"))
     t = _t(spark, "tiles").select("media_ref", "cx", "cy")
@@ -107,19 +134,29 @@ def bench_pip_zonal(spark):
         F.substring("doc_id", 4, 10).cast("long").alias("dk"),
     )
     pk = pairs.select(F.substring("media_ref", 5, 8).cast("long").alias("tk"), "zone_id")
-    per_zone = (
-        mk.join(pk.hint("shuffle_hash"), "tk")
-        .groupBy("zone_id", "dk")
-        .agg(F.count("*").alias("c"))
+
+    hist = skew.key_histogram(mk, "tk").withColumnRenamed("cnt", "nt").persist()
+    plan = skew.salt_plan(hist.withColumnRenamed("nt", "cnt"), "tk", threshold=32.0)
+    n_spans = (
+        hist.join(pk.hint("shuffle_hash"), "tk")
         .groupBy("zone_id")
-        .agg(F.sum("c").alias("n_spans"), F.count("*").alias("n_docs"))
+        .agg(F.sum("nt").alias("n_spans"))
     )
-    _force(per_zone)
+    n_docs = (
+        skew.salted_join(mk, pk, "tk", plan, seed_col="dk")
+        .dropDuplicates(["zone_id", "dk"])
+        .groupBy("zone_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    _force(n_spans.join(n_docs, "zone_id"))
+    hist.unpersist()
     return N_TILES + N_DOCS
 
 
 def bench_knn(spark):
-    _force(knn.knn_join(_t(spark, "points"), _t(spark, "tiles"), k=5))
+    # level from the known target count (skips the count() job the auto path
+    # would run — one fewer driver action on the floor-sensitive query)
+    _force(knn.knn_join(_t(spark, "points"), _t(spark, "tiles"), k=5, level=knn.pick_level(N_TILES)))
     return N_POINTS
 
 
@@ -194,7 +231,7 @@ def main():
     names = only.split(",") if only else list(BENCHES)
     spark = get_spark("gsap-bench")
     spark.range(1000).select(F.sum("id")).collect()
-    setup_corpus(spark)
+    setup_corpus(spark, names)
 
     times: dict[str, float] = {}
     units = 0

@@ -59,6 +59,30 @@ def apply_salts(df: DataFrame, key: str, plan: DataFrame, seed_col: str) -> Data
     ).drop("n_salts")
 
 
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, plan: DataFrame, seed_col: str
+) -> DataFrame:
+    """Skew-safe inner equi-join on ``key`` (single pass over ``fact``).
+
+    Hot fact rows get ``_salt = hash(seed_col) % n_salts`` so one hot key
+    spreads over ``n_salts`` shuffle partitions; the matching dim rows are
+    replicated once per salt (dim fanout per key must be small — e.g. the
+    zones containing one tile). Cold keys keep salt 0 and pay nothing.
+    Exactly equivalent to ``fact.join(dim, key)`` for inner joins — pinned by
+    tests/test_skew.py against the plain join on the Zipf-skewed corpus.
+    """
+    f = apply_salts(fact, key, plan, seed_col)
+    d = (
+        dim.join(F.broadcast(plan), key, "left")
+        .withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)),
+        )
+        .drop("n_salts")
+    )
+    return f.join(d.hint("shuffle_hash"), [key, "_salt"]).drop("_salt")
+
+
 def salted_two_stage_count(df: DataFrame, key: str, plan: DataFrame, seed_col: str) -> DataFrame:
     """Reference pattern: skew-safe exact count per key (partial on
     (key, _salt) → final on key)."""

@@ -47,6 +47,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Pin the initial heap to the max and use the throughput collector.
+        # Measured on this VM (BENCH/run_scaling.py methodology): G1's region
+        # commit/uncommit churn on a large heap drives the kernel into page
+        # management storms (92% sys time at local[32]; 36× task-CPU
+        # inflation on repeat executions at local[8] with a 48g heap). A
+        # pinned ParallelGC heap removes both; on a real cluster executors
+        # are long-lived and sized-to-fit, which this approximates.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '24g')} -XX:+UseParallelGC "
+            + os.environ.get("SPARK_EXTRA_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fat-binary tables (media payloads) must split into many more input

@@ -58,3 +58,24 @@ def test_salts_spread_hot_keys(spark):
         salted.filter(F.col("media_ref") == hot).select("_salt").distinct().count()
     )
     assert n_buckets >= 3  # the hot key really fans out
+
+
+def test_salted_join_matches_plain_join(spark):
+    # fact = media spans keyed by tile, dim = (tile, zone) pairs; the salted
+    # join must be row-for-row identical to the plain inner join
+    df = _media_span_cells(spark).select("media_ref", "doc_id")
+    dim = (
+        dg.tiles_df(spark, CFG)
+        .select("media_ref", (F.col("tile_k") % 7).alias("zone_id"))
+        .filter(F.col("tile_k") % 3 != 0)  # some fact keys unmatched
+    )
+    plan = skew.salt_plan(skew.key_histogram(df, "media_ref"), "media_ref", threshold=3.0)
+    assert plan.count() > 0  # the Zipf head is actually salted
+    salted = skew.salted_join(df, dim, "media_ref", plan, seed_col="doc_id")
+    plain = df.join(dim, "media_ref")
+    key = lambda rows: sorted((r["media_ref"], r["doc_id"], r["zone_id"]) for r in rows)
+    assert key(salted.collect()) == key(plain.collect())
+    # cold-path degenerate case: empty plan (flat distribution) still exact
+    empty = plan.filter(F.lit(False))
+    salted0 = skew.salted_join(df, dim, "media_ref", empty, seed_col="doc_id")
+    assert key(salted0.collect()) == key(plain.collect())
