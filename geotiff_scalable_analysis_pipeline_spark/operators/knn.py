@@ -42,13 +42,20 @@ def _with_lattice(df: DataFrame, x: str, y: str, level: int) -> DataFrame:
 
 
 def pick_level(n_targets: int) -> int:
-    """Bucket level targeting ~6 targets/cell over the 100 km frame:
-    cells(L) ≈ (0.763·2^L)² ⇒ L = log4(n/3.5), clamped to [3, 10]."""
+    """Bucket level targeting ~6 targets/cell over the frame:
+    cells(L) ≈ (0.763·2^L)² ⇒ L = log4(n/3.5), clamped to [3, 9].
+
+    The cap matters at scale: round-1 candidate volume per query is
+    ≈ (2·r0+1)² × targets/cell, so density must stay O(k) — but each extra
+    level also doubles lattice resolution, and the finish test
+    ``kth_dist ≤ r·res`` passes less often → straggler ring rounds
+    (measured: 500 k queries × 2 M targets at level 10 ran 17+ min at
+    local[8]; level 9 with r0=1 runs in tens of seconds)."""
     import math
 
     if n_targets < 8:
         return 3
-    return max(3, min(10, round(math.log(n_targets / 3.5, 4))))
+    return max(3, min(9, round(math.log(n_targets / 3.5, 4))))
 
 
 def knn_join(
@@ -61,7 +68,7 @@ def knn_join(
     tx: str = "cx",
     ty: str = "cy",
     target_id: str = "media_ref",
-    initial_radius: int = 2,
+    initial_radius: int = 1,
     radius_growth: int = 4,
 ) -> DataFrame:
     """Exact kNN: (q_id, rank, <target_id>, dist_sq), rank 1..k.
@@ -130,6 +137,12 @@ def knn_join(
             finished.append(topk)
             break
 
+        # persist the round's topk: the per-round isEmpty() barrier
+        # materializes it into cache, so the final union action reads the
+        # cache instead of re-running the candidate join (the join is the
+        # round's dominant cost — this halves round-1 work at bench scale)
+        topk = topk.persist()
+
         # a query is final iff it has k hits and the kth is ≤ r*res (any
         # target outside disk(r) is at distance ≥ r*res)
         bound = float(r * res) ** 2
@@ -137,7 +150,7 @@ def knn_join(
             F.count("*").alias("_cnt"), F.max("dist_sq").alias("_kth")
         )
         done_q = per_q.filter((F.col("_cnt") == k) & (F.col("_kth") <= bound)).select("q_id")
-        finished.append(topk.join(F.broadcast(done_q), "q_id").persist())
+        finished.append(topk.join(F.broadcast(done_q), "q_id"))
         remaining = remaining.join(F.broadcast(done_q), "q_id", "left_anti").persist()
         if remaining.isEmpty():
             break
