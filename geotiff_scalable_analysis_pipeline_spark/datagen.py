@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 M1 = 2654435761  # Knuth multiplicative hash constant
 M2 = 40503
+M3 = 2246822519  # xxhash PRIME32_2
+M4 = 3266489917  # xxhash PRIME32_3
 MOD = 2147483648  # 2**31
 
 FRAME = 100000  # tiles/zones/points live in [0, 100000)²
@@ -89,17 +91,35 @@ GOLDEN = GoldenConfig()
 # ---------------------------------------------------------------------------
 
 
+# The mixer must avalanche: an affine-only h = (k·M1 + salt·M2) % MOD makes
+# h(k, s1) − h(k, s2) CONSTANT in k, so paired draws like (x, y) coordinates
+# collapse onto 1-D lines (measured: 2 M "uniform" tiles occupied only 1446
+# of 152 k lattice cells, inflating every spatial join ~200×). Two
+# xor-shift-multiply rounds (xxhash-style) decorrelate the salts. All
+# intermediates stay in [0, 2^31), so products fit int64 in every engine and
+# the three mirrors below are bit-identical.
+
+
 def ihash_np(k: np.ndarray, salt: int) -> np.ndarray:
     k = np.asarray(k, dtype=np.int64)
-    return (k * M1 + salt * M2 + 12345) % MOD
+    x = (k * M1 + salt * M2 + 12345) % MOD
+    x = (((x >> 15) ^ x) * M3) % MOD
+    x = (((x >> 13) ^ x) * M4) % MOD
+    return (x >> 16) ^ x
 
 
 def ihash_col(k: Column, salt: int) -> Column:
-    return (k * F.lit(M1) + F.lit(salt * M2 + 12345)) % F.lit(MOD)
+    x = (k * F.lit(M1) + F.lit(salt * M2 + 12345)) % F.lit(MOD)
+    x = (F.shiftright(x, 15).bitwiseXOR(x) * F.lit(M3)) % F.lit(MOD)
+    x = (F.shiftright(x, 13).bitwiseXOR(x) * F.lit(M4)) % F.lit(MOD)
+    return F.shiftright(x, 16).bitwiseXOR(x)
 
 
 def ihash_sql(k: str, salt: int) -> str:
-    return f"((CAST({k} AS BIGINT) * {M1} + {salt * M2 + 12345}) % {MOD})"
+    x = f"((CAST({k} AS BIGINT) * {M1} + {salt * M2 + 12345}) % {MOD})"
+    x = f"((xor({x} >> 15, {x}) * {M3}) % {MOD})"
+    x = f"(xor({x} >> 13, {x}) * {M4}) % {MOD}"
+    return f"xor(({x}) >> 16, ({x}))"
 
 
 # ---------------------------------------------------------------------------

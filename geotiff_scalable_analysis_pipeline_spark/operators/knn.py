@@ -1,19 +1,28 @@
-"""Cell-bucketed kNN join via ring expansion (SURVEY.md §2.4 J5).
+"""Cell-bucketed kNN join via adaptive ring expansion (SURVEY.md §2.4 J5).
 
 For each query point, the k nearest tile centroids. Spark-first design:
 
 * targets are bucketed by level-L quad cell once (small broadcastable table
   at golden scale; at 100 TB it is the cell-partitioned tiles table and the
   same plan holds with a shuffle hash join on ``cell``);
-* each round, *unfinished* queries explode the Chebyshev disk of lattice
-  radius r around their own cell (pure Catalyst ``sequence()`` × 2) and
+* each round, *unfinished* queries explode the Chebyshev disk of their own
+  per-query lattice radius ``_r`` around their own cell (pure Catalyst
+  ``sequence()`` × 2, ranges clamped to the target bounding box) and
   equi-join targets on ``cell``;
 * a query finishes when it has ≥k candidates with kth distance ≤ r·res —
-  any target outside disk(r) lies at Euclidean distance ≥ r·res, so the
+  any target outside disk(r) lies at Euclidean distance > r·res, so the
   result is provably exact (no approximation);
-* radius grows geometrically per round; stragglers (queries in empty space)
-  keep expanding until their disk provably covers the lattice — candidate
-  volume stays proximity-bounded, never an all-pairs crossJoin.
+* radii are per-query and adaptive: a query that already holds k candidates
+  jumps straight to the provably-sufficient radius ``ceil(sqrt(kth)/res)``
+  (one more round, then done); a query with an empty disk jumps to the
+  distance of the target bounding box (queries in empty space never scan
+  empty lattice); once an upper bound on kth is known, disk cells whose
+  Euclidean lower bound exceeds it are pruned, so the proof round scans an
+  annulus, not the full disk. Candidate volume stays proximity-bounded —
+  never an all-pairs crossJoin, and never the "straggler × whole lattice"
+  round a fixed geometric schedule degenerates to for out-of-distribution
+  queries (measured: 50 k empty-space queries × 2 M targets stalled >14 min
+  at local[8]; adaptive radii finish the same input in seconds).
 
 Determinism: distances are exact integer squares; ties broken by
 ``media_ref`` ascending — bit-identical to the DuckDB brute-force oracle.
@@ -29,28 +38,9 @@ from ..functions.cells import cell_res, morton_col
 DEFAULT_LEVEL = 5
 
 
-def _with_lattice(df: DataFrame, x: str, y: str, level: int) -> DataFrame:
-    res = cell_res(level)
-    n = (1 << level) - 1
-
-    def lat(c):
-        return F.greatest(
-            F.lit(0), F.least(F.lit(n), F.floor(F.col(c) / F.lit(res)).cast("long"))
-        )
-
-    return df.withColumn("_qix", lat(x)).withColumn("_qiy", lat(y))
-
-
 def pick_level(n_targets: int) -> int:
     """Bucket level targeting ~6 targets/cell over the frame:
-    cells(L) ≈ (0.763·2^L)² ⇒ L = log4(n/3.5), clamped to [3, 9].
-
-    The cap matters at scale: round-1 candidate volume per query is
-    ≈ (2·r0+1)² × targets/cell, so density must stay O(k) — but each extra
-    level also doubles lattice resolution, and the finish test
-    ``kth_dist ≤ r·res`` passes less often → straggler ring rounds
-    (measured: 500 k queries × 2 M targets at level 10 ran 17+ min at
-    local[8]; level 9 with r0=1 runs in tens of seconds)."""
+    cells(L) ≈ (0.763·2^L)² ⇒ L = log4(n/3.5), clamped to [3, 9]."""
     import math
 
     if n_targets < 8:
@@ -76,6 +66,10 @@ def knn_join(
     ``level=None`` auto-sizes the cell grid from the target count so the
     per-query candidate set stays O(k) regardless of scale.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
     if level is None:
         level = pick_level(targets.count())
     res = cell_res(level)
@@ -87,80 +81,163 @@ def knn_join(
         F.col(tx).cast("long").alias("_tx"),
         F.col(ty).cast("long").alias("_ty"),
     )
-    tgt = tgt.withColumn(
-        "_tcell",
-        morton_col(
-            F.greatest(F.lit(0), F.least(F.lit(n), F.floor(F.col("_tx") / F.lit(res)).cast("long"))),
-            F.greatest(F.lit(0), F.least(F.lit(n), F.floor(F.col("_ty") / F.lit(res)).cast("long"))),
-            level,
-        ),
+    lat_t = lambda c: F.greatest(  # noqa: E731
+        F.lit(0), F.least(F.lit(n), F.floor(F.col(c) / F.lit(res)).cast("long"))
     )
+    tgt = tgt.withColumn("_tix", lat_t("_tx")).withColumn("_tiy", lat_t("_ty"))
+    tgt = tgt.withColumn("_tcell", morton_col(F.col("_tix"), F.col("_tiy"), level))
     tgt = tgt.persist()
 
-    remaining = _with_lattice(queries.select("q_id", x, y), x, y, level).persist()
+    # target lattice bounding box: four longs, one tiny job on the persisted
+    # targets. Disk ranges clamp to it, so queries in empty space never
+    # explode cells no target occupies.
+    bb = tgt.agg(
+        F.min("_tix").alias("x0"),
+        F.max("_tix").alias("x1"),
+        F.min("_tiy").alias("y0"),
+        F.max("_tiy").alias("y1"),
+    ).first()
+    bx0, bx1, by0, by1 = int(bb.x0), int(bb.x1), int(bb.y0), int(bb.y1)
+
+    # query lattice coords are UNCLAMPED (may lie outside [0, n]): the
+    # finish-test proof `dist(outside disk(r)) > r·res` needs the disk
+    # centered on the query's true cell, and the bbox clamp above keeps
+    # out-of-frame disks cheap.
+    remaining = (
+        queries.select("q_id", x, y)
+        .withColumn("_qix", F.floor(F.col(x) / F.lit(res)).cast("long"))
+        .withColumn("_qiy", F.floor(F.col(y) / F.lit(res)).cast("long"))
+        .withColumn("_r", F.lit(int(initial_radius)).cast("long"))
+        .withColumn("_ub", F.lit(None).cast("long"))  # kth-so-far squared
+        .persist()
+    )
     finished: list[DataFrame] = []
     w = Window.partitionBy("q_id").orderBy("dist_sq", target_id)
 
-    # radius doubles until the disk provably covers the whole lattice —
-    # candidates stay proximity-bounded (no all-pairs crossJoin ever: a
-    # straggler in empty space joins only the cells within its ring, which is
-    # exactly the tiles within ~r·res of it).
-    r = initial_radius
+    _dbg = _os.environ.get("GSAP_KNN_DEBUG") == "1"
+    rounds = 0
     while True:
-        covers_all = r >= (1 << level)
-        disk = (
-            remaining.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-            .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-            .withColumn("_cix", F.col("_qix") + F.col("_dx"))
-            .withColumn("_ciy", F.col("_qiy") + F.col("_dy"))
-            .filter(
-                (F.col("_cix") >= 0) & (F.col("_cix") <= n) & (F.col("_ciy") >= 0) & (F.col("_ciy") <= n)
-            )
-            .withColumn("_tcell", morton_col(F.col("_cix"), F.col("_ciy"), level))
+        rounds += 1
+        if rounds > 64:  # radii grow monotonically; this is unreachable
+            raise RuntimeError("knn_join failed to converge")
+        _t0 = _time.time()
+
+        ranges = (
+            remaining.withColumn("_xlo", F.greatest(F.col("_qix") - F.col("_r"), F.lit(bx0)))
+            .withColumn("_xhi", F.least(F.col("_qix") + F.col("_r"), F.lit(bx1)))
+            .withColumn("_ylo", F.greatest(F.col("_qiy") - F.col("_r"), F.lit(by0)))
+            .withColumn("_yhi", F.least(F.col("_qiy") + F.col("_r"), F.lit(by1)))
         )
+        covered = (
+            (F.col("_xlo") == bx0)
+            & (F.col("_xhi") == bx1)
+            & (F.col("_ylo") == by0)
+            & (F.col("_yhi") == by1)
+        )
+        disk = (
+            ranges.filter((F.col("_xlo") <= F.col("_xhi")) & (F.col("_ylo") <= F.col("_yhi")))
+            .withColumn("_cix", F.explode(F.sequence(F.col("_xlo"), F.col("_xhi"))))
+            .withColumn("_ciy", F.explode(F.sequence(F.col("_ylo"), F.col("_yhi"))))
+        )
+        # Euclidean lower-bound prune: any target in cell (cix,ciy) is at
+        # dist_sq ≥ lb² per axis; once a kth upper bound is known, cells that
+        # provably cannot improve the top-k (lb² > ub, strict — ties keep the
+        # cell) are skipped, so the proof round scans an annulus.
+        lbx = F.greatest(F.abs(F.col("_cix") - F.col("_qix")) - 1, F.lit(0)) * F.lit(res)
+        lby = F.greatest(F.abs(F.col("_ciy") - F.col("_qiy")) - 1, F.lit(0)) * F.lit(res)
+        disk = disk.filter(
+            F.col("_ub").isNull() | ((lbx * lbx + lby * lby).cast("long") <= F.col("_ub"))
+        )
+        disk = disk.withColumn("_tcell", morton_col(F.col("_cix"), F.col("_ciy"), level))
+
+        # tight projections matter more than anything else here: the join
+        # shuffle and the window sort move tens of millions of candidate
+        # rows; carrying the bookkeeping columns through them (measured
+        # ~200 B/row vs ~40 B) turns the sort into a spill loop.
+        disk = disk.select("q_id", F.col(x).cast("long").alias("_qx"), F.col(y).cast("long").alias("_qy"), "_tcell")
+
         # shuffle-hash, not broadcast: rebuilding a broadcast of the target
         # table every round serializes on the driver; a shuffle of the
         # (persisted) targets parallelizes and AQE handles skewed cells
-        cand = disk.join(tgt.hint("shuffle_hash"), "_tcell")
-
-        scored = cand.withColumn(
-            "dist_sq",
-            (F.col(x).cast("long") - F.col("_tx")) * (F.col(x).cast("long") - F.col("_tx"))
-            + (F.col(y).cast("long") - F.col("_ty")) * (F.col(y).cast("long") - F.col("_ty")),
+        cand = disk.join(
+            tgt.select("_tcell", "_tx", "_ty", target_id).hint("shuffle_hash"), "_tcell"
         )
+
+        scored = cand.select(
+            "q_id",
+            target_id,
+            (
+                (F.col("_qx") - F.col("_tx")) * (F.col("_qx") - F.col("_tx"))
+                + (F.col("_qy") - F.col("_ty")) * (F.col("_qy") - F.col("_ty"))
+            ).alias("dist_sq"),
+        )
+        # persist the round's topk: the per-round isEmpty() barrier
+        # materializes it into cache, so the finish test AND the final union
+        # action read the cache instead of re-running the candidate join
         topk = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "rank", target_id, "dist_sq")
+            .persist()
         )
-        if covers_all:
-            finished.append(topk)
-            break
 
-        # persist the round's topk: the per-round isEmpty() barrier
-        # materializes it into cache, so the final union action reads the
-        # cache instead of re-running the candidate join (the join is the
-        # round's dominant cost — this halves round-1 work at bench scale)
-        topk = topk.persist()
-
-        # a query is final iff it has k hits and the kth is ≤ r*res (any
-        # target outside disk(r) is at distance ≥ r*res)
-        bound = float(r * res) ** 2
+        # a query is final iff it has k hits and the kth is ≤ r·res (any
+        # target outside disk(r) is at distance > r·res), OR its disk already
+        # covers the whole target bbox (nothing left to scan).
         per_q = topk.groupBy("q_id").agg(
             F.count("*").alias("_cnt"), F.max("dist_sq").alias("_kth")
         )
-        done_q = per_q.filter((F.col("_cnt") == k) & (F.col("_kth") <= bound)).select("q_id")
+        state = ranges.select("q_id", "_r", covered.alias("_cov")).join(
+            per_q, "q_id", "left"
+        )
+        done_q = state.filter(
+            F.col("_cov")
+            | (
+                (F.col("_cnt") == k)
+                & (F.col("_kth") <= (F.col("_r") * F.lit(res) * F.col("_r") * F.lit(res)).cast("long"))
+            )
+        ).select("q_id")
         finished.append(topk.join(F.broadcast(done_q), "q_id"))
-        remaining = remaining.join(F.broadcast(done_q), "q_id", "left_anti").persist()
-        if remaining.isEmpty():
+
+        # next per-query radius:
+        # * k candidates in hand → jump to the provably-sufficient radius
+        #   ceil(sqrt(kth))/res (the next round always passes the finish
+        #   test: kth can only shrink);
+        # * still short of k → geometric growth, floored at the distance to
+        #   the target bbox so empty-space queries skip empty lattice.
+        d_bbox = F.greatest(
+            F.lit(0),
+            F.lit(bx0) - F.col("_qix"),
+            F.col("_qix") - F.lit(bx1),
+            F.lit(by0) - F.col("_qiy"),
+            F.col("_qiy") - F.lit(by1),
+        )
+        next_r = F.when(
+            F.col("_cnt") == k,
+            F.ceil(F.sqrt(F.col("_kth").cast("double")) / F.lit(res)) + F.lit(1),
+        ).otherwise(F.greatest(F.col("_r") * F.lit(int(radius_growth)), d_bbox + F.lit(1)))
+        next_ub = F.when(F.col("_cnt") == k, F.col("_kth")).otherwise(F.lit(None).cast("long"))
+
+        # NOTE: the previous round's `remaining` stays persisted — `done_q`
+        # frames in `finished` re-derive from it at the final union action.
+        remaining = (
+            remaining.join(F.broadcast(done_q), "q_id", "left_anti")
+            .join(per_q, "q_id", "left")
+            .withColumn("_r", next_r.cast("long"))
+            .withColumn("_ub", next_ub)
+            .drop("_cnt", "_kth")
+            .persist()
+        )
+        empty = remaining.isEmpty()
+        if _dbg:
+            print(
+                f"# knn round {rounds} took {_time.time() - _t0:.1f}s "
+                f"remaining={'0' if empty else remaining.count()}",
+                file=_sys.stderr,
+                flush=True,
+            )
+        if empty:
             break
-        # ×4 growth measured fastest end-to-end (3s vs 14.5s for ×2 at 10×
-        # bench scale, 2 cores): rounds are driver-synchronized barriers, so
-        # fewer rounds beats tighter disks; eager per-round checkpointing
-        # measured ~10× slower than lazy persists (materialization blocks the
-        # round pipeline). Straggler-round volume is bounded by giving the
-        # driver enough heap (see BENCH/run_scaling.py SPARK_DRIVER_MEM).
-        r *= radius_growth
 
     out = finished[0]
     for f in finished[1:]:
