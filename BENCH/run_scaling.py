@@ -51,7 +51,7 @@ REPS = int(os.environ.get("SCALING_REPS", "3"))
 QUERY_SCALES = json.loads(
     os.environ.get(
         "SCALING_QUERY_SCALES",
-        '{"pip_zonal": 100, "knn": 100, "raster_stats": 40, "zonal_stats": 40}',
+        '{"pip_zonal": 200, "knn": 400, "raster_stats": 40, "zonal_stats": 80}',
     )
 )
 DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "12g")  # see module docstring
@@ -116,40 +116,61 @@ def main():
     ceiling = cal["strong_scaling_ceiling_lo_hi"]
     ratio = HI / LO
 
-    # results[query][level] = list of (wall, canary_before)
-    results: dict[str, dict[int, list]] = {q: {LO: [], HI: []} for q in QUERY_SCALES}
+    # Pairing: measured sweeps showed the host's noise windows shift on a
+    # ~10 min timescale — a full LO sweep followed by a full HI sweep can
+    # put the two levels of the SAME query in different windows (observed:
+    # raster_stats LO 78→108 s across reps while HI sat at 25-30 s). Each
+    # rep therefore runs a query's LO and HI back-to-back (minutes apart),
+    # and the headline efficiency is the MEDIAN over per-rep pairs; the
+    # min-wall efficiency is reported alongside.
+    pairs: dict[str, list] = {q: [] for q in QUERY_SCALES}  # (lo, hi, canary)
     meta: dict[str, dict] = {}
     for rep in range(REPS):
-        for level in (LO, HI):
-            for q, scale in QUERY_SCALES.items():
-                c = canary()
-                r = run_one(q, level, scale)
-                wall = r["queries"][q]
-                results[q][level].append((wall, c))
-                meta[q] = r
-                print(
-                    f"# rep{rep} local[{level}] {q}@{scale}: {wall}s (canary {c}s)",
-                    file=sys.stderr,
-                    flush=True,
-                )
+        for q, scale in QUERY_SCALES.items():
+            c = canary()
+            r_lo = run_one(q, LO, scale)
+            r_hi = run_one(q, HI, scale)
+            lo, hi = r_lo["queries"][q], r_hi["queries"][q]
+            pairs[q].append((lo, hi, c))
+            meta[q] = r_hi
+            print(
+                f"# rep{rep} {q}@{scale}: local[{LO}]={lo}s local[{HI}]={hi}s "
+                f"pair_eff={round(lo / hi / ratio, 3)} (canary {c}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
     per_q = {}
     for q in QUERY_SCALES:
-        t_lo = min(w for w, _ in results[q][LO])
-        t_hi = min(w for w, _ in results[q][HI])
+        lo_runs = [p[0] for p in pairs[q]]
+        hi_runs = [p[1] for p in pairs[q]]
+        t_lo, t_hi = min(lo_runs), min(hi_runs)
+        pair_effs = [round(lo / hi / ratio, 3) for lo, hi, _ in pairs[q]]
         per_q[q] = {
             "scale": QUERY_SCALES[q],
             "t_lo": t_lo,
             "t_hi": t_hi,
-            "eff": round(t_lo / t_hi / ratio, 3),
-            "runs_lo": [w for w, _ in results[q][LO]],
-            "runs_hi": [w for w, _ in results[q][HI]],
-            "canaries": [c for _, c in results[q][LO] + results[q][HI]],
+            "eff": median(pair_effs),
+            "eff_min_walls": round(t_lo / t_hi / ratio, 3),
+            "pair_effs": pair_effs,
+            "runs_lo": lo_runs,
+            "runs_hi": hi_runs,
+            "canaries": [c for _, _, c in pairs[q]],
         }
     suite_eff = round(
-        sum(v["t_lo"] for v in per_q.values())
-        / sum(v["t_hi"] for v in per_q.values())
-        / ratio,
+        median(
+            [
+                sum(pairs[q][rep][0] for q in QUERY_SCALES)
+                / sum(pairs[q][rep][1] for q in QUERY_SCALES)
+                / ratio
+                for rep in range(REPS)
+            ]
+        ),
         3,
     )
     pz = per_q.get("pip_zonal")
@@ -166,19 +187,24 @@ def main():
         "scales sized so compute dominates the fixed driver floor; fresh "
         "12 GB-heap JVM per measurement (48 GB heaps reproducibly poison "
         "repeat executions at the 4N level — a local-mode artifact "
-        "documented in the script); levels interleaved across "
-        f"{REPS} reps on a multi-tenant host, min per level reported; "
-        "single-thread CPU canary logged before every run.",
+        "documented in the script); each rep runs a query's two levels "
+        "back-to-back so both land in the same host-noise window, across "
+        f"{REPS} reps; headline efficiency = median of per-rep pair "
+        "efficiencies (min-wall efficiency shown alongside); single-thread "
+        "CPU canary logged before every pair.",
         "",
-        f"| query | scale | local[{LO}] s (runs) | local[{HI}] s (runs) | raw efficiency |",
-        "|---|---|---|---|---|",
+        f"| query | scale | local[{LO}] s (runs) | local[{HI}] s (runs) | "
+        "pair efficiencies | median eff | min-walls eff |",
+        "|---|---|---|---|---|---|---|",
         *(
             f"| {q} | {v['scale']} | **{v['t_lo']}** {v['runs_lo']} | "
-            f"**{v['t_hi']}** {v['runs_hi']} | **{v['eff']}** |"
+            f"**{v['t_hi']}** {v['runs_hi']} | {v['pair_effs']} | "
+            f"**{v['eff']}** | {v['eff_min_walls']} |"
             for q, v in per_q.items()
         ),
         "",
-        f"**Suite strong-scaling efficiency (Σ min walls): {suite_eff}** "
+        f"**Suite strong-scaling efficiency (median over reps of paired "
+        f"Σ walls): {suite_eff}** "
         "(target ≥ 0.8 per BASELINE.json north_rule).",
         "",
         f"Headline throughput (north metric): **{headline_thr} tiles+docs/s** "

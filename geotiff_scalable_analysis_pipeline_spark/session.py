@@ -60,6 +60,13 @@ def get_spark(
             + os.environ.get("SPARK_EXTRA_JAVA_OPTS", ""),
         )
         .config("spark.ui.enabled", "false")
+        # Hadoop vectored IO on local files is bimodally pathological here:
+        # parquet scan tasks park in the range-read pool's SynchronousQueue
+        # handoff (jstack evidence) and the same scan swings 9 s ↔ 74 s
+        # between reps (documents @ scale 200, local[8]). Classic reads are
+        # stable and faster on page-cached local files; on HDFS/S3 with real
+        # range latency this flips back and should be re-enabled.
+        .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fat-binary tables (media payloads) must split into many more input
         # partitions than the 128 MB default bins allow, or the decode stage
