@@ -1,31 +1,37 @@
-"""Cell-bucketed kNN join via adaptive ring expansion (SURVEY.md §2.4 J5).
+"""Exact kNN join: block-local vectorized pass + adaptive ring escalation
+(SURVEY.md §2.4 J5).
 
-For each query point, the k nearest tile centroids. Spark-first design:
+For each query point, the k nearest tile centroids. Two-tier Spark-first
+design:
 
-* targets are bucketed by level-L quad cell once (small broadcastable table
-  at golden scale; at 100 TB it is the cell-partitioned tiles table and the
-  same plan holds with a shuffle hash join on ``cell``);
-* each round, *unfinished* queries explode the Chebyshev disk of their own
-  per-query lattice radius ``_r`` around their own cell (pure Catalyst
-  ``sequence()`` × 2, ranges clamped to the target bounding box) and
-  equi-join targets on ``cell``;
-* a query finishes when it has ≥k candidates with kth distance ≤ r·res —
-  any target outside disk(r) lies at Euclidean distance > r·res, so the
-  result is provably exact (no approximation);
-* radii are per-query and adaptive: a query that already holds k candidates
-  jumps straight to the provably-sufficient radius ``ceil(sqrt(kth)/res)``
-  (one more round, then done); a query with an empty disk jumps to the
-  distance of the target bounding box (queries in empty space never scan
-  empty lattice); once an upper bound on kth is known, disk cells whose
-  Euclidean lower bound exceeds it are pruned, so the proof round scans an
-  annulus, not the full disk. Candidate volume stays proximity-bounded —
-  never an all-pairs crossJoin, and never the "straggler × whole lattice"
-  round a fixed geometric schedule degenerates to for out-of-distribution
-  queries (measured: 50 k empty-space queries × 2 M targets stalled >14 min
-  at local[8]; adaptive radii finish the same input in seconds).
+* **Block pass** (large target sets): queries and halo-replicated targets
+  are co-partitioned by a coarse spatial block (ONE shuffle each), and a
+  cogrouped pandas UDF computes each block's exact top-k with vectorized
+  numpy. A query is proven finished when its kth distance is strictly
+  inside the block's halo-complete region (every target within the
+  expanded block rectangle is present by construction). Memory per task is
+  bounded by the block size — there is no global sort and no corpus-wide
+  hash aggregate, which is what lets the same plan run on a 1000-executor
+  cluster: block count scales with the data, task memory does not.
+  (Measured alternatives on 60 M candidates at local[8]: row_number()
+  window 170 s; collect_list top-k aggregate 23 s but its map-side partials
+  hold every group per task and topple a 12 GB heap at 240 M candidates;
+  the block pass holds only one block per task.)
+* **Ring escalation** (small target sets, and the few block-pass failures —
+  boundary queries whose kth exceeds the halo, empty-space queries outside
+  the data bbox): per-round, unfinished queries explode the Chebyshev disk
+  of their own per-query lattice radius (pure Catalyst ``sequence()``),
+  equi-join cell-bucketed targets, and finish when kth ≤ r·res (any target
+  outside disk(r) lies strictly beyond r·res — provably exact). Radii are
+  adaptive: a query holding k candidates jumps straight to the provably
+  sufficient radius ``ceil(sqrt(kth)/res)+1``; empty disks jump to the
+  target-bbox distance; known kth upper bounds prune disk cells by
+  Euclidean lower bound so proof rounds scan annuli.
 
 Determinism: distances are exact integer squares; ties broken by
 ``media_ref`` ascending — bit-identical to the DuckDB brute-force oracle.
+(The block pass breaks ties with Python string order, identical to
+UTF8/binary collation for ASCII identifiers like the engine's refs.)
 """
 
 from __future__ import annotations
@@ -36,6 +42,10 @@ from pyspark.sql import functions as F
 from ..functions.cells import cell_res, morton_col
 
 DEFAULT_LEVEL = 5
+
+# use the block-local pass above this many targets; below it the ring loop
+# alone is cheap and avoids pandas-UDF fixed costs
+BLOCK_PASS_MIN_TARGETS = 200_000
 
 
 def pick_level(n_targets: int) -> int:
@@ -71,53 +81,230 @@ def knn_join(
     per-query candidate set stays O(k) regardless of scale.
     """
     import os as _os
-    import sys as _sys
-    import time as _time
 
-    if level is None:
-        level = pick_level(targets.count())
-    res = cell_res(level)
-    n = (1 << level) - 1
+    dbg = _os.environ.get("GSAP_KNN_DEBUG") == "1"
 
-    # target cell key = raw Morton code at `level` (single level → no suffix)
     tgt = targets.select(
         F.col(target_id),
         F.col(tx).cast("long").alias("_tx"),
         F.col(ty).cast("long").alias("_ty"),
+    ).persist()
+    st = tgt.agg(
+        F.count("*").alias("n"),
+        F.min("_tx").alias("ux0"),
+        F.max("_tx").alias("ux1"),
+        F.min("_ty").alias("uy0"),
+        F.max("_ty").alias("uy1"),
+    ).first()
+    n_targets = int(st.n)
+    if n_targets == 0:
+        return (
+            queries.select("q_id")
+            .limit(0)
+            .select(
+                "q_id",
+                F.lit(1).cast("int").alias("rank"),
+                F.lit(None).cast(targets.schema[target_id].dataType).alias(target_id),
+                F.lit(None).cast("long").alias("dist_sq"),
+            )
+        )
+    bbox_units = (int(st.ux0), int(st.ux1), int(st.uy0), int(st.uy1))
+    if level is None:
+        level = pick_level(n_targets)
+
+    q = queries.select(
+        "q_id",
+        F.col(x).cast("long").alias("_qx"),
+        F.col(y).cast("long").alias("_qy"),
     )
+
+    if n_targets < BLOCK_PASS_MIN_TARGETS:
+        return _ring_knn(
+            q, tgt, k, level, target_id, bbox_units, initial_radius, radius_growth, dbg
+        )
+
+    finished, escalated_q = _block_knn(
+        queries.sparkSession, q, tgt, k, target_id, targets.schema[target_id].dataType,
+        bbox_units, n_targets, dbg,
+    )
+    rescued = _ring_knn(
+        q.join(escalated_q, "q_id"), tgt, k, level, target_id, bbox_units,
+        initial_radius, radius_growth, dbg,
+    )
+    return finished.unionByName(rescued)
+
+
+def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_targets, dbg):
+    """One-shuffle block-local exact kNN; returns (finished_df, escalated_q_ids).
+
+    Targets are replicated into every block whose halo-expanded rectangle
+    contains them (≤4 copies since halo ≤ block/2), so each block task holds
+    EVERY target within ``halo`` of its rectangle — the per-query proof
+    bound is the distance to that expanded rectangle's boundary.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ux0, ux1, uy0, uy1 = bbox_units
+    span = max(ux1 - ux0 + 1, uy1 - uy0 + 1)
+    # block grid sized for ~16k targets/block; halo from mean density so a
+    # typical query's kth lands well inside it (cold regions in a 2:1
+    # hot/cold split stay covered by the 3x margin)
+    B = min(12, max(0, round(math.log(max(n_targets / 8000.0, 1.0), 4))))
+    nb = 1 << B
+    bs = span / nb
+    rho = n_targets / float(max(ux1 - ux0 + 1, 1) * max(uy1 - uy0 + 1, 1))
+    halo = float(min(bs / 2, max(16.0, 3.0 * math.sqrt((k + 4) / (math.pi * rho)))))
+
+    def blk_col(c, lo):
+        return F.greatest(
+            F.lit(0), F.least(F.lit(nb - 1), F.floor((c - F.lit(lo)) / F.lit(bs)).cast("long"))
+        )
+
+    qb = q.withColumn(
+        "_blk", blk_col(F.col("_qx"), ux0) * F.lit(8192) + blk_col(F.col("_qy"), uy0)
+    )
+    rng = lambda c, lo: F.sequence(  # noqa: E731
+        blk_col(c - F.lit(halo), lo), blk_col(c + F.lit(halo), lo)
+    )
+    tb = (
+        tgt.withColumn("_bx", F.explode(rng(F.col("_tx"), ux0)))
+        .withColumn("_by", F.explode(rng(F.col("_ty"), uy0)))
+        .withColumn("_blk", F.col("_bx") * F.lit(8192) + F.col("_by"))
+        .drop("_bx", "_by")
+    )
+
+    schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField(target_id, target_id_type),
+            StructField("dist_sq", LongType()),
+            StructField("_ok", BooleanType()),
+        ]
+    )
+
+    def block_topk(key, qp: pd.DataFrame, tp: pd.DataFrame) -> pd.DataFrame:
+        if len(qp) == 0:
+            return pd.DataFrame({f.name: [] for f in schema.fields})
+        qid = qp["q_id"].to_numpy(np.int64)
+        if len(tp) == 0:
+            return pd.DataFrame(
+                {"q_id": qid, "rank": 0, target_id: None, "dist_sq": -1, "_ok": False}
+            )
+        blk = int(key[0])
+        bxi, byi = blk // 8192, blk % 8192
+        lox, hix = ux0 + bxi * bs - halo, ux0 + (bxi + 1) * bs + halo
+        loy, hiy = uy0 + byi * bs - halo, uy0 + (byi + 1) * bs + halo
+        qxv = qp["_qx"].to_numpy(np.int64)
+        qyv = qp["_qy"].to_numpy(np.int64)
+        # pre-sort targets by ref: column index then IS the tiebreak order,
+        # so key = dist·T + j ranks by (dist, ref) with NO ties — top-k and
+        # deterministic tiebreak in one vectorized argpartition+sort.
+        # (dist < 2^36, T < 2^17 ⇒ key < 2^53, exact in int64.)
+        tp = tp.sort_values(target_id, kind="mergesort")
+        txv = tp["_tx"].to_numpy(np.int64)
+        tyv = tp["_ty"].to_numpy(np.int64)
+        refs = tp[target_id].to_numpy()
+        # proof bound: distance from q to the halo-complete region boundary
+        bq = np.minimum.reduce([qxv - lox, hix - qxv, qyv - loy, hiy - qyv]).astype(np.float64)
+        T = len(txv)
+        kk = min(k, T)
+        jcol = np.arange(T, dtype=np.int64)[None, :]
+        parts = []
+        chunk = max(1, (1 << 23) // T)
+        for s in range(0, len(qid), chunk):
+            e = min(s + chunk, len(qid))
+            dx = qxv[s:e, None] - txv[None, :]
+            dy = qyv[s:e, None] - tyv[None, :]
+            key_m = (dx * dx + dy * dy) * T + jcol
+            if kk < T:
+                sel = np.take_along_axis(key_m, np.argpartition(key_m, kk - 1, axis=1)[:, :kk], 1)
+            else:
+                sel = key_m
+            sel = np.sort(sel, axis=1)
+            j = sel % T
+            dsel = sel // T
+            ok = np.repeat((bq[s:e] > 0) & (dsel[:, -1] < bq[s:e] ** 2) & (kk == k), kk)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "q_id": np.repeat(qid[s:e], kk),
+                        "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), e - s),
+                        target_id: refs[j.ravel()],
+                        "dist_sq": dsel.ravel(),
+                        "_ok": ok,
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    res = (
+        qb.groupBy("_blk")
+        .cogroup(tb.groupBy("_blk"))
+        .applyInPandas(block_topk, schema)
+        .persist()
+    )
+    finished = res.filter(F.col("_ok")).drop("_ok")
+    escalated = res.filter(~F.col("_ok")).select("q_id").distinct()
+    if dbg:
+        import sys
+
+        n_esc = escalated.count()
+        print(
+            f"# knn block pass: blocks={nb}x{nb} halo={halo:.0f} escalated={n_esc}",
+            file=sys.stderr,
+            flush=True,
+        )
+    return finished, escalated
+
+
+def _ring_knn(q, tgt, k, level, target_id, bbox_units, initial_radius, radius_growth, dbg):
+    """Adaptive ring-expansion exact kNN over cell-bucketed targets.
+
+    ``q``: (q_id, _qx, _qy); ``tgt``: (<target_id>, _tx, _ty), persisted.
+    """
+    import sys as _sys
+    import time as _time
+
+    res = cell_res(level)
+    n = (1 << level) - 1
     lat_t = lambda c: F.greatest(  # noqa: E731
         F.lit(0), F.least(F.lit(n), F.floor(F.col(c) / F.lit(res)).cast("long"))
     )
-    tgt = tgt.withColumn("_tix", lat_t("_tx")).withColumn("_tiy", lat_t("_ty"))
-    tgt = tgt.withColumn("_tcell", morton_col(F.col("_tix"), F.col("_tiy"), level))
-    tgt = tgt.persist()
+    tgtc = (
+        tgt.withColumn("_tix", lat_t("_tx"))
+        .withColumn("_tiy", lat_t("_ty"))
+        .withColumn("_tcell", morton_col(F.col("_tix"), F.col("_tiy"), level))
+        .persist()
+    )
+    ux0, ux1, uy0, uy1 = bbox_units
+    import math
 
-    # target lattice bounding box: four longs, one tiny job on the persisted
-    # targets. Disk ranges clamp to it, so queries in empty space never
-    # explode cells no target occupies.
-    bb = tgt.agg(
-        F.min("_tix").alias("x0"),
-        F.max("_tix").alias("x1"),
-        F.min("_tiy").alias("y0"),
-        F.max("_tiy").alias("y1"),
-    ).first()
-    bx0, bx1, by0, by1 = int(bb.x0), int(bb.x1), int(bb.y0), int(bb.y1)
+    bx0, bx1 = max(0, min(n, math.floor(ux0 / res))), max(0, min(n, math.floor(ux1 / res)))
+    by0, by1 = max(0, min(n, math.floor(uy0 / res))), max(0, min(n, math.floor(uy1 / res)))
 
     # query lattice coords are UNCLAMPED (may lie outside [0, n]): the
     # finish-test proof `dist(outside disk(r)) > r·res` needs the disk
-    # centered on the query's true cell, and the bbox clamp above keeps
+    # centered on the query's true cell, and the bbox clamp keeps
     # out-of-frame disks cheap.
     remaining = (
-        queries.select("q_id", x, y)
-        .withColumn("_qix", F.floor(F.col(x) / F.lit(res)).cast("long"))
-        .withColumn("_qiy", F.floor(F.col(y) / F.lit(res)).cast("long"))
+        q.withColumn("_qix", F.floor(F.col("_qx") / F.lit(res)).cast("long"))
+        .withColumn("_qiy", F.floor(F.col("_qy") / F.lit(res)).cast("long"))
         .withColumn("_r", F.lit(int(initial_radius)).cast("long"))
         .withColumn("_ub", F.lit(None).cast("long"))  # kth-so-far squared
         .persist()
     )
     finished: list[DataFrame] = []
-
-    _dbg = _os.environ.get("GSAP_KNN_DEBUG") == "1"
     rounds = 0
     while True:
         rounds += 1
@@ -153,17 +340,16 @@ def knn_join(
         )
         disk = disk.withColumn("_tcell", morton_col(F.col("_cix"), F.col("_ciy"), level))
 
-        # tight projections matter more than anything else here: the join
-        # shuffle and the window sort move tens of millions of candidate
-        # rows; carrying the bookkeeping columns through them (measured
-        # ~200 B/row vs ~40 B) turns the sort into a spill loop.
-        disk = disk.select("q_id", F.col(x).cast("long").alias("_qx"), F.col(y).cast("long").alias("_qy"), "_tcell")
+        # tight projections: the join shuffle and the aggregate move tens of
+        # millions of candidate rows; bookkeeping columns (measured
+        # ~200 B/row vs ~40 B) turn them into spill loops.
+        disk = disk.select("q_id", "_qx", "_qy", "_tcell")
 
         # shuffle-hash, not broadcast: rebuilding a broadcast of the target
         # table every round serializes on the driver; a shuffle of the
         # (persisted) targets parallelizes and AQE handles skewed cells
         cand = disk.join(
-            tgt.select("_tcell", "_tx", "_ty", target_id).hint("shuffle_hash"), "_tcell"
+            tgtc.select("_tcell", "_tx", "_ty", target_id).hint("shuffle_hash"), "_tcell"
         )
 
         scored = cand.select(
@@ -177,10 +363,10 @@ def knn_join(
         # Per-query top-k as an AGGREGATE, not a rank window: collect the
         # candidate structs per q_id (hash aggregate, map-side partials, no
         # global sort), sort each ~O(density) list, slice k. Measured on 60 M
-        # candidates at local[8]: row_number() window 170 s (two full sorts
-        # of the candidate set around the shuffle) vs 23 s for this form.
-        # Ties break on (dist_sq, <target_id>) — identical to the window's
-        # orderBy and to the DuckDB oracle.
+        # candidates at local[8]: row_number() window 170 s vs 23 s for this
+        # form — and it carries the finish-test count and kth bound in the
+        # same pass. Ties break on (dist_sq, <target_id>) — identical to the
+        # DuckDB oracle.
         collected = (
             scored.groupBy("q_id")
             .agg(
@@ -217,7 +403,7 @@ def knn_join(
 
         # next per-query radius:
         # * k candidates in hand → jump to the provably-sufficient radius
-        #   ceil(sqrt(kth))/res (the next round always passes the finish
+        #   ceil(sqrt(kth))/res + 1 (the next round always passes the finish
         #   test: kth can only shrink);
         # * still short of k → geometric growth, floored at the distance to
         #   the target bbox so empty-space queries skip empty lattice.
@@ -245,7 +431,7 @@ def knn_join(
             .persist()
         )
         empty = remaining.isEmpty()
-        if _dbg:
+        if dbg:
             print(
                 f"# knn round {rounds} took {_time.time() - _t0:.1f}s "
                 f"remaining={'0' if empty else remaining.count()}",

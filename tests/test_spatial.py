@@ -166,3 +166,31 @@ def test_salted_zonal_identical(spark, corpus):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_block_pass_exact(spark, duck, corpus, monkeypatch):
+    """The block-local cogroup pass (used above BLOCK_PASS_MIN_TARGETS) must
+    be bit-identical to the ring path / DuckDB brute force — forced on here
+    by dropping the threshold so the golden corpus exercises block top-k,
+    halo proof bounds, and the escalation hand-off."""
+    monkeypatch.setattr(knn_op, "BLOCK_PASS_MIN_TARGETS", 0)
+    got = (
+        knn_op.knn_join(corpus["points"], corpus["tiles"], k=CFG.knn_k)
+        .orderBy("q_id", "rank")
+        .toPandas()
+    )
+    d = "(q.qx-t.cx)*(q.qx-t.cx)+(q.qy-t.cy)*(q.qy-t.cy)"
+    oracle = duck.execute(
+        f"""WITH {dg.tiles_sql(CFG)}, {dg.points_sql(CFG)},
+        scored AS (
+          SELECT q.q_id, t.media_ref, {d} AS dist_sq,
+                 row_number() OVER (PARTITION BY q.q_id ORDER BY {d}, t.media_ref) AS rank
+          FROM qpts q CROSS JOIN tiles_geo t)
+        SELECT q_id, rank, media_ref, dist_sq FROM scored WHERE rank <= {CFG.knn_k}
+        ORDER BY q_id, rank"""
+    ).fetchdf()
+    assert len(got) == CFG.n_points * CFG.knn_k == len(oracle)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"dist_sq": "int64", "rank": "int64"}),
+        oracle.reset_index(drop=True).astype({"dist_sq": "int64", "rank": "int64"}),
+    )
