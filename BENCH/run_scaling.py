@@ -9,9 +9,11 @@ Methodology (round 2 — each point hard-won against this VM's noise):
 
 * **Per-query scales.** Fixed driver overhead (~2-6 s of job barriers,
   broadcast builds, AQE stage scheduling) does not shrink with more cores;
-  a query must run long enough that compute dominates. Each query gets the
-  corpus scale where its 2-core wall is ≥ 30 s (pip_zonal/knn at
-  BENCH_SCALE=100 = 12 M interleaved units; raster/zonal at 40).
+  a query must run long enough that compute dominates. Each query runs at
+  the QUERY_SCALES default below — chosen so its 2-core wall is ≥ 30 s
+  (pip_zonal at BENCH_SCALE=200 = 24 M interleaved units, knn at 400,
+  zonal_stats at 80, raster_stats at 40). A measurement whose 2-core wall
+  is under ~30 s is floor-dominated and is NOT valid efficiency evidence.
 * **Fresh JVM per measurement, warm + one timed rep inside.** Local-mode
   JVMs DEGRADE on repeated heavy queries when the heap is large: with
   SPARK_DRIVER_MEM=48g the *second* execution of the pip_zonal plan at
@@ -96,6 +98,7 @@ def run_one(query: str, cpus: int, scale: int) -> dict:
         BENCH_REPS="1",
         BENCH_STEADY="1",
         SPARK_DRIVER_MEM=DRIVER_MEM,
+        SPARK_XMS=DRIVER_MEM,  # full heap pin — methodology opt-in (session.py)
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

@@ -161,18 +161,8 @@ def bench_knn(spark):
 
 
 def bench_pyramid(spark):
-    from geotiff_scalable_analysis_pipeline_spark.functions.cells import parent_col
-
     base = raster.tile_footprints(_t(spark, "tiles"), 8).select("media_ref", "cell")
-    levels = [base.groupBy("cell").agg(F.count("*").alias("n_tiles"))]
-    cur = base
-    for _ in range(4):
-        cur = cur.select("media_ref", parent_col(F.col("cell")).alias("cell")).distinct()
-        levels.append(cur.groupBy("cell").agg(F.count("*").alias("n_tiles")))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    _force(out)
+    _force(raster.pyramid_rollup(base, n_levels=5))
     return N_TILES
 
 

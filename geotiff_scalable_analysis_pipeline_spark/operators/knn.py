@@ -1,37 +1,46 @@
-"""Exact kNN join: block-local vectorized pass + adaptive ring escalation
-(SURVEY.md §2.4 J5).
+"""Exact kNN join: block-local vectorized pass + one-shot radius-oracle
+finish (SURVEY.md §2.4 J5).
 
 For each query point, the k nearest tile centroids. Two-tier Spark-first
-design:
+design with NO driver-side iteration — the round-2 adaptive ring loop spent
+~5 Spark stages per round on driver barriers, which was the residual serial
+floor in the N→4N scaling evidence; every path is now a fixed small number
+of driver actions:
 
 * **Block pass** (large target sets): queries and halo-replicated targets
   are co-partitioned by a coarse spatial block (ONE shuffle each), and a
-  cogrouped pandas UDF computes each block's exact top-k with vectorized
-  numpy. A query is proven finished when its kth distance is strictly
-  inside the block's halo-complete region (every target within the
+  cogrouped pandas UDF computes each block's exact top-k with a BLAS-backed
+  exact-integer kernel. A query is proven finished when its kth distance is
+  strictly inside the block's halo-complete region (every target within the
   expanded block rectangle is present by construction). Memory per task is
-  bounded by the block size — there is no global sort and no corpus-wide
-  hash aggregate, which is what lets the same plan run on a 1000-executor
-  cluster: block count scales with the data, task memory does not.
-  (Measured alternatives on 60 M candidates at local[8]: row_number()
-  window 170 s; collect_list top-k aggregate 23 s but its map-side partials
-  hold every group per task and topple a 12 GB heap at 240 M candidates;
-  the block pass holds only one block per task.)
-* **Ring escalation** (small target sets, and the few block-pass failures —
-  boundary queries whose kth exceeds the halo, empty-space queries outside
-  the data bbox): per-round, unfinished queries explode the Chebyshev disk
-  of their own per-query lattice radius (pure Catalyst ``sequence()``),
-  equi-join cell-bucketed targets, and finish when kth ≤ r·res (any target
-  outside disk(r) lies strictly beyond r·res — provably exact). Radii are
-  adaptive: a query holding k candidates jumps straight to the provably
-  sufficient radius ``ceil(sqrt(kth)/res)+1``; empty disks jump to the
-  target-bbox distance; known kth upper bounds prune disk cells by
-  Euclidean lower bound so proof rounds scan annuli.
+  bounded by the block size AND by a data-driven salt plan that splits
+  overloaded blocks (dense clusters) into hash(q_id) sub-tasks — there is
+  no global sort and no corpus-wide hash aggregate, which is what lets the
+  same plan run on a 1000-executor cluster: block count scales with the
+  data, task memory does not. (Measured alternatives on 60 M candidates at
+  local[8]: row_number() window 170 s; collect_list top-k aggregate 23 s
+  but its map-side partials hold every group per task and topple a 12 GB
+  heap at 240 M candidates; the block pass holds only one block per task.)
+* **One-shot radius oracle** (small target sets, and the few block-pass
+  failures — boundary queries whose kth exceeds the halo, empty-space
+  queries outside the data bbox): a per-cell target-count grid at a
+  bounded lattice level (≤ 2^8 per axis — the collect is ≤ 65 k rows no
+  matter the corpus size) becomes a 2-D integral image; a vectorized binary
+  search over O(1) clamped-disk counts gives every query the smallest
+  lattice radius r' whose disk holds ≥ k targets, hence the provably
+  sufficient join radius r = ceil(√2·(r'+1)) (any k targets inside
+  Chebyshev r' are within √2·(r'+1)·res, and nothing outside disk(r) can
+  be closer than r·res ≥ that). Queries arriving with a kth upper bound
+  from the block pass skip the search: r = ceil(√kth/res)+1. One disk
+  explode (pure Catalyst ``sequence()``), one cell equi-join, one
+  aggregate top-k — exact by construction, zero rounds.
 
 Determinism: distances are exact integer squares; ties broken by
 ``media_ref`` ascending — bit-identical to the DuckDB brute-force oracle.
 (The block pass breaks ties with Python string order, identical to
-UTF8/binary collation for ASCII identifiers like the engine's refs.)
+UTF8/binary collation for ASCII identifiers like the engine's refs; its
+float64 BLAS distances are exact because every intermediate is an integer
+below 2^53.)
 """
 
 from __future__ import annotations
@@ -43,18 +52,26 @@ from ..functions.cells import cell_res, morton_col
 
 DEFAULT_LEVEL = 5
 
-# use the block-local pass above this many targets; below it the ring loop
-# alone is cheap and avoids pandas-UDF fixed costs
+# use the block-local pass above this many targets; below it the one-shot
+# radius-oracle path alone is cheap and avoids pandas-UDF fixed costs
 BLOCK_PASS_MIN_TARGETS = 200_000
+
+# lattice level cap for the radius-oracle count grid: the driver collect is
+# bounded at (2^8)^2 = 65 k cells regardless of corpus size
+GRID_MAX_LEVEL = 8
 
 
 def pick_level(n_targets: int) -> int:
     """Bucket level targeting ~6 targets/cell over the frame:
     cells(L) ≈ (0.763·2^L)² ⇒ L = log4(n/3.5), clamped to [3, 17].
 
-    (The upper clamp only guards the Morton code width — 2·17 bits — and the
+    The result is valid ONLY for the kNN lattice path (raw Morton codes at
+    ``level`` bits per axis — no level packing): 17 exceeds
+    ``cells.MAX_LEVEL`` (16), so feeding it to ``cell_id_col``/``parent_col``
+    would violate the packed cell-id layout contract documented in cells.py.
+    The upper clamp only guards the Morton code width — 2·17 bits — and the
     lattice arithmetic; adaptive radii handle sparse/empty neighborhoods, so
-    a deep lattice on a small corpus costs rounds, not correctness.)"""
+    a deep lattice on a small corpus costs rounds, not correctness."""
     import math
 
     if n_targets < 8:
@@ -72,23 +89,29 @@ def knn_join(
     tx: str = "cx",
     ty: str = "cy",
     target_id: str = "media_ref",
-    initial_radius: int = 1,
-    radius_growth: int = 4,
 ) -> DataFrame:
     """Exact kNN: (q_id, rank, <target_id>, dist_sq), rank 1..k.
 
     ``level=None`` auto-sizes the cell grid from the target count so the
     per-query candidate set stays O(k) regardless of scale.
+
+    The returned frame is **materialized and cached** (one extra count job):
+    the algorithm persists per-round intermediates, and materializing the
+    result lets every intermediate be unpersisted before returning — executor
+    storage does not accumulate across rounds or across repeated knn_join
+    calls in one session. Callers may ``unpersist()`` the result when done.
     """
     import os as _os
 
     dbg = _os.environ.get("GSAP_KNN_DEBUG") == "1"
+    cached: list[DataFrame] = []
 
     tgt = targets.select(
         F.col(target_id),
         F.col(tx).cast("long").alias("_tx"),
         F.col(ty).cast("long").alias("_ty"),
     ).persist()
+    cached.append(tgt)
     st = tgt.agg(
         F.count("*").alias("n"),
         F.min("_tx").alias("ux0"),
@@ -118,29 +141,52 @@ def knn_join(
         F.col(y).cast("long").alias("_qy"),
     )
 
+    glevel = min(level, GRID_MAX_LEVEL)
     if n_targets < BLOCK_PASS_MIN_TARGETS:
-        return _ring_knn(
-            q, tgt, k, level, target_id, bbox_units, initial_radius, radius_growth, dbg
+        out = _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached)
+    else:
+        finished, escalated = _block_knn(
+            queries.sparkSession, q, tgt, k, target_id, targets.schema[target_id].dataType,
+            bbox_units, n_targets, dbg, cached,
         )
+        # escalated carries each failed query's kth-so-far from the block pass
+        # (a valid upper bound on the true kth — it came from a target
+        # subset). The one-shot pass turns that bound directly into the
+        # provably sufficient join radius; unbounded failures (blocks with
+        # fewer than k targets) get theirs from the count-grid oracle.
+        rescued = _oneshot_knn(
+            q.join(escalated, "q_id"), tgt, k, glevel, target_id, n_targets, dbg, cached
+        )
+        out = finished.unionByName(rescued)
 
-    finished, escalated_q = _block_knn(
-        queries.sparkSession, q, tgt, k, target_id, targets.schema[target_id].dataType,
-        bbox_units, n_targets, dbg,
-    )
-    rescued = _ring_knn(
-        q.join(escalated_q, "q_id"), tgt, k, level, target_id, bbox_units,
-        initial_radius, radius_growth, dbg,
-    )
-    return finished.unionByName(rescued)
+    out = out.persist()
+    out.count()
+    for f in cached:
+        f.unpersist()
+    return out
 
 
-def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_targets, dbg):
-    """One-shuffle block-local exact kNN; returns (finished_df, escalated_q_ids).
+def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_targets, dbg, cached):
+    """One-shuffle block-local exact kNN; returns (finished_df, escalated)
+    where escalated = (q_id, _kth0) — the failed queries with their kth-so-far
+    squared distance (null when the block held fewer than k targets).
 
     Targets are replicated into every block whose halo-expanded rectangle
     contains them (≤4 copies since halo ≤ block/2), so each block task holds
     EVERY target within ``halo`` of its rectangle — the per-query proof
     bound is the distance to that expanded rectangle's boundary.
+
+    Skew: a uniform block grid puts a dense cluster's queries AND targets in
+    one cogroup task — measured 122 s single-task on the Zipf corpus at
+    400 k targets while 31 cores idled. Two counters: (a) the grid is sized
+    for ~2 k mean targets/block (a dense cluster's per-block pair work falls
+    quadratically with block side); (b) a data-driven salt plan (exact
+    per-block load histogram, broadcast — same pattern as plans/skew.py)
+    splits any block whose query×target product still exceeds PAIR_BUDGET
+    into hash(q_id)-salted sub-tasks, replicating the block's targets per
+    salt. Every sub-task holds the full block target set, so the halo proof
+    is untouched; per-task work is bounded by PAIR_BUDGET regardless of how
+    the corpus clusters.
     """
     import math
 
@@ -156,10 +202,10 @@ def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_target
 
     ux0, ux1, uy0, uy1 = bbox_units
     span = max(ux1 - ux0 + 1, uy1 - uy0 + 1)
-    # block grid sized for ~16k targets/block; halo from mean density so a
-    # typical query's kth lands well inside it (cold regions in a 2:1
+    # block grid sized for ~2k mean targets/block; halo from mean density so
+    # a typical query's kth lands well inside it (cold regions in a 2:1
     # hot/cold split stay covered by the 3x margin)
-    B = min(12, max(0, round(math.log(max(n_targets / 8000.0, 1.0), 4))))
+    B = min(12, max(0, round(math.log(max(n_targets / 2000.0, 1.0), 4))))
     nb = 1 << B
     bs = span / nb
     rho = n_targets / float(max(ux1 - ux0 + 1, 1) * max(uy1 - uy0 + 1, 1))
@@ -181,6 +227,54 @@ def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_target
         .withColumn("_by", F.explode(rng(F.col("_ty"), uy0)))
         .withColumn("_blk", F.col("_bx") * F.lit(8192) + F.col("_by"))
         .drop("_bx", "_by")
+    )
+
+    # data-driven block salt plan: split blocks whose pair work exceeds the
+    # per-task budget. Core-block target counts (no halo) approximate the
+    # load within the ~1.2x replication factor — the plan only needs the
+    # right order of magnitude. Broadcast join, no driver collect.
+    PAIR_BUDGET = 1 << 27
+    tcnt = (
+        tgt.select(
+            (blk_col(F.col("_tx"), ux0) * F.lit(8192) + blk_col(F.col("_ty"), uy0)).alias(
+                "_blk"
+            )
+        )
+        .groupBy("_blk")
+        .agg(F.count("*").alias("_tc"))
+    )
+    plan = (
+        qb.groupBy("_blk")
+        .agg(F.count("*").alias("_qc"))
+        .join(tcnt, "_blk")
+        .select(
+            "_blk",
+            F.least(
+                F.lit(1024),
+                F.ceil(F.col("_qc") * F.col("_tc") / F.lit(float(PAIR_BUDGET))).cast("int"),
+            ).alias("_ns"),
+        )
+        .filter(F.col("_ns") > 1)
+    )
+    qb = (
+        qb.join(F.broadcast(plan), "_blk", "left")
+        .withColumn(
+            "_qs",
+            F.when(
+                F.col("_ns").isNotNull(), F.pmod(F.xxhash64("q_id"), F.col("_ns"))
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("_ns")
+    )
+    tb = (
+        tb.join(F.broadcast(plan), "_blk", "left")
+        .withColumn(
+            "_qs",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("_ns"), F.lit(1)).cast("long") - 1)
+            ),
+        )
+        .drop("_ns")
     )
 
     schema = StructType(
@@ -210,7 +304,7 @@ def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_target
         # pre-sort targets by ref: column index then IS the tiebreak order,
         # so key = dist·T + j ranks by (dist, ref) with NO ties — top-k and
         # deterministic tiebreak in one vectorized argpartition+sort.
-        # (dist < 2^36, T < 2^17 ⇒ key < 2^53, exact in int64.)
+        # (dist < 2^36, T < 2^27 ⇒ key < 2^63, exact in int64.)
         tp = tp.sort_values(target_id, kind="mergesort")
         txv = tp["_tx"].to_numpy(np.int64)
         tyv = tp["_ty"].to_numpy(np.int64)
@@ -220,13 +314,28 @@ def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_target
         T = len(txv)
         kk = min(k, T)
         jcol = np.arange(T, dtype=np.int64)[None, :]
+        # distances via a BLAS gemm: |q|² + |t|² − 2 q·t. All values are
+        # integers < 2^37 so every float64 intermediate is exactly
+        # representable (< 2^53) — bit-identical to int64 arithmetic, but
+        # cache-blocked instead of streaming three O(n·T) int64 temps
+        # through DRAM (the int64 broadcast form was the task-time floor).
+        QT = np.empty((len(qid), 2), dtype=np.float64)
+        QT[:, 0] = qxv
+        QT[:, 1] = qyv
+        TT = np.empty((2, T), dtype=np.float64)
+        TT[0] = txv
+        TT[1] = tyv
+        tn2 = (TT[0] * TT[0] + TT[1] * TT[1])[None, :]
+        qn2 = QT[:, 0] * QT[:, 0] + QT[:, 1] * QT[:, 1]
         parts = []
         chunk = max(1, (1 << 23) // T)
         for s in range(0, len(qid), chunk):
             e = min(s + chunk, len(qid))
-            dx = qxv[s:e, None] - txv[None, :]
-            dy = qyv[s:e, None] - tyv[None, :]
-            key_m = (dx * dx + dy * dy) * T + jcol
+            d = QT[s:e] @ TT
+            d *= -2.0
+            d += qn2[s:e, None]
+            d += tn2
+            key_m = d.astype(np.int64) * T + jcol
             if kk < T:
                 sel = np.take_along_axis(key_m, np.argpartition(key_m, kk - 1, axis=1)[:, :kk], 1)
             else:
@@ -249,13 +358,18 @@ def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_target
         return pd.concat(parts, ignore_index=True)
 
     res = (
-        qb.groupBy("_blk")
-        .cogroup(tb.groupBy("_blk"))
+        qb.groupBy("_blk", "_qs")
+        .cogroup(tb.groupBy("_blk", "_qs"))
         .applyInPandas(block_topk, schema)
         .persist()
     )
+    cached.append(res)
     finished = res.filter(F.col("_ok")).drop("_ok")
-    escalated = res.filter(~F.col("_ok")).select("q_id").distinct()
+    escalated = (
+        res.filter(~F.col("_ok"))
+        .groupBy("q_id")
+        .agg(F.max(F.when(F.col("rank") == k, F.col("dist_sq"))).alias("_kth0"))
+    )
     if dbg:
         import sys
 
@@ -268,180 +382,193 @@ def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_target
     return finished, escalated
 
 
-def _ring_knn(q, tgt, k, level, target_id, bbox_units, initial_radius, radius_growth, dbg):
-    """Adaptive ring-expansion exact kNN over cell-bucketed targets.
 
-    ``q``: (q_id, _qx, _qy); ``tgt``: (<target_id>, _tx, _ty), persisted.
+
+def _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached):
+    """Single-action exact kNN finish: per-query provably-sufficient radius →
+    one disk explode → one cell equi-join → one aggregate top-k.
+
+    ``q``: (q_id, _qx, _qy[, _kth0]); ``tgt``: (<target_id>, _tx, _ty),
+    persisted. ``_kth0`` (a known kth-distance-squared upper bound, e.g. from
+    the block pass; null/absent when unknown) short-circuits the radius
+    oracle: r = ceil(sqrt(kth0)/res) + 1 is sufficient because the k
+    candidates that produced the bound lie inside disk(r) and anything
+    outside is strictly beyond r·res ≥ sqrt(kth0).
+
+    For unbounded queries the radius comes from a target-count grid at
+    ``glevel`` (≤ GRID_MAX_LEVEL, so the driver collect is bounded at 65 k
+    rows regardless of corpus size) turned into a 2-D integral image:
+    a vectorized binary search finds the smallest r' whose clamped Chebyshev
+    disk holds ≥ min(k, n_targets) targets, and r = ceil(√2·(r'+1)) makes
+    the k nearest provably inside the join disk (per-axis separation of
+    cells within Chebyshev r' is < (r'+1)·res ⇒ Euclidean < √2·(r'+1)·res ≤
+    r·res, while anything outside disk(r) is strictly beyond r·res).
+
+    Zero driver-side iteration: the grid collect and the final aggregate are
+    the only actions, at any corpus size or query distribution.
     """
-    import sys as _sys
-    import time as _time
+    import numpy as np
+    import pandas as pd
 
-    res = cell_res(level)
-    n = (1 << level) - 1
+    res = cell_res(glevel)
+    n = (1 << glevel) - 1
+
     lat_t = lambda c: F.greatest(  # noqa: E731
         F.lit(0), F.least(F.lit(n), F.floor(F.col(c) / F.lit(res)).cast("long"))
     )
     tgtc = (
         tgt.withColumn("_tix", lat_t("_tx"))
         .withColumn("_tiy", lat_t("_ty"))
-        .withColumn("_tcell", morton_col(F.col("_tix"), F.col("_tiy"), level))
-        .persist()
-    )
-    ux0, ux1, uy0, uy1 = bbox_units
-    import math
-
-    bx0, bx1 = max(0, min(n, math.floor(ux0 / res))), max(0, min(n, math.floor(ux1 / res)))
-    by0, by1 = max(0, min(n, math.floor(uy0 / res))), max(0, min(n, math.floor(uy1 / res)))
-
-    # query lattice coords are UNCLAMPED (may lie outside [0, n]): the
-    # finish-test proof `dist(outside disk(r)) > r·res` needs the disk
-    # centered on the query's true cell, and the bbox clamp keeps
-    # out-of-frame disks cheap.
-    remaining = (
-        q.withColumn("_qix", F.floor(F.col("_qx") / F.lit(res)).cast("long"))
-        .withColumn("_qiy", F.floor(F.col("_qy") / F.lit(res)).cast("long"))
-        .withColumn("_r", F.lit(int(initial_radius)).cast("long"))
-        .withColumn("_ub", F.lit(None).cast("long"))  # kth-so-far squared
-        .persist()
-    )
-    finished: list[DataFrame] = []
-    rounds = 0
-    while True:
-        rounds += 1
-        if rounds > 64:  # radii grow monotonically; this is unreachable
-            raise RuntimeError("knn_join failed to converge")
-        _t0 = _time.time()
-
-        ranges = (
-            remaining.withColumn("_xlo", F.greatest(F.col("_qix") - F.col("_r"), F.lit(bx0)))
-            .withColumn("_xhi", F.least(F.col("_qix") + F.col("_r"), F.lit(bx1)))
-            .withColumn("_ylo", F.greatest(F.col("_qiy") - F.col("_r"), F.lit(by0)))
-            .withColumn("_yhi", F.least(F.col("_qiy") + F.col("_r"), F.lit(by1)))
-        )
-        covered = (
-            (F.col("_xlo") == bx0)
-            & (F.col("_xhi") == bx1)
-            & (F.col("_ylo") == by0)
-            & (F.col("_yhi") == by1)
-        )
-        disk = (
-            ranges.filter((F.col("_xlo") <= F.col("_xhi")) & (F.col("_ylo") <= F.col("_yhi")))
-            .withColumn("_cix", F.explode(F.sequence(F.col("_xlo"), F.col("_xhi"))))
-            .withColumn("_ciy", F.explode(F.sequence(F.col("_ylo"), F.col("_yhi"))))
-        )
-        # Euclidean lower-bound prune: any target in cell (cix,ciy) is at
-        # dist_sq ≥ lb² per axis; once a kth upper bound is known, cells that
-        # provably cannot improve the top-k (lb² > ub, strict — ties keep the
-        # cell) are skipped, so the proof round scans an annulus.
-        lbx = F.greatest(F.abs(F.col("_cix") - F.col("_qix")) - 1, F.lit(0)) * F.lit(res)
-        lby = F.greatest(F.abs(F.col("_ciy") - F.col("_qiy")) - 1, F.lit(0)) * F.lit(res)
-        disk = disk.filter(
-            F.col("_ub").isNull() | ((lbx * lbx + lby * lby).cast("long") <= F.col("_ub"))
-        )
-        disk = disk.withColumn("_tcell", morton_col(F.col("_cix"), F.col("_ciy"), level))
-
-        # tight projections: the join shuffle and the aggregate move tens of
-        # millions of candidate rows; bookkeeping columns (measured
-        # ~200 B/row vs ~40 B) turn them into spill loops.
-        disk = disk.select("q_id", "_qx", "_qy", "_tcell")
-
-        # shuffle-hash, not broadcast: rebuilding a broadcast of the target
-        # table every round serializes on the driver; a shuffle of the
-        # (persisted) targets parallelizes and AQE handles skewed cells
-        cand = disk.join(
-            tgtc.select("_tcell", "_tx", "_ty", target_id).hint("shuffle_hash"), "_tcell"
-        )
-
-        scored = cand.select(
-            "q_id",
+        .select(
+            morton_col(F.col("_tix"), F.col("_tiy"), glevel).alias("_tcell"),
+            "_tx",
+            "_ty",
             target_id,
-            (
-                (F.col("_qx") - F.col("_tx")) * (F.col("_qx") - F.col("_tx"))
-                + (F.col("_qy") - F.col("_ty")) * (F.col("_qy") - F.col("_ty"))
-            ).alias("dist_sq"),
         )
-        # Per-query top-k as an AGGREGATE, not a rank window: collect the
-        # candidate structs per q_id (hash aggregate, map-side partials, no
-        # global sort), sort each ~O(density) list, slice k. Measured on 60 M
-        # candidates at local[8]: row_number() window 170 s vs 23 s for this
-        # form — and it carries the finish-test count and kth bound in the
-        # same pass. Ties break on (dist_sq, <target_id>) — identical to the
-        # DuckDB oracle.
-        collected = (
-            scored.groupBy("q_id")
-            .agg(
-                F.slice(
-                    F.array_sort(F.collect_list(F.struct("dist_sq", target_id))), 1, k
-                ).alias("_tk"),
-            )
-            .persist()
-        )
-        kth = F.get("_tk", k - 1)["dist_sq"]  # null when fewer than k collected
+    )
 
-        # a query is final iff it has k hits and the kth is ≤ r·res (any
-        # target outside disk(r) is at distance > r·res), OR its disk already
-        # covers the whole target bbox (nothing left to scan).
-        state = ranges.select("q_id", "_r", covered.alias("_cov")).join(
-            collected, "q_id", "left"
-        )
-        done = state.filter(
-            F.col("_cov")
-            | (
-                kth.isNotNull()
-                & (kth <= (F.col("_r") * F.lit(res) * F.col("_r") * F.lit(res)).cast("long"))
-            )
-        )
-        done_q = done.select("q_id")
-        finished.append(
-            done.select("q_id", F.posexplode("_tk").alias("_pos", "_hit")).select(
-                "q_id",
-                (F.col("_pos") + 1).cast("int").alias("rank"),
-                F.col("_hit")[target_id].alias(target_id),
-                F.col("_hit")["dist_sq"].alias("dist_sq"),
-            )
-        )
+    has_bounds = "_kth0" in q.columns
+    if not has_bounds:
+        q = q.withColumn("_kth0", F.lit(None).cast("long"))
 
-        # next per-query radius:
-        # * k candidates in hand → jump to the provably-sufficient radius
-        #   ceil(sqrt(kth))/res + 1 (the next round always passes the finish
-        #   test: kth can only shrink);
-        # * still short of k → geometric growth, floored at the distance to
-        #   the target bbox so empty-space queries skip empty lattice.
-        d_bbox = F.greatest(
-            F.lit(0),
-            F.lit(bx0) - F.col("_qix"),
-            F.col("_qix") - F.lit(bx1),
-            F.lit(by0) - F.col("_qiy"),
-            F.col("_qiy") - F.lit(by1),
-        )
-        next_r = F.when(
-            F.col("_kth").isNotNull(),
-            F.ceil(F.sqrt(F.col("_kth").cast("double")) / F.lit(res)) + F.lit(1),
-        ).otherwise(F.greatest(F.col("_r") * F.lit(int(radius_growth)), d_bbox + F.lit(1)))
-        next_ub = F.col("_kth")
+    # bounded-only inputs skip the grid job entirely (the common rescue case)
+    need_grid = True
+    if has_bounds:
+        need_grid = q.filter(F.col("_kth0").isNull()).limit(1).count() > 0
 
-        # NOTE: the previous round's `remaining` stays persisted — `done_q`
-        # frames in `finished` re-derive from it at the final union action.
-        remaining = (
-            remaining.join(F.broadcast(done_q), "q_id", "left_anti")
-            .join(collected.select("q_id", kth.alias("_kth")), "q_id", "left")
-            .withColumn("_r", next_r.cast("long"))
-            .withColumn("_ub", next_ub)
-            .drop("_kth")
-            .persist()
+    if need_grid:
+        rows = (
+            tgt.select(lat_t("_tx").alias("_ix"), lat_t("_ty").alias("_iy"))
+            .groupBy("_ix", "_iy")
+            .agg(F.count("*").alias("_c"))
+            .collect()
         )
-        empty = remaining.isEmpty()
-        if dbg:
-            print(
-                f"# knn round {rounds} took {_time.time() - _t0:.1f}s "
-                f"remaining={'0' if empty else remaining.count()}",
-                file=_sys.stderr,
-                flush=True,
+        grid = np.zeros((n + 2, n + 2), dtype=np.int64)
+        for r_ in rows:
+            grid[r_["_ix"] + 1, r_["_iy"] + 1] = r_["_c"]
+        ii = grid.cumsum(axis=0).cumsum(axis=1)
+    else:
+        ii = None
+    ktarget = min(k, n_targets)
+    res_f = float(res)
+    n_i = n
+
+    def radii(batches):
+        sq2 = float(np.sqrt(2.0))
+        for pdf in batches:
+            qx = pdf["_qx"].to_numpy(np.int64)
+            qy = pdf["_qy"].to_numpy(np.int64)
+            qix = np.floor(qx / res_f).astype(np.int64)
+            qiy = np.floor(qy / res_f).astype(np.int64)
+            kth = pdf["_kth0"].to_numpy(np.float64)  # NaN where unknown
+            bounded = ~np.isnan(kth)
+            r = np.zeros(len(qx), dtype=np.int64)
+            r[bounded] = (
+                np.ceil(np.sqrt(kth[bounded]) / res_f).astype(np.int64) + 1
             )
-        if empty:
-            break
+            if (~bounded).any() and ii is not None:
+                x = qix[~bounded]
+                y = qiy[~bounded]
 
-    out = finished[0]
-    for f in finished[1:]:
-        out = out.unionByName(f)
-    return out
+                def disk_count(rr):
+                    x0 = np.clip(x - rr, 0, n_i)
+                    x1 = np.clip(x + rr, 0, n_i)
+                    y0 = np.clip(y - rr, 0, n_i)
+                    y1 = np.clip(y + rr, 0, n_i)
+                    c = (
+                        ii[x1 + 1, y1 + 1]
+                        - ii[x0, y1 + 1]
+                        - ii[x1 + 1, y0]
+                        + ii[x0, y0]
+                    )
+                    empty = (x - rr > n_i) | (x + rr < 0) | (y - rr > n_i) | (y + rr < 0)
+                    c[empty] = 0
+                    return c
+
+                hi = np.maximum.reduce([x, n_i - x, y, n_i - y, np.zeros_like(x)]) + 1
+                lo = np.zeros_like(hi)
+                while (lo < hi).any():
+                    mid = (lo + hi) // 2
+                    ok = disk_count(mid) >= ktarget
+                    hi = np.where(ok, mid, hi)
+                    lo = np.where(ok, lo, mid + 1)
+                r[~bounded] = np.ceil(sq2 * (lo + 1)).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(np.int64),
+                    "_qx": qx,
+                    "_qy": qy,
+                    "_qix": qix,
+                    "_qiy": qiy,
+                    "_r": r,
+                    "_ub": np.where(bounded, kth, -1.0).astype(np.int64),
+                }
+            )
+
+    qr = q.mapInPandas(
+        radii,
+        "q_id long, _qx long, _qy long, _qix long, _qiy long, _r long, _ub long",
+    )
+
+    disk = (
+        qr.withColumn(
+            "_cix",
+            F.explode(
+                F.sequence(
+                    F.least(F.greatest(F.col("_qix") - F.col("_r"), F.lit(0)), F.lit(n)),
+                    F.greatest(F.least(F.col("_qix") + F.col("_r"), F.lit(n)), F.lit(0)),
+                )
+            ),
+        )
+        .withColumn(
+            "_ciy",
+            F.explode(
+                F.sequence(
+                    F.least(F.greatest(F.col("_qiy") - F.col("_r"), F.lit(0)), F.lit(n)),
+                    F.greatest(F.least(F.col("_qiy") + F.col("_r"), F.lit(n)), F.lit(0)),
+                )
+            ),
+        )
+        .select(
+            "q_id",
+            "_qx",
+            "_qy",
+            "_ub",
+            morton_col(F.col("_cix"), F.col("_ciy"), glevel).alias("_tcell"),
+        )
+    )
+
+    cand = disk.join(tgtc.hint("shuffle_hash"), "_tcell")
+    scored = cand.select(
+        "q_id",
+        target_id,
+        (
+            (F.col("_qx") - F.col("_tx")) * (F.col("_qx") - F.col("_tx"))
+            + (F.col("_qy") - F.col("_ty")) * (F.col("_qy") - F.col("_ty"))
+        ).alias("dist_sq"),
+        "_ub",
+    )
+    # bounded queries: drop candidates strictly beyond the known kth bound
+    # BEFORE the aggregate shuffle (<= keeps potential ties; the k winners
+    # are all <= ub by definition of the bound)
+    scored = scored.filter((F.col("_ub") < 0) | (F.col("dist_sq") <= F.col("_ub"))).drop(
+        "_ub"
+    )
+    # per-query top-k as an AGGREGATE, not a rank window (measured on 60 M
+    # candidates at local[8]: row_number() window 170 s vs 23 s); ties break
+    # on (dist_sq, <target_id>) — identical to the DuckDB oracle
+    return (
+        scored.groupBy("q_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist_sq", target_id))), 1, k
+            ).alias("_tk")
+        )
+        .select("q_id", F.posexplode("_tk").alias("_pos", "_hit"))
+        .select(
+            "q_id",
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+            F.col("_hit")[target_id].alias(target_id),
+            F.col("_hit")["dist_sq"].alias("dist_sq"),
+        )
+    )

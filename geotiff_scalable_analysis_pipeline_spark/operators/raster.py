@@ -122,3 +122,35 @@ def tile_footprints(media_meta: DataFrame, level: int) -> DataFrame:
     return cover_cells_rect(boxed, level).select(
         "media_ref", "cell", F.lit(level).alias("level")
     )
+
+
+def pyramid_rollup(footprints: DataFrame, n_levels: int) -> DataFrame:
+    """Quadtree tile pyramid: distinct-tile counts per cell at the base level
+    and its ``n_levels - 1`` parent levels, in ONE pass.
+
+    Input: (media_ref, cell) pairs at the base level (distinct per tile by
+    construction of the cell cover). Each pair explodes into its parent chain
+    — the cell id's low bits encode the level, so (media_ref, cell) stays a
+    global key across levels — then a single distinct-aggregate counts tiles
+    per cell. Two shuffles total regardless of ``n_levels`` (dedup on
+    (cell, media_ref), count on cell), versus one distinct + one groupBy *per
+    level* in the naive hierarchical rollup: on a local[32] driver bench that
+    naive shape paid ~11 × the per-stage scheduling floor for 245 k rows
+    (13 s for trivial data); at cluster scale it is n_levels sequential
+    shuffle barriers instead of two.
+
+    The rollup is semantically the hierarchical one (each coarser count
+    aggregates distinct tiles, reference tiling pyramid semantics): counting
+    distinct (media_ref, parent^i(cell)) pairs is identical to iterating
+    parent + distinct per level, because parent() is a function — the chain
+    explode just materializes all levels of the lattice at once.
+    """
+    from ..functions.cells import parent_col
+
+    chain = footprints.select(
+        "media_ref",
+        F.explode(
+            F.array(*[parent_col(F.col("cell"), s) for s in range(n_levels)])
+        ).alias("cell"),
+    )
+    return chain.groupBy("cell").agg(F.count_distinct("media_ref").alias("n_tiles"))

@@ -124,21 +124,13 @@ SQL_TILE_CELLS = _sql_tile_cells(LEVEL)
 
 
 def q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quadtree pyramid: tile counts per cell at levels LEVEL..LEVEL-3 via
-    repeated parent aggregation (each coarser level aggregates the finer one —
-    the rollup is hierarchical, not recomputed from scratch)."""
-    from .functions.cells import parent_col
-
+    """Quadtree pyramid: distinct-tile counts per cell at levels
+    LEVEL..LEVEL-3, single-pass parent-chain explode (two shuffles for all
+    levels — see operators/raster.pyramid_rollup)."""
     base = raster.tile_footprints(dg.tiles_df(spark, CFG), LEVEL).select("media_ref", "cell")
-    levels = [base.groupBy("cell").agg(F.count("*").alias("n_tiles"))]
-    cur = base
-    for _ in range(3):
-        cur = cur.select("media_ref", parent_col(F.col("cell")).alias("cell")).distinct()
-        levels.append(cur.groupBy("cell").agg(F.count("*").alias("n_tiles")))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out.withColumn("level", (F.col("cell") % 32).cast("int"))
+    return raster.pyramid_rollup(base, n_levels=4).withColumn(
+        "level", (F.col("cell") % 32).cast("int")
+    )
 
 
 def _sql_pyramid() -> str:

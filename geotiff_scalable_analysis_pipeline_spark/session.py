@@ -47,19 +47,29 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
-        # Pin the initial heap to the max and use the throughput collector.
-        # Measured on this VM (BENCH/run_scaling.py methodology): G1's region
+        # Throughput collector + a modest pinned initial heap. Measured on
+        # this VM (BENCH/run_scaling.py methodology): G1's region
         # commit/uncommit churn on a large heap drives the kernel into page
         # management storms (92% sys time at local[32]; 36× task-CPU
-        # inflation on repeat executions at local[8] with a 48g heap). A
-        # pinned ParallelGC heap removes both; on a real cluster executors
-        # are long-lived and sized-to-fit, which this approximates.
+        # inflation on repeat executions at local[8] with a 48g heap).
+        # ParallelGC removes both. The initial heap defaults to a 4g floor —
+        # pinning -Xms to the full -Xmx eagerly reserves the whole heap,
+        # which fails startup / swaps on small hosts (library-wide default
+        # must not assume a bench box); the scaling methodology opts into a
+        # full pin via SPARK_XMS (BENCH/run_scaling.py sets it to the heap
+        # size so repeated measurements never pay heap-growth commits).
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '24g')} -XX:+UseParallelGC "
+            f"-Xms{os.environ.get('SPARK_XMS', '4g')} -XX:+UseParallelGC "
             + os.environ.get("SPARK_EXTRA_JAVA_OPTS", ""),
         )
         .config("spark.ui.enabled", "false")
+        # one BLAS thread per python worker: task parallelism comes from
+        # Spark; nested OpenBLAS/MKL thread pools (32 workers x 32 threads)
+        # thrash the scheduler on numpy kernels inside pandas UDFs
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # Hadoop vectored IO on local files is bimodally pathological here:
         # parquet scan tasks park in the range-read pool's SynchronousQueue
         # handoff (jstack evidence) and the same scan swings 9 s ↔ 74 s
