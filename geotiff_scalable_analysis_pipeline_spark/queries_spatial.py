@@ -309,20 +309,94 @@ WHERE tile_k < 100"""
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible (driver records rows-only): full raster pipeline
+# float-pipeline queries, oracle-paired via golden fixture (SURVEY.md §5):
+# the float32 softmax + sin² overlap-add chain is not SQL-expressible
+# (transcendental, float32), so — exactly like the reference's own golden
+# tile/zonal-stat fixtures — the oracle is a VALUES literal generated by
+# tests/oracle.py (the independent plain-loop transliteration) via
+# scripts/gen_golden_probs.py. Outputs are quantized to int64
+# (round(x·10⁹), Spark HALF_UP) so the value hash is float-format-proof.
 # ---------------------------------------------------------------------------
 
+_PQ = 10**9  # must match scripts/gen_golden_probs.py QSCALE
 
-def q_global_class_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _golden_probs_fixture() -> dict:
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "tests" / "golden" / "global_probs.json"
+    return json.loads(p.read_text())
+
+
+def _raw_global_class_probs(spark: SparkSession) -> DataFrame:
     cfg = dg.GoldenConfig(n_tiles=32, tile_px=64, n_media_tiles=32)
     media = dg.media_df(spark, cfg)
     stats = chunking.chunk_class_stats(media, zor=32, halo=8, patch=16, stride=8)
     return chunking.global_class_probs(stats)
 
 
+def q_global_class_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 global average pooling, quantized for the golden-fixture oracle."""
+    gp = _raw_global_class_probs(spark)
+    return gp.select(
+        "media_ref",
+        "class",
+        F.round(F.col("mean_prob") * _PQ).cast("long").alias("q_mean_prob"),
+        F.round(F.col("prob_min") * _PQ).cast("long").alias("q_prob_min"),
+        F.round(F.col("prob_max") * _PQ).cast("long").alias("q_prob_max"),
+        "px_cnt",
+    )
+
+
 def q_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9-P13 per-tile metrics (argmax/conf/entropy/gap) — rows-only (log)."""
-    return chunking.class_metrics(q_global_class_probs(spark, sf_dir))
+    """P9-P13 per-tile metrics (argmax/conf/entropy/gap), quantized."""
+    m = chunking.class_metrics(_raw_global_class_probs(spark))
+    return m.select(
+        "media_ref",
+        "argmax_class",
+        F.round(F.col("max_prob") * _PQ).cast("long").alias("q_max_prob"),
+        F.round(F.col("entropy") * _PQ).cast("long").alias("q_entropy"),
+        F.round(F.col("pred_gap") * _PQ).cast("long").alias("q_pred_gap"),
+        F.round(F.col("binary_gradient") * _PQ).cast("long").alias("q_binary_gradient"),
+    )
+
+
+def _sql_global_class_probs() -> str:
+    fx = _golden_probs_fixture()
+    vals = ",\n".join(
+        f"('{r['media_ref']}', {r['class']}, {r['q_mean_prob']}, "
+        f"{r['q_prob_min']}, {r['q_prob_max']}, {r['px_cnt']})"
+        for r in fx["global_class_probs"]
+    )
+    return (
+        "SELECT media_ref, CAST(\"class\" AS INTEGER) AS \"class\", "
+        "CAST(q_mean_prob AS BIGINT) AS q_mean_prob, "
+        "CAST(q_prob_min AS BIGINT) AS q_prob_min, "
+        "CAST(q_prob_max AS BIGINT) AS q_prob_max, "
+        "CAST(px_cnt AS BIGINT) AS px_cnt FROM (VALUES\n" + vals + "\n) AS "
+        "t(media_ref, \"class\", q_mean_prob, q_prob_min, q_prob_max, px_cnt)"
+    )
+
+
+def _sql_class_metrics() -> str:
+    fx = _golden_probs_fixture()
+    vals = ",\n".join(
+        f"('{r['media_ref']}', {r['argmax_class']}, {r['q_max_prob']}, "
+        f"{r['q_entropy']}, {r['q_pred_gap']}, "
+        f"{'NULL' if r['q_binary_gradient'] is None else r['q_binary_gradient']})"
+        for r in fx["class_metrics"]
+    )
+    return (
+        "SELECT media_ref, CAST(argmax_class AS INTEGER) AS argmax_class, "
+        "CAST(q_max_prob AS BIGINT) AS q_max_prob, "
+        "CAST(q_entropy AS BIGINT) AS q_entropy, "
+        "CAST(q_pred_gap AS BIGINT) AS q_pred_gap, "
+        "CAST(q_binary_gradient AS BIGINT) AS q_binary_gradient FROM (VALUES\n"
+        + vals
+        + "\n) AS t(media_ref, argmax_class, q_max_prob, q_entropy, q_pred_gap, "
+        "q_binary_gradient)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -719,6 +793,6 @@ QUERIES = {
     "warp_mosaic_nearest": (q_warp_mosaic_nearest, SQL_WARP_NEAREST),
     "warp_mosaic_bilinear": (q_warp_mosaic_bilinear, SQL_WARP_BILINEAR),
     "temporal_stack_frames": (q_temporal_stack, SQL_TEMPORAL_STACK),
-    "global_class_probs": (q_global_class_probs, None),
-    "class_metrics": (q_class_metrics, None),
+    "global_class_probs": (q_global_class_probs, _sql_global_class_probs()),
+    "class_metrics": (q_class_metrics, _sql_class_metrics()),
 }

@@ -131,3 +131,45 @@ def test_chunk_grid_is_pure_catalyst(spark):
     assert grid.count() == 10 * 16
     plan = grid._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_golden_probs_fixture(spark):
+    """The golden-fixture oracle (tests/golden/global_probs.json) for the
+    global_class_probs / class_metrics driver queries:
+
+    1. drift check — regenerating the fixture from the INDEPENDENT plain-loop
+       oracle (tests/oracle.py via scripts/gen_golden_probs.py) reproduces the
+       committed JSON exactly;
+    2. engine check — the quantized Spark queries match the fixture bit-for-
+       bit, including q_entropy (JVM log vs glibc log agree on all 32 pinned
+       inputs — the one float64 transcendental in the pair).
+    """
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    import pandas as pd
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "gen_golden_probs", repo / "scripts" / "gen_golden_probs.py"
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    regenerated = gen.main()
+    committed = json.loads((repo / "tests" / "golden" / "global_probs.json").read_text())
+    assert regenerated == committed
+
+    from geotiff_scalable_analysis_pipeline_spark import queries_spatial as qs
+
+    for name in ("global_class_probs", "class_metrics"):
+        fn, _sql = qs.QUERIES[name]
+        got = fn(spark, "unused").toPandas()
+        want = pd.DataFrame(committed[name])
+        cols = sorted(got.columns)
+        assert sorted(want.columns) == cols
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = (
+            want[cols].sort_values(cols).reset_index(drop=True).astype(got.dtypes.to_dict())
+        )
+        pd.testing.assert_frame_equal(got, want)
