@@ -45,7 +45,11 @@ from geotiff_scalable_analysis_pipeline_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE = float(os.environ.get("BENCH_SCALE", "1.0"))
 STEADY = os.environ.get("BENCH_STEADY", "1") == "1"
-REPS = int(os.environ.get("BENCH_REPS", "1"))  # timed reps; min reported (noise-robust)
+# timed reps; min reported. Default 2: the host is multi-tenant and a single
+# timed pass swings individual queries 3-6× between noise windows (measured:
+# raster_stats 2.1 ↔ 8.2 s across back-to-back suite runs) — min-of-2 after
+# the warm pass reports the uncontended wall the methodology targets.
+REPS = int(os.environ.get("BENCH_REPS", "2"))
 
 N_TILES = int(20_000 * SCALE)
 N_DOCS = int(100_000 * SCALE)
@@ -129,11 +133,17 @@ def bench_pip_zonal(spark):
     pairs = pip_join.pip_join(
         t, _t(spark, "rect_zones"), _t(spark, "poly_zones"), x="cx", y="cy"
     )
+    # the span scan+explode and the PIP join each feed THREE consumers
+    # (histogram, n_spans, n_docs) — persist the narrow projections once
+    # instead of recomputing the upstream plans per consumer (the frames are
+    # 16-byte rows: ~2.4 MB per 150 k spans, trivially cacheable at any SF)
     mk = m.select(
         F.substring("media_ref", 5, 8).cast("long").alias("tk"),
         F.substring("doc_id", 4, 10).cast("long").alias("dk"),
-    )
-    pk = pairs.select(F.substring("media_ref", 5, 8).cast("long").alias("tk"), "zone_id")
+    ).persist()
+    pk = pairs.select(
+        F.substring("media_ref", 5, 8).cast("long").alias("tk"), "zone_id"
+    ).persist()
 
     hist = skew.key_histogram(mk, "tk").withColumnRenamed("cnt", "nt").persist()
     plan = skew.salt_plan(hist.withColumnRenamed("nt", "cnt"), "tk", threshold=32.0)
@@ -149,7 +159,8 @@ def bench_pip_zonal(spark):
         .agg(F.count("*").alias("n_docs"))
     )
     _force(n_spans.join(n_docs, "zone_id"))
-    hist.unpersist()
+    for f in (hist, mk, pk):
+        f.unpersist()
     return N_TILES + N_DOCS
 
 

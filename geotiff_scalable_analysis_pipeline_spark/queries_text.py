@@ -370,34 +370,61 @@ FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
 WHERE n_inter * 2 >= s1.sz + s2.sz - n_inter"""
 
 
-SIMHASH_BITS, SIMHASH_BANDS = 16, 4  # 4 bands × 4 bits; hamming ≤ 3 ⇒ ≥1 band equal
+# 60-bit simhash: 4 bands × 15 bits; hamming ≤ 3 ⇒ ≥1 band equal. 60 (not
+# the textbook 64) keeps every signature and band value in POSITIVE int64
+# range, so band extraction is plain arithmetic shift/div in both engines
+# (no unsigned-shift portability trap). Band cardinality 2^15 is what makes
+# the pigeonhole join scale: with the old 16-bit/4-bit-band signature each
+# band had 16 buckets, so candidates grew ~n²/16 — a near-crossJoin that
+# cost 4-5 s on 5 k docs and would topple any real corpus.
+SIMHASH_BITS, SIMHASH_BANDS = 60, 4
+_SH_M30 = 1 << 30
+_SH_A1, _SH_B1 = 2654435761, 97
+_SH_A2, _SH_B2 = 1779033703, 911
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over token hashes; near-dup pairs at hamming ≤ 3.
+    """60-bit SimHash over token hashes; near-dup pairs at hamming ≤ 3.
 
     Scale path (pigeonhole band join, VERDICT.md round-1 fix): the signature
-    is split into 4 disjoint 4-bit bands — any pair at hamming ≤ 3 differs in
+    is split into 4 disjoint 15-bit bands — any pair at hamming ≤ 3 differs in
     at most 3 bands, so it agrees on ≥1 band exactly. Candidates come from an
     equi-join on (band_idx, band_val) — the band key is the shuffle key, no
     all-pairs crossJoin ever materializes — then exact hamming verifies.
     Result set is identical to the brute-force form (the oracle)."""
-    tid = _tokens(spark, sf_dir).select(
-        "doc_id", ((_tid_col(F.col("token")) * 2654435761) % M31).alias("h")
+    tid = (
+        _tokens(spark, sf_dir)
+        .select("doc_id", _tid_col(F.col("token")).alias("t0"))
+        .select(
+            "doc_id",
+            (
+                (F.col("t0") * _SH_A1 + _SH_B1) % _SH_M30
+                + ((F.col("t0") * _SH_A2 + _SH_B2) % _SH_M30) * _SH_M30
+            ).alias("h"),
+        )
     )
-    bits = tid.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"), "h"
-    ).withColumn(
-        "contrib",
-        # the Python shift wrappers take only literal bit counts → SQL expr
-        F.expr("CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), bit)) % 2 = 1 THEN 1 ELSE -1 END"),
-    )
+    # per-bit majority via plain aggregates: contrib sum for bit b is
+    # Σ(±1) = 2·(#tokens with bit set) − n, so 16 sums of (h>>b)&1 plus one
+    # count replace the previous 16× bit-explode + (doc_id, bit) groupBy —
+    # one map-side-combined shuffle instead of two over a 16×-inflated frame
     sig = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, 1).otherwise(0).cast("long"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("bitval * shiftleft(CAST(1 AS BIGINT), bit)")).alias("simhash"))
+        tid.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+                for b in range(SIMHASH_BITS)
+            ],
+        )
+        .select(
+            "doc_id",
+            sum(
+                F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(0)
+                for b in range(SIMHASH_BITS)
+            )
+            .cast("long")
+            .alias("simhash"),
+        )
     )
     width = SIMHASH_BITS // SIMHASH_BANDS
     bands = sig.select(
@@ -416,7 +443,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -425,13 +452,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("sim1"),
             F.col("b.simhash").alias("sim2"),
         )
-        .distinct()  # a pair can agree on several bands
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming", F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).cast("int")
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= 3)  # verify BEFORE dedup — shrinks the distinct
+        .distinct()  # a pair can agree on several bands
         .select("d1", "d2", "hamming", "sim1", "sim2")
     )
 
@@ -439,13 +464,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle: brute-force O(n²) form — fine at oracle scale, identical result set
 SQL_SIMHASH = f"""
 WITH {_TOKENS_CTE},
-tid AS (SELECT doc_id, ({_TID_SQL} * 2654435761) % {M31} AS h FROM tokens),
+tid AS (SELECT doc_id,
+          ({_TID_SQL} * {_SH_A1} + {_SH_B1}) % {_SH_M30}
+          + (({_TID_SQL} * {_SH_A2} + {_SH_B2}) % {_SH_M30}) * {_SH_M30} AS h
+        FROM tokens),
 bits AS (
-  SELECT doc_id, b.bit, CASE WHEN (h // (1 << b.bit)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+  SELECT doc_id, b.bit,
+         CASE WHEN (h // (CAST(1 AS BIGINT) << b.bit)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
   FROM tid, range(0, {SIMHASH_BITS}) b(bit)),
 sig AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * (1 << bit)) AS BIGINT) AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+                  * (CAST(1 AS BIGINT) << bit)) AS BIGINT) AS simhash
   FROM (SELECT doc_id, bit, sum(contrib) AS s FROM bits GROUP BY doc_id, bit)
   GROUP BY doc_id)
 SELECT a.doc_id AS d1, b.doc_id AS d2,
