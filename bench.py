@@ -39,7 +39,7 @@ from geotiff_scalable_analysis_pipeline_spark.operators import (
     spans,
     zonal,
 )
-from geotiff_scalable_analysis_pipeline_spark.plans import skew
+from geotiff_scalable_analysis_pipeline_spark.plans import memory_model, skew
 from geotiff_scalable_analysis_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -177,7 +177,26 @@ def bench_pyramid(spark):
     return N_TILES
 
 
+# closed-form Arrow/scan sizing for the fat-blob media table (reference ZoR
+# autosizer, plans/memory_model.py): payload ≈ px² · bands · 2 B (uint16
+# TIFF). Both confs are runtime SQL confs, so the media benches set them per
+# query instead of rebuilding the session.
+MEDIA_PAYLOAD_BYTES = MEDIA_PX * MEDIA_PX * 4 * 2
+_MEDIA_CONF = memory_model.autotune_conf(MEDIA_PAYLOAD_BYTES)
+_media_conf_logged = False
+
+
+def _apply_media_autotune(spark):
+    global _media_conf_logged
+    for k, v in _MEDIA_CONF.items():
+        spark.conf.set(k, v)
+    if not _media_conf_logged:
+        print(f"# media autotune ({MEDIA_PAYLOAD_BYTES}B payload): {_MEDIA_CONF}", file=sys.stderr)
+        _media_conf_logged = True
+
+
 def bench_raster_stats(spark):
+    _apply_media_autotune(spark)
     media = _t(spark, "media")
     _force(raster.tile_pixel_stats(media))
     _force(raster.tile_histogram(media))
@@ -185,6 +204,7 @@ def bench_raster_stats(spark):
 
 
 def bench_chunk_pipeline(spark):
+    _apply_media_autotune(spark)
     media = _t(spark, "media").limit(max(64, int(256 * SCALE)))
     stats = chunking.chunk_class_stats(media, zor=64, halo=16, patch=32, stride=16)
     _force(chunking.global_class_probs(stats))

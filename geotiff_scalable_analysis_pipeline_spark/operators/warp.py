@@ -103,6 +103,85 @@ def warp_np(
     return vals, valid
 
 
+def warp_np_gcp(
+    src: np.ndarray,
+    du: np.ndarray,
+    dv: np.ndarray,
+    gs: int,
+    src_x0: int,
+    src_y1: int,
+    src_ps: int,
+    dst_x0: int,
+    dst_y1: int,
+    dst_ps: int,
+    dst_h: int,
+    dst_w: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """GCP (deformation-grid) warp with nearest sampling — the non-affine
+    reprojection path (reference: src/eo_core/data.py:174-195, where S1
+    sources carry ground control points instead of an affine transform and
+    ``rasterio.warp.reproject`` fits the deformation).
+
+    The Spark-first re-expression uses the standard piecewise-affine GCP
+    model: control points sit on a regular ``gs``-pixel source lattice;
+    node (i, j) declares that the affine position of source pixel
+    (i·gs, j·gs) is displaced by (du[i,j], dv[i,j]) **half-pixels**
+    (row, col). A destination pixel center maps through the affine grid,
+    then the four surrounding lattice nodes' offsets are bilinearly
+    interpolated (linear extrapolation outside the lattice hull, clamped
+    cell indices — GDAL's polynomial fit likewise extends beyond the GCP
+    hull) and added. All arithmetic is fixed-point integer: positions are
+    scaled by D = 2·src_ps·L² (L = 2·src_ps·gs), so the DuckDB oracle
+    reproduces every sampled pixel bit-for-bit.
+
+    Nearest sampling only: bilinear-after-deformation would scale values by
+    D² ≈ 4·10¹² which overflows int64 in downstream integer sums; the
+    reference's S1 path feeds mosaic-max where nearest/bilinear differ only
+    at source-pixel boundaries, and the affine ``warp_np`` covers exact
+    bilinear.
+
+    ``du``/``dv``: (GN+1, GN+1) int64 half-pixel offsets, GN = ceil(max(H,W)/gs).
+    Returns (values, valid) like :func:`warp_np`.
+    """
+    nb, H, W = src.shape
+    L = 2 * src_ps * gs
+    D = 2 * src_ps * L * L
+    gn = du.shape[0] - 1
+    c = np.arange(dst_w, dtype=np.int64)
+    r = np.arange(dst_h, dtype=np.int64)
+    # affine dest-center offsets from the source origin (half-world units)
+    nx = 2 * (dst_x0 - src_x0) + (2 * c + 1) * dst_ps
+    ny = 2 * (src_y1 - dst_y1) + (2 * r + 1) * dst_ps
+    # lattice cell + intra-cell fraction (units of L; clamped cell index ⇒
+    # tx/ty may leave [0, L) — that IS the linear extrapolation)
+    jg = np.clip((nx + BIAS * L) // L - BIAS, 0, max(gn - 1, 0))
+    ig = np.clip((ny + BIAS * L) // L - BIAS, 0, max(gn - 1, 0))
+    tx = nx - L * jg
+    ty = ny - L * ig
+    w00 = (L - ty)[:, None] * (L - tx)[None, :]
+    w01 = (L - ty)[:, None] * tx[None, :]
+    w10 = ty[:, None] * (L - tx)[None, :]
+    w11 = ty[:, None] * tx[None, :]
+    igc, jgc = ig[:, None], jg[None, :]
+
+    def interp(g):
+        return (
+            w00 * g[igc, jgc]
+            + w01 * g[igc, jgc + 1]
+            + w10 * g[igc + 1, jgc]
+            + w11 * g[igc + 1, jgc + 1]
+        )
+
+    # deformed position × D: affine term + src_ps × interpolated offset
+    U = nx[None, :] * L * L + src_ps * interp(dv)
+    V = ny[:, None] * L * L + src_ps * interp(du)
+    cs = (U + BIAS * D) // D - BIAS
+    rs = (V + BIAS * D) // D - BIAS
+    valid = (rs >= 0) & (rs < H) & (cs >= 0) & (cs < W)
+    vals = src.astype(np.int64)[:, np.clip(rs, 0, H - 1), np.clip(cs, 0, W - 1)]
+    return vals, valid
+
+
 def chunk_candidates(tiles_meta: DataFrame, chunk_px: int, dst_ps: int) -> DataFrame:
     """(media_ref, chx, chy) for every destination chunk a tile bbox touches.
 
@@ -165,6 +244,68 @@ def warp_mosaic_stats(
                 chunk_px,
                 chunk_px,
                 method,
+            )
+            if buf is None:
+                buf = np.zeros_like(vals)
+            np.maximum(buf, vals, out=buf, where=valid[None, :, :])
+        nb = buf.shape[0]
+        return pd.DataFrame(
+            {
+                "chx": [chx] * nb,
+                "chy": [chy] * nb,
+                "band": list(range(nb)),
+                "px_cnt": [chunk_px * chunk_px] * nb,
+                "sum_v": buf.sum(axis=(1, 2)).tolist(),
+                "max_v": buf.max(axis=(1, 2)).tolist(),
+                "n_sources": [len(pdf)] * nb,
+            }
+        )
+
+    return cand.groupBy("chx", "chy").applyInPandas(mosaic, WARP_STATS_SCHEMA)
+
+
+def warp_mosaic_stats_gcp(
+    tiles_meta: DataFrame,
+    media: DataFrame,
+    chunk_px: int,
+    dst_ps: int,
+    gs: int,
+) -> DataFrame:
+    """GCP variant of :func:`warp_mosaic_stats` (reference data.py:174-195).
+
+    ``media`` must carry ``gcp_du`` / ``gcp_dv``: (GN+1)×(GN+1) half-pixel
+    offset lattices as ``array<array<long>>`` (row-major), the way a real
+    deployment would surface each source's ground control points from its
+    manifest. Same candidate plan and chunk-keyed shuffle; only the per-chunk
+    kernel maps dest centers through the deformation grid."""
+    import pandas as pd
+
+    ext = chunk_px * dst_ps
+    cand = chunk_candidates(tiles_meta, chunk_px, dst_ps).join(
+        media.select("media_ref", "payload", "gcp_du", "gcp_dv"), "media_ref"
+    )
+
+    def mosaic(key, pdf):
+        from ..formats import tiff
+
+        chx, chy = int(key[0]), int(key[1])
+        dst_x0, dst_y1 = chx * ext, (chy + 1) * ext
+        buf = None
+        for payload, du, dv in zip(pdf["payload"], pdf["gcp_du"], pdf["gcp_dv"]):
+            arr, prof = tiff.decode(bytes(payload))
+            vals, valid = warp_np_gcp(
+                arr,
+                np.asarray([list(row) for row in du], dtype=np.int64),
+                np.asarray([list(row) for row in dv], dtype=np.int64),
+                gs,
+                int(prof.tiepoint[0]),
+                int(prof.tiepoint[1]),
+                int(prof.pixel_scale[0]),
+                dst_x0,
+                dst_y1,
+                dst_ps,
+                chunk_px,
+                chunk_px,
             )
             if buf is None:
                 buf = np.zeros_like(vals)

@@ -726,6 +726,97 @@ SQL_WARP_NEAREST = _sql_warp("nearest")
 SQL_WARP_BILINEAR = _sql_warp("bilinear")
 
 
+# GCP deformation-grid warp (reference data.py:174-195 — S1 sources carry
+# ground control points, not an affine transform). Control lattice every
+# GCP_GS source pixels; half-pixel offsets from the deterministic integer
+# formula below, synthesized identically in both engines.
+GCP_GS = 16
+_GCP_GN = WARP_CFG.tile_px // GCP_GS  # lattice cells per axis (nodes = GN+1)
+
+
+def _gcp_off_col(tile_k, i, j, a: int, b: int):
+    return (tile_k * dg.M1 + i * a + j * b) % 7 - 3
+
+
+def q_warp_mosaic_gcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, m = _warp_inputs(spark)
+    rng = F.sequence(F.lit(0), F.lit(_GCP_GN))
+    tk = F.col("tile_k")
+    m = m.withColumn(
+        "gcp_du",
+        F.transform(rng, lambda i: F.transform(rng, lambda j: _gcp_off_col(tk, i, j, 31, 17))),
+    ).withColumn(
+        "gcp_dv",
+        F.transform(rng, lambda i: F.transform(rng, lambda j: _gcp_off_col(tk, i, j, 13, 41))),
+    )
+    return warp.warp_mosaic_stats_gcp(t, m, WARP_CHUNK, WARP_DPS, GCP_GS)
+
+
+def _sql_warp_gcp() -> str:
+    cfg = WARP_CFG
+    ps, dps, ch, gs, gn = cfg.px_size, WARP_DPS, WARP_CHUNK, GCP_GS, _GCP_GN
+    ext, bias, w = ch * dps, warp.BIAS, cfg.tile_px
+    L = 2 * ps * gs
+    Lsq = L * L
+    D = 2 * ps * Lsq
+    du = lambda i, j: f"((tile_k * {dg.M1} + ({i}) * 31 + ({j}) * 17) % 7 - 3)"
+    dv = lambda i, j: f"((tile_k * {dg.M1} + ({i}) * 13 + ({j}) * 41) % 7 - 3)"
+    return f"""WITH {dg.tiles_sql(cfg)},
+media AS (SELECT * FROM tiles_geo WHERE tile_k < {cfg.n_media_tiles}),
+cand AS (
+  SELECT (m.x0 // {ext}) + gx.i AS chx, (m.y0 // {ext}) + gy.i AS chy,
+         m.tile_k, m.x0, m.y1
+  FROM media m
+  JOIN range(0, 4) gx(i) ON gx.i <= (m.x1 - 1) // {ext} - m.x0 // {ext}
+  JOIN range(0, 4) gy(i) ON gy.i <= (m.y1 - 1) // {ext} - m.y0 // {ext}),
+chunks AS (SELECT DISTINCT chx, chy FROM cand),
+d0 AS (
+  SELECT m.chx, m.chy, m.tile_k, r.i AS rr, cc.i AS cc,
+         2*(m.chx*{ext} - m.x0) + (2*cc.i + 1)*{dps} AS nx,
+         2*(m.y1 - (m.chy + 1)*{ext}) + (2*r.i + 1)*{dps} AS ny
+  FROM cand m, range(0, {ch}) r(i), range(0, {ch}) cc(i)),
+d1 AS (
+  SELECT *, GREATEST(LEAST((nx + {bias * L}) // {L} - {bias}, {max(gn - 1, 0)}), 0) AS jg,
+            GREATEST(LEAST((ny + {bias * L}) // {L} - {bias}, {max(gn - 1, 0)}), 0) AS ig
+  FROM d0),
+d2 AS (SELECT *, nx - {L}*jg AS tx, ny - {L}*ig AS ty FROM d1),
+d3 AS (
+  SELECT chx, chy, tile_k, rr, cc,
+    nx*{Lsq} + {ps} * (({L}-ty)*(({L}-tx)*{dv('ig','jg')} + tx*{dv('ig','jg+1')})
+                       + ty*(({L}-tx)*{dv('ig+1','jg')} + tx*{dv('ig+1','jg+1')})) AS U,
+    ny*{Lsq} + {ps} * (({L}-ty)*(({L}-tx)*{du('ig','jg')} + tx*{du('ig','jg+1')})
+                       + ty*(({L}-tx)*{du('ig+1','jg')} + tx*{du('ig+1','jg+1')})) AS V
+  FROM d2),
+d4 AS (
+  SELECT chx, chy, tile_k, rr, cc,
+         (U + {bias * D}) // {D} - {bias} AS cs,
+         (V + {bias * D}) // {D} - {bias} AS rs
+  FROM d3),
+pix AS (
+  SELECT c.chx, c.chy, b.band, r.i AS rr, cc.i AS cc
+  FROM chunks c, range(0, {cfg.n_bands}) b(band),
+       range(0, {ch}) r(i), range(0, {ch}) cc(i)),
+vals AS (
+  SELECT d.chx, d.chy, b.band, d.rr, d.cc,
+         max({dg.dn_sql("d.tile_k", "b.band", "d.rs", "d.cs")}) AS v
+  FROM d4 d, range(0, {cfg.n_bands}) b(band)
+  WHERE d.cs BETWEEN 0 AND {w - 1} AND d.rs BETWEEN 0 AND {w - 1}
+  GROUP BY d.chx, d.chy, b.band, d.rr, d.cc),
+nsrc AS (SELECT chx, chy, count(*) AS n_sources FROM cand GROUP BY chx, chy)
+SELECT p.chx, p.chy, CAST(p.band AS INTEGER) AS band, count(*) AS px_cnt,
+       CAST(sum(COALESCE(v.v, 0)) AS BIGINT) AS sum_v,
+       CAST(max(COALESCE(v.v, 0)) AS BIGINT) AS max_v,
+       n.n_sources
+FROM pix p
+LEFT JOIN vals v ON v.chx = p.chx AND v.chy = p.chy AND v.band = p.band
+                AND v.rr = p.rr AND v.cc = p.cc
+JOIN nsrc n ON n.chx = p.chx AND n.chy = p.chy
+GROUP BY p.chx, p.chy, p.band, n.n_sources"""
+
+
+SQL_WARP_GCP = _sql_warp_gcp()
+
+
 # ---------------------------------------------------------------------------
 # temporal replicate/reshape/pad (R3+R4 — reference prithvi_adapter.py:380-413)
 # ---------------------------------------------------------------------------
@@ -792,6 +883,7 @@ QUERIES = {
     "mask_pixel_counts": (q_mask_pixel_counts, SQL_MASK_COUNTS),
     "warp_mosaic_nearest": (q_warp_mosaic_nearest, SQL_WARP_NEAREST),
     "warp_mosaic_bilinear": (q_warp_mosaic_bilinear, SQL_WARP_BILINEAR),
+    "warp_mosaic_gcp": (q_warp_mosaic_gcp, SQL_WARP_GCP),
     "temporal_stack_frames": (q_temporal_stack, SQL_TEMPORAL_STACK),
     "global_class_probs": (q_global_class_probs, _sql_global_class_probs()),
     "class_metrics": (q_class_metrics, _sql_class_metrics()),

@@ -55,3 +55,14 @@ def test_autotune_conf_keys_and_bounds():
     part = int(conf["spark.sql.files.maxPartitionBytes"])
     assert rows * 128 * 1024 * 3 <= 512 << 20
     assert 4 << 20 <= part <= 128 << 20
+
+
+def test_autotune_fat_payload_small_batches():
+    """A genuinely fat blob column (8 MB payloads — e.g. a full-res band
+    window) must drop to small Arrow batches: rows × payload × copies stays
+    inside the per-task budget, far below the 8192-row narrow default."""
+    conf = mm.autotune_conf(8 * 1024 * 1024)
+    rows = int(conf["spark.sql.execution.arrow.maxRecordsPerBatch"])
+    assert 1 <= rows <= 64
+    part = int(conf["spark.sql.files.maxPartitionBytes"])
+    assert part >= 8 * 1024 * 1024  # at least one payload per scan split

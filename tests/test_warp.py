@@ -103,3 +103,67 @@ def test_resize_bilinear_channels_broadcast():
     out = resize_bilinear(img, 8, 8)
     assert out.shape == (8, 8, 2)
     assert np.allclose(out[..., 0], 10.0) and np.allclose(out[..., 1], 20.0)
+
+
+def _gcp_oracle_pixel(src, du, dv, gs, src_x0, src_y1, ps, x, y):
+    """Scalar float reference for one GCP-warped dest pixel center (x, y):
+    piecewise-bilinear offset interpolation (clamped cell ⇒ extrapolation),
+    then nearest sampling — no shared code with warp_np_gcp's fixed point."""
+    H, W = src.shape
+    gn = du.shape[0] - 1
+    # continuous affine source-pixel coords of the dest center
+    u = (x - src_x0) / ps  # col units
+    v = (src_y1 - y) / ps  # row units
+    jg = min(max(int(np.floor(u / gs)), 0), max(gn - 1, 0))
+    ig = min(max(int(np.floor(v / gs)), 0), max(gn - 1, 0))
+    tx = u / gs - jg
+    ty = v / gs - ig
+    off = lambda g: (
+        (1 - ty) * ((1 - tx) * g[ig, jg] + tx * g[ig, jg + 1])
+        + ty * ((1 - tx) * g[ig + 1, jg] + tx * g[ig + 1, jg + 1])
+    )
+    uu = u + off(dv) / 2.0  # half-pixel offsets
+    vv = v + off(du) / 2.0
+    cs = int(np.floor(uu))
+    rs = int(np.floor(vv))
+    valid = 0 <= cs < W and 0 <= rs < H
+    return src[min(max(rs, 0), H - 1), min(max(cs, 0), W - 1)], valid
+
+
+def test_gcp_zero_offsets_equal_affine_nearest():
+    from geotiff_scalable_analysis_pipeline_spark.operators.warp import warp_np_gcp
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 10001, size=(2, 32, 32), dtype=np.int64)
+    z = np.zeros((3, 3), dtype=np.int64)
+    va, ok_a = warp_np(src, 100, 900, 10, 60, 940, 5, 24, 24, "nearest")
+    vg, ok_g = warp_np_gcp(src, z, z, 16, 100, 900, 10, 60, 940, 5, 24, 24)
+    assert np.array_equal(ok_a, ok_g)
+    assert np.array_equal(va[:, ok_a], vg[:, ok_g])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    dx=st.integers(-40, 40),
+    dy=st.integers(-40, 40),
+)
+def test_gcp_warp_matches_scalar_oracle(seed, dx, dy):
+    from geotiff_scalable_analysis_pipeline_spark.operators.warp import warp_np_gcp
+
+    rng = np.random.default_rng(seed)
+    ps, gs, w = 10, 16, 32
+    src = rng.integers(0, 10001, size=(1, w, w), dtype=np.int64)
+    du = rng.integers(-3, 4, size=(3, 3)).astype(np.int64)
+    dv = rng.integers(-3, 4, size=(3, 3)).astype(np.int64)
+    src_x0, src_y1 = 500, 1200
+    dst_x0, dst_y1, dps, n = 500 + dx, 1200 + dy, 5, 16
+    vals, valid = warp_np_gcp(src, du, dv, gs, src_x0, src_y1, ps, dst_x0, dst_y1, dps, n, n)
+    for r in range(n):
+        for c in range(n):
+            x = dst_x0 + (c + 0.5) * dps
+            y = dst_y1 - (r + 0.5) * dps
+            want_v, want_ok = _gcp_oracle_pixel(src[0], du, dv, gs, src_x0, src_y1, ps, x, y)
+            assert valid[r, c] == want_ok, (r, c)
+            if want_ok:
+                assert vals[0, r, c] == want_v, (r, c)
