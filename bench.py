@@ -146,7 +146,9 @@ def bench_pip_zonal(spark):
     ).persist()
 
     hist = skew.key_histogram(mk, "tk").withColumnRenamed("cnt", "nt").persist()
-    plan = skew.salt_plan(hist.withColumnRenamed("nt", "cnt"), "tk", threshold=32.0)
+    plan = skew.materialize_plan(
+        skew.salt_plan(hist.withColumnRenamed("nt", "cnt"), "tk", threshold=32.0)
+    )
     n_spans = (
         hist.join(pk.hint("shuffle_hash"), "tk")
         .groupBy("zone_id")

@@ -45,6 +45,20 @@ def salt_plan(hist: DataFrame, key: str, threshold: float = 4.0, max_salts: int 
     )
 
 
+def materialize_plan(plan: DataFrame) -> DataFrame:
+    """Collect a salt plan into a literal in-memory DataFrame.
+
+    A salt plan is tiny by construction (keys hotter than threshold× the
+    mean), but it is consumed by SEVERAL ``F.broadcast`` builds (fact side,
+    dim side) — each build re-evaluates the plan's lineage (histogram scan +
+    filter), paying one stage-floor per consumer at the 4N level. Collecting
+    once turns every consumer into a LocalTableScan. No-op semantics: the
+    returned frame holds exactly the same rows."""
+    spark = plan.sparkSession
+    rows = plan.collect()
+    return spark.createDataFrame(rows, schema=plan.schema)
+
+
 def apply_salts(df: DataFrame, key: str, plan: DataFrame, seed_col: str) -> DataFrame:
     """Add a deterministic ``_salt`` column: 0 for cold keys, hash(seed_col)
     mod n_salts for hot ones. Join is broadcast (plan is tiny)."""
