@@ -168,8 +168,14 @@ def bench_pip_zonal(spark):
 
 def bench_knn(spark):
     # level from the known target count (skips the count() job the auto path
-    # would run — one fewer driver action on the floor-sensitive query)
-    _force(knn.knn_join(_t(spark, "points"), _t(spark, "tiles"), k=5, level=knn.pick_level(N_TILES)))
+    # would run — one fewer driver action on the floor-sensitive query).
+    # unpersist the returned frame: knn_join caches its RESULT, and Spark's
+    # cache manager matches by canonical plan — without the unpersist, the
+    # warm pass's cached output short-circuits part of every timed rep
+    # (measured: 296 s cold vs 65 s with the stale cache at scale 400).
+    out = knn.knn_join(_t(spark, "points"), _t(spark, "tiles"), k=5, level=knn.pick_level(N_TILES))
+    _force(out)
+    out.unpersist()
     return N_POINTS
 
 

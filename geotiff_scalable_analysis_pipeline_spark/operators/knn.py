@@ -21,19 +21,24 @@ of driver actions:
   local[8]: row_number() window 170 s; collect_list top-k aggregate 23 s
   but its map-side partials hold every group per task and topple a 12 GB
   heap at 240 M candidates; the block pass holds only one block per task.)
-* **One-shot radius oracle** (small target sets, and the few block-pass
+* **One-shot radius oracle** (small target sets, and the block-pass
   failures — boundary queries whose kth exceeds the halo, empty-space
   queries outside the data bbox): a per-cell target-count grid at a
   bounded lattice level (≤ 2^8 per axis — the collect is ≤ 65 k rows no
   matter the corpus size) becomes a 2-D integral image; a vectorized binary
-  search over O(1) clamped-disk counts gives every query the smallest
-  lattice radius r' whose disk holds ≥ k targets, hence the provably
-  sufficient join radius r = ceil(√2·(r'+1)) (any k targets inside
-  Chebyshev r' are within √2·(r'+1)·res, and nothing outside disk(r) can
-  be closer than r·res ≥ that). Queries arriving with a kth upper bound
-  from the block pass skip the search: r = ceil(√kth/res)+1. One disk
-  explode (pure Catalyst ``sequence()``), one cell equi-join, one
-  aggregate top-k — exact by construction, zero rounds.
+  search over O(1) clamped-disk counts gives every query a provable kth
+  upper bound ub = 2·((r'+1)·res)² (smallest Chebyshev r' whose clamped
+  disk holds ≥ k targets). Queries arriving with a kth bound from the
+  block pass use it directly. The same UDF then emits ONLY the lattice
+  cells with mindist(q, cell) ≤ ub and nonzero target count (the count
+  grid rides along) — the lens/annulus prune. This is what keeps far
+  queries linear: a query 25 k units outside the bbox has a huge radius,
+  and a naive clamped-square explode hands it the ENTIRE 65 k-cell
+  lattice × ~10² targets/cell (measured: billions of candidate distances,
+  165 s in one two-task stage at scale 400); its lens is a handful of
+  cells on the near bbox edge. One cell equi-join, a per-candidate
+  dist ≤ ub prune, one aggregate top-k — exact by construction, zero
+  driver rounds.
 
 Determinism: distances are exact integer squares; ties broken by
 ``media_ref`` ascending — bit-identical to the DuckDB brute-force oracle.
@@ -48,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cells import cell_res, morton_col
+from ..functions.cells import cell_res
 
 DEFAULT_LEVEL = 5
 
@@ -159,8 +164,20 @@ def knn_join(
         )
         out = finished.unionByName(rescued)
 
-    out = out.persist()
-    out.count()
+    # Materialize with AQE partition-coalescing OFF: the rescue's cell
+    # equi-join fans out ~targets-per-cell× AFTER the shuffle, so AQE's
+    # input-bytes heuristic coalesces a few-hundred-MB shuffle into a couple
+    # of tasks and serializes hundreds of millions of candidate distances
+    # (event-log evidence: a 165 s two-task stage at scale 400 on local[8]).
+    spark = queries.sparkSession
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        out = out.persist()
+        out.count()
+    finally:
+        spark.conf.set(key, old)
     for f in cached:
         f.unpersist()
     return out
@@ -420,7 +437,9 @@ def _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached):
         tgt.withColumn("_tix", lat_t("_tx"))
         .withColumn("_tiy", lat_t("_ty"))
         .select(
-            morton_col(F.col("_tix"), F.col("_tiy"), glevel).alias("_tcell"),
+            # packed (ix << 32) | iy — matches the emission in emit_cells
+            # (a plain equi-join key; no locality requirement)
+            (F.shiftleft(F.col("_tix"), 32) + F.col("_tiy")).alias("_tcell"),
             "_tx",
             "_ty",
             target_id,
@@ -431,30 +450,31 @@ def _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached):
     if not has_bounds:
         q = q.withColumn("_kth0", F.lit(None).cast("long"))
 
-    # bounded-only inputs skip the grid job entirely (the common rescue case)
-    need_grid = True
-    if has_bounds:
-        need_grid = q.filter(F.col("_kth0").isNull()).limit(1).count() > 0
-
-    if need_grid:
-        rows = (
-            tgt.select(lat_t("_tx").alias("_ix"), lat_t("_ty").alias("_iy"))
-            .groupBy("_ix", "_iy")
-            .agg(F.count("*").alias("_c"))
-            .collect()
-        )
-        grid = np.zeros((n + 2, n + 2), dtype=np.int64)
-        for r_ in rows:
-            grid[r_["_ix"] + 1, r_["_iy"] + 1] = r_["_c"]
-        ii = grid.cumsum(axis=0).cumsum(axis=1)
-    else:
-        ii = None
+    # the count grid is built unconditionally: besides the radius binary
+    # search for unbounded queries, it prunes EMPTY cells from every query's
+    # candidate emission (the collect stays ≤ 65 k rows at GRID_MAX_LEVEL)
+    rows = (
+        tgt.select(lat_t("_tx").alias("_ix"), lat_t("_ty").alias("_iy"))
+        .groupBy("_ix", "_iy")
+        .agg(F.count("*").alias("_c"))
+        .collect()
+    )
+    grid = np.zeros((n + 2, n + 2), dtype=np.int64)
+    for r_ in rows:
+        grid[r_["_ix"] + 1, r_["_iy"] + 1] = r_["_c"]
+    ii = grid.cumsum(axis=0).cumsum(axis=1)
+    occupied = grid[1:, 1:] > 0  # (n+1, n+1) bool
     ktarget = min(k, n_targets)
     res_f = float(res)
     n_i = n
 
-    def radii(batches):
-        sq2 = float(np.sqrt(2.0))
+    def emit_cells(batches):
+        """Per query: kth-distance upper bound → ONLY the lattice cells that
+        could hold one of the k nearest — mindist(q, cell) ≤ ub and cell
+        non-empty. This is the lens/annulus prune that keeps far queries
+        (the 10% cohort outside the data bbox) from exploding into the whole
+        clamped lattice: their square covers ~65 k cells, the lens a handful.
+        Emitted per-query work is O(cells actually worth scanning)."""
         for pdf in batches:
             qx = pdf["_qx"].to_numpy(np.int64)
             qy = pdf["_qy"].to_numpy(np.int64)
@@ -462,11 +482,9 @@ def _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached):
             qiy = np.floor(qy / res_f).astype(np.int64)
             kth = pdf["_kth0"].to_numpy(np.float64)  # NaN where unknown
             bounded = ~np.isnan(kth)
-            r = np.zeros(len(qx), dtype=np.int64)
-            r[bounded] = (
-                np.ceil(np.sqrt(kth[bounded]) / res_f).astype(np.int64) + 1
-            )
-            if (~bounded).any() and ii is not None:
+            ub = np.zeros(len(qx), dtype=np.float64)
+            ub[bounded] = kth[bounded]
+            if (~bounded).any():
                 x = qix[~bounded]
                 y = qiy[~bounded]
 
@@ -492,53 +510,47 @@ def _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached):
                     ok = disk_count(mid) >= ktarget
                     hi = np.where(ok, mid, hi)
                     lo = np.where(ok, lo, mid + 1)
-                r[~bounded] = np.ceil(sq2 * (lo + 1)).astype(np.int64)
+                # Chebyshev radius lo ⇒ k targets within Euclidean √2·(lo+1)·res;
+                # squared bound computed exactly in integers: 2·((lo+1)·res)²
+                t_ = (lo + 1) * int(res)
+                ub[~bounded] = (2 * t_ * t_).astype(np.float64)
+            r = np.ceil(np.sqrt(ub) / res_f).astype(np.int64) + 1
+            qid = pdf["q_id"].to_numpy(np.int64)
+            ub_i = ub.astype(np.int64)  # exact: ub is int-valued (kth0) or a bound
+            cols = {k_: [] for k_ in ("q_id", "_qx", "_qy", "_ub", "_tcell")}
+            for i in range(len(qid)):
+                x0 = max(int(qix[i] - r[i]), 0)
+                x1 = min(int(qix[i] + r[i]), n_i)
+                y0 = max(int(qiy[i] - r[i]), 0)
+                y1 = min(int(qiy[i] + r[i]), n_i)
+                if x0 > x1 or y0 > y1:
+                    continue
+                cx = np.arange(x0, x1 + 1, dtype=np.int64)
+                cy = np.arange(y0, y1 + 1, dtype=np.int64)
+                # conservative per-cell Euclidean min distance (closed cell
+                # bounds [c·res, (c+1)·res] — never excludes a reachable cell)
+                dx = np.maximum(np.maximum(cx * res_f - qx[i], qx[i] - (cx + 1) * res_f), 0.0)
+                dy = np.maximum(np.maximum(cy * res_f - qy[i], qy[i] - (cy + 1) * res_f), 0.0)
+                m = (dx[:, None] ** 2 + dy[None, :] ** 2) <= ub[i]
+                m &= occupied[x0 : x1 + 1, y0 : y1 + 1]
+                xs, ys = np.nonzero(m)
+                if len(xs):
+                    cols["q_id"].append(np.full(len(xs), qid[i], dtype=np.int64))
+                    cols["_qx"].append(np.full(len(xs), qx[i], dtype=np.int64))
+                    cols["_qy"].append(np.full(len(xs), qy[i], dtype=np.int64))
+                    cols["_ub"].append(np.full(len(xs), ub_i[i], dtype=np.int64))
+                    cols["_tcell"].append((cx[xs] << 32) | cy[ys])
             yield pd.DataFrame(
                 {
-                    "q_id": pdf["q_id"].to_numpy(np.int64),
-                    "_qx": qx,
-                    "_qy": qy,
-                    "_qix": qix,
-                    "_qiy": qiy,
-                    "_r": r,
-                    "_ub": np.where(bounded, kth, -1.0).astype(np.int64),
+                    k_: (np.concatenate(v) if v else np.array([], dtype=np.int64))
+                    for k_, v in cols.items()
                 }
             )
 
-    qr = q.mapInPandas(
-        radii,
-        "q_id long, _qx long, _qy long, _qix long, _qiy long, _r long, _ub long",
+    qcells = q.mapInPandas(
+        emit_cells, "q_id long, _qx long, _qy long, _ub long, _tcell long"
     )
-
-    disk = (
-        qr.withColumn(
-            "_cix",
-            F.explode(
-                F.sequence(
-                    F.least(F.greatest(F.col("_qix") - F.col("_r"), F.lit(0)), F.lit(n)),
-                    F.greatest(F.least(F.col("_qix") + F.col("_r"), F.lit(n)), F.lit(0)),
-                )
-            ),
-        )
-        .withColumn(
-            "_ciy",
-            F.explode(
-                F.sequence(
-                    F.least(F.greatest(F.col("_qiy") - F.col("_r"), F.lit(0)), F.lit(n)),
-                    F.greatest(F.least(F.col("_qiy") + F.col("_r"), F.lit(n)), F.lit(0)),
-                )
-            ),
-        )
-        .select(
-            "q_id",
-            "_qx",
-            "_qy",
-            "_ub",
-            morton_col(F.col("_cix"), F.col("_ciy"), glevel).alias("_tcell"),
-        )
-    )
-
-    cand = disk.join(tgtc.hint("shuffle_hash"), "_tcell")
+    cand = qcells.join(tgtc.hint("shuffle_hash"), "_tcell")
     scored = cand.select(
         "q_id",
         target_id,

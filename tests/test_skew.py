@@ -79,3 +79,22 @@ def test_salted_join_matches_plain_join(spark):
     empty = plan.filter(F.lit(False))
     salted0 = skew.salted_join(df, dim, "media_ref", empty, seed_col="doc_id")
     assert key(salted0.collect()) == key(plain.collect())
+
+
+def test_materialize_plan_identical_and_local(spark):
+    """materialize_plan: same rows as the lazy plan, and its physical plan is
+    a local scan (no histogram lineage re-evaluated per broadcast build)."""
+    df = _media_span_cells(spark).select("media_ref", "doc_id")
+    plan = skew.salt_plan(skew.key_histogram(df, "media_ref"), "media_ref", threshold=3.0)
+    lit = skew.materialize_plan(plan)
+    assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, plan.collect()))
+    phys = lit._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in phys or "Scan ExistingRDD" in phys
+    # consumers behave identically
+    dim = dg.tiles_df(spark, CFG).select("media_ref", (F.col("tile_k") % 7).alias("zone_id"))
+    a = skew.salted_join(df, dim, "media_ref", lit, seed_col="doc_id")
+    b = skew.salted_join(df, dim, "media_ref", plan, seed_col="doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # empty plan materializes fine (createDataFrame with explicit schema)
+    empty = skew.materialize_plan(plan.filter(F.lit(False)))
+    assert empty.count() == 0
