@@ -237,6 +237,20 @@ def main():
         "the sandbox proxy for N vs 4N executors required by the driver "
         "instruction. bench.py warms each JVM before timing; value excludes "
         "session startup.",
+        "",
+        "## Interpretation vs the hardware ceiling",
+        "",
+        f"| query | median eff | eff / ceiling ({ceiling}) |",
+        "|---|---|---|",
+        *(
+            f"| {q} | {v['eff']} | {round(min(v['eff'] / ceiling, 1.5), 2)} |"
+            for q, v in per_q.items()
+        ),
+        "",
+        "A query at the ceiling is scaling as well as ANY computation can on "
+        "this VM's 2→8 cores (SMT siblings + multi-tenant contention). "
+        "Pair efficiencies above 1.0 are host-noise draws (the canary logs "
+        "the windows); the median over paired reps is the reported figure.",
     ]
     (REPO / "BENCH" / "BASELINE.md").write_text("\n".join(md) + "\n")
     print(
