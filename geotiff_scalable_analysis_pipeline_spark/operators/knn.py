@@ -137,6 +137,19 @@ def knn_join(
             )
         )
     bbox_units = (int(st.ux0), int(st.ux1), int(st.uy0), int(st.uy1))
+    # Rescue-path contract: TARGETS must lie inside the Morton frame — the
+    # radius oracle's cell-bounds proofs (disk counts, mindist lens prune)
+    # assume every target sits inside the lattice cell it hashes to; an
+    # out-of-frame target clamps into an edge cell and would be silently
+    # mis-pruned. Queries may be anywhere (the far cohort is supported).
+    from ..functions.cells import FRAME_SIZE
+
+    if not (0 <= bbox_units[0] and bbox_units[1] < FRAME_SIZE
+            and 0 <= bbox_units[2] and bbox_units[3] < FRAME_SIZE):
+        raise ValueError(
+            f"knn_join targets must lie in [0, {int(FRAME_SIZE)}) per axis "
+            f"(got bbox {bbox_units}); re-frame the coordinates first"
+        )
     if level is None:
         level = pick_level(n_targets)
 

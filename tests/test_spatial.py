@@ -8,6 +8,8 @@ same deterministic corpus.
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from geotiff_scalable_analysis_pipeline_spark import datagen as dg
 from geotiff_scalable_analysis_pipeline_spark.operators import knn as knn_op
@@ -194,3 +196,56 @@ def test_knn_block_pass_exact(spark, duck, corpus, monkeypatch):
         got.reset_index(drop=True).astype({"dist_sq": "int64", "rank": "int64"}),
         oracle.reset_index(drop=True).astype({"dist_sq": "int64", "rank": "int64"}),
     )
+
+
+@settings(max_examples=12, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_knn_block_and_rescue_random_far_queries(spark, monkeypatch, seed):
+    """Hypothesis sweep of the two-tier kNN (block pass forced + lens-pruned
+    rescue) against a numpy brute force: random in-frame targets, queries
+    scattered from deep inside the data to ~50 k units outside the frame
+    (the far-cohort regime that used to explode the rescue)."""
+    import numpy as np
+
+    from geotiff_scalable_analysis_pipeline_spark.operators import knn as knn_op
+
+    rng = np.random.default_rng(seed)
+    nt, nq, k = 150, 40, 3
+    txy = rng.integers(0, 131072, size=(nt, 2))
+    qxy = np.concatenate(
+        [
+            rng.integers(0, 131072, size=(nq - 10, 2)),
+            rng.integers(-50_000, 181_072, size=(10, 2)),  # far / out-of-frame
+        ]
+    )
+    tdf = spark.createDataFrame(
+        [(f"t{i:05d}", int(x), int(y)) for i, (x, y) in enumerate(txy)],
+        "media_ref string, cx long, cy long",
+    )
+    qdf = spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(qxy)],
+        "q_id long, qx long, qy long",
+    )
+    monkeypatch.setattr(knn_op, "BLOCK_PASS_MIN_TARGETS", 0)
+    out = knn_op.knn_join(qdf, tdf, k=k)
+    got = sorted(map(tuple, out.select("q_id", "rank", "media_ref", "dist_sq").collect()))
+    out.unpersist()
+    # brute force with (dist, ref) tie order
+    want = []
+    refs = np.array([f"t{i:05d}" for i in range(nt)])
+    for qi, (qx, qy) in enumerate(qxy):
+        d = (txy[:, 0] - qx) ** 2 + (txy[:, 1] - qy) ** 2
+        order = sorted(range(nt), key=lambda j: (int(d[j]), refs[j]))[:k]
+        want += [(qi, r + 1, refs[j], int(d[j])) for r, j in enumerate(order)]
+    assert got == sorted(want)
+
+
+def test_knn_rejects_out_of_frame_targets(spark):
+    from geotiff_scalable_analysis_pipeline_spark.operators import knn as knn_op
+
+    tdf = spark.createDataFrame(
+        [("a", 100, 100), ("b", 200000, 50)], "media_ref string, cx long, cy long"
+    )
+    qdf = spark.createDataFrame([(1, 150, 150)], "q_id long, qx long, qy long")
+    with pytest.raises(ValueError, match="re-frame"):
+        knn_op.knn_join(qdf, tdf, k=1)
