@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import functions as F
@@ -73,8 +74,13 @@ BENCH_TABLES = {
     "chunk_pipeline": {"media"},
     "zonal_stats": {"tiles", "rect_zones", "media"},
     "dedup_suite": set(),
+    "dedup_text": {"dedup_docs"},
     "relational_suite": set(),
 }
+
+# docs for the BENCH_SCALE-scaled dedup bench (the sf tables the other text
+# queries read do NOT scale with BENCH_SCALE)
+N_TEXT_DOCS = int(5_000 * SCALE)
 
 _GENERATORS = {
     "tiles": dg.tiles_df,
@@ -94,7 +100,13 @@ def setup_corpus(spark, names):
         done = CORPUS / f"_READY_{table}"
         if done.exists():
             continue
-        _GENERATORS[table](spark, CFG).write.mode("overwrite").parquet(str(CORPUS / table))
+        if table == "dedup_docs":
+            # written as <dir>/documents.parquet so queries_text callables
+            # (which take an sf_dir) can read it directly
+            df = dg.text_documents_df(spark, N_TEXT_DOCS)
+            df.write.mode("overwrite").parquet(str(CORPUS / "dedup" / "documents.parquet"))
+        else:
+            _GENERATORS[table](spark, CFG).write.mode("overwrite").parquet(str(CORPUS / table))
         done.write_text("ok")
 
 
@@ -169,13 +181,12 @@ def bench_pip_zonal(spark):
 def bench_knn(spark):
     # level from the known target count (skips the count() job the auto path
     # would run — one fewer driver action on the floor-sensitive query).
-    # unpersist the returned frame: knn_join caches its RESULT, and Spark's
-    # cache manager matches by canonical plan — without the unpersist, the
-    # warm pass's cached output short-circuits part of every timed rep
-    # (measured: 296 s cold vs 65 s with the stale cache at scale 400).
+    # knn_join's default return is a localCheckpoint, NOT a cache-manager
+    # entry, so repeated timed reps can never short-circuit against a stale
+    # cached plan (the pre-r3 footgun: 296 s cold vs 65 s with stale cache
+    # at scale 400) and no manual unpersist is needed.
     out = knn.knn_join(_t(spark, "points"), _t(spark, "tiles"), k=5, level=knn.pick_level(N_TILES))
     _force(out)
-    out.unpersist()
     return N_POINTS
 
 
@@ -194,36 +205,52 @@ _MEDIA_CONF = memory_model.autotune_conf(MEDIA_PAYLOAD_BYTES)
 _media_conf_logged = False
 
 
-def _apply_media_autotune(spark):
+@contextmanager
+def _media_autotune(spark):
+    """Scope the media-payload Arrow/scan confs to ONE bench: snapshot the
+    previous values and restore them on exit, so whole-suite runs and
+    fresh-JVM single-query runs see identical confs for every non-media
+    bench (the run-mode-dependent-timing class of contamination)."""
     global _media_conf_logged
+    saved = {k: spark.conf.get(k, None) for k in _MEDIA_CONF}
     for k, v in _MEDIA_CONF.items():
         spark.conf.set(k, v)
     if not _media_conf_logged:
         print(f"# media autotune ({MEDIA_PAYLOAD_BYTES}B payload): {_MEDIA_CONF}", file=sys.stderr)
         _media_conf_logged = True
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def bench_raster_stats(spark):
-    _apply_media_autotune(spark)
-    media = _t(spark, "media")
-    _force(raster.tile_pixel_stats(media))
-    _force(raster.tile_histogram(media))
+    with _media_autotune(spark):
+        media = _t(spark, "media")
+        _force(raster.tile_stats_and_histogram(media))
     return N_MEDIA
 
 
 def bench_chunk_pipeline(spark):
-    _apply_media_autotune(spark)
-    media = _t(spark, "media").limit(max(64, int(256 * SCALE)))
-    stats = chunking.chunk_class_stats(media, zor=64, halo=16, patch=32, stride=16)
-    _force(chunking.global_class_probs(stats))
+    with _media_autotune(spark):
+        media = _t(spark, "media").limit(max(64, int(256 * SCALE)))
+        stats = chunking.chunk_class_stats(media, zor=64, halo=16, patch=32, stride=16)
+        _force(chunking.global_class_probs(stats))
     return max(64, int(256 * SCALE))
 
 
 def bench_zonal_stats(spark):
-    t = _t(spark, "tiles").select("media_ref", "cx", "cy")
-    pairs = pip_join.pip_join_rect(t, _t(spark, "rect_zones"), x="cx", y="cy")
-    stats = raster.tile_pixel_stats(_t(spark, "media"))
-    _force(zonal.two_stage_zonal(pairs, stats))
+    # reads the media table too -> same autotuned scan/Arrow confs, applied
+    # uniformly so run order can't change any bench's effective confs
+    with _media_autotune(spark):
+        t = _t(spark, "tiles").select("media_ref", "cx", "cy")
+        pairs = pip_join.pip_join_rect(t, _t(spark, "rect_zones"), x="cx", y="cy")
+        stats = raster.tile_pixel_stats(_t(spark, "media"))
+        _force(zonal.two_stage_zonal(pairs, stats))
     return N_MEDIA
 
 
@@ -233,6 +260,19 @@ def bench_dedup(spark):
     for name in ("minhash_lsh_pairs", "simhash_pairs", "embedding_topk"):
         _force(qt.QUERIES[name][0](spark, SF_DIR))
     return 0
+
+
+def bench_dedup_text(spark):
+    """Scaling-evidence surface for the LLM-pipeline dedup flagships:
+    minhash-LSH + simhash end-to-end over the BENCH_SCALE-scaled synthetic
+    text corpus (the plain dedup_suite reads the fixed-size sf tables, so it
+    cannot provide an N→4N datum at a ≥30 s 2-core wall)."""
+    from geotiff_scalable_analysis_pipeline_spark import queries_text as qt
+
+    ded_dir = str(CORPUS / "dedup")
+    _force(qt.q_minhash_lsh_pairs(spark, ded_dir))
+    _force(qt.q_simhash_pairs(spark, ded_dir))
+    return N_TEXT_DOCS
 
 
 def bench_relational(spark):
@@ -254,6 +294,11 @@ BENCHES = {
     "relational_suite": bench_relational,
 }
 
+# scaling-evidence-only surface: not part of the default suite (it measures
+# the same minhash/simhash code paths dedup_suite already times at sf scale)
+EXTRA_BENCHES = {"dedup_text": bench_dedup_text}
+BENCHES_ALL = {**BENCHES, **EXTRA_BENCHES}
+
 
 def main():
     only = os.environ.get("BENCH_ONLY")
@@ -266,7 +311,7 @@ def main():
     units = 0
     total = 0.0
     for name in names:
-        fn = BENCHES[name]
+        fn = BENCHES_ALL[name]
         if STEADY:
             fn(spark)  # warm: codegen compiled, workers spawned, cache hot
         best = None

@@ -377,6 +377,34 @@ def documents_df(spark: SparkSession, cfg: GoldenConfig = GOLDEN) -> DataFrame:
     )
 
 
+def text_documents_df(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Deterministic text corpus in the testdata ``documents`` shape
+    (doc_id, text, lang, source, n_chars) at any scale — built in-plan with
+    higher-order functions (no Python UDF), for the dedup scaling bench.
+
+    Dup structure: every 5th doc reuses the previous doc's token seed (same
+    ~30-70 token body) plus one extra distinguishing token — a near-dup the
+    MinHash/SimHash pipelines must surface, at a 20% rate so candidate-pair
+    volume grows linearly with the corpus, not quadratically.
+    """
+    d = F.col("id")
+    seed = F.when(d % 5 == 4, d - 1).otherwise(d)
+    n_tok = (ihash_col(seed, 71) % 41 + 30).cast("int")  # 30..70 tokens
+
+    def tok(i: Column):
+        return F.concat(F.lit("w"), (ihash_col(seed * 128 + i.cast("long"), 72) % 9973).cast("string"))
+
+    body = F.array_join(F.transform(F.sequence(F.lit(0), n_tok - 1), tok), " ")
+    text = F.when(d % 5 == 4, F.concat(body, F.lit(" u"), d.cast("string"))).otherwise(body)
+    return spark.range(n_docs).select(
+        d.alias("doc_id"),
+        text.alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
 def spans_flat_sql(cfg: GoldenConfig = GOLDEN, alias: str = "spans_flat") -> str:
     """Exploded span rows (doc_id, j, kind, text, media_ref, offset) in SQL."""
     nsp = f"({ihash_sql('d', 31)} % 8 + 1)"

@@ -94,17 +94,26 @@ def knn_join(
     tx: str = "cx",
     ty: str = "cy",
     target_id: str = "media_ref",
+    cache_result: bool = False,
 ) -> DataFrame:
     """Exact kNN: (q_id, rank, <target_id>, dist_sq), rank 1..k.
 
     ``level=None`` auto-sizes the cell grid from the target count so the
     per-query candidate set stays O(k) regardless of scale.
 
-    The returned frame is **materialized and cached** (one extra count job):
-    the algorithm persists per-round intermediates, and materializing the
-    result lets every intermediate be unpersisted before returning — executor
-    storage does not accumulate across rounds or across repeated knn_join
-    calls in one session. Callers may ``unpersist()`` the result when done.
+    The returned frame is **materialized** (the algorithm persists per-round
+    intermediates, and materializing the result lets every intermediate be
+    unpersisted before returning — executor storage does not accumulate
+    across rounds or across repeated knn_join calls in one session). By
+    default the materialization is an eager ``localCheckpoint``: the result
+    is held as executor blocks but is NOT registered with the SQL cache
+    manager, so a later knn_join over the same inputs can never silently
+    short-circuit against it via canonical-plan matching (the exact footgun
+    that contaminated every pre-round-3 knn benchmark — see PERF.md) and no
+    caller ``unpersist()`` is needed. The result is queries×k rows, so the
+    checkpoint blocks are small; pass ``cache_result=True`` to get the old
+    lineage-preserving ``persist()`` behavior instead (caller must then
+    ``unpersist()``).
     """
     import os as _os
 
@@ -182,13 +191,20 @@ def knn_join(
     # input-bytes heuristic coalesces a few-hundred-MB shuffle into a couple
     # of tasks and serializes hundreds of millions of candidate distances
     # (event-log evidence: a 165 s two-task stage at scale 400 on local[8]).
+    # (The conf toggle is session-global for the duration of this one
+    # materialization job — restored in the finally. Non-reentrant: a
+    # concurrent query on the same session runs with coalescing off during
+    # that window; acceptable for a single-tenant session.)
     spark = queries.sparkSession
     key = "spark.sql.adaptive.coalescePartitions.enabled"
     old = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
     try:
-        out = out.persist()
-        out.count()
+        if cache_result:
+            out = out.persist()
+            out.count()
+        else:
+            out = out.localCheckpoint(eager=True)
     finally:
         spark.conf.set(key, old)
     for f in cached:
@@ -573,12 +589,12 @@ def _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached):
         ).alias("dist_sq"),
         "_ub",
     )
-    # bounded queries: drop candidates strictly beyond the known kth bound
-    # BEFORE the aggregate shuffle (<= keeps potential ties; the k winners
-    # are all <= ub by definition of the bound)
-    scored = scored.filter((F.col("_ub") < 0) | (F.col("dist_sq") <= F.col("_ub"))).drop(
-        "_ub"
-    )
+    # Drop candidates strictly beyond the known kth bound BEFORE the
+    # aggregate shuffle (<= keeps potential ties; the k winners are all
+    # <= ub by definition of the bound). Every query carries a finite
+    # non-negative ub — emit_cells always emits kth0 or the count-grid
+    # bound; the old -1 "unbounded" sentinel no longer exists.
+    scored = scored.filter(F.col("dist_sq") <= F.col("_ub")).drop("_ub")
     # per-query top-k as an AGGREGATE, not a rank window (measured on 60 M
     # candidates at local[8]: row_number() window 170 s vs 23 s); ties break
     # on (dist_sq, <target_id>) — identical to the DuckDB oracle

@@ -103,6 +103,80 @@ def tile_histogram(media: DataFrame, bins: int = HIST_BINS, dn_max: int = 10000)
     return media.select("media_ref", "payload").mapInPandas(hist, HIST_SCHEMA)
 
 
+FUSED_SCHEMA = PIXEL_STATS_SCHEMA + ", hist array<long>"
+
+
+def tile_stats_and_histogram(
+    media: DataFrame, bins: int = HIST_BINS, dn_max: int = 10000
+) -> DataFrame:
+    """Single-decode fusion of :func:`tile_pixel_stats` + :func:`tile_histogram`.
+
+    The TIFF decode dominates the raster-stats pipeline; running the two
+    operators separately decodes every payload twice. This emits ONE row per
+    (media_ref, band) carrying the full pixel-stats columns plus the dense
+    ``bins``-length histogram as an array — one decode pass, both families.
+    Derive the individual surfaces with :func:`fused_stats` /
+    :func:`fused_histogram`; both are bit-identical to the unfused operators
+    (pinned by tests/test_raster.py).
+    """
+    import pandas as pd
+
+    def both(it):
+        from ..formats import tiff
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_ref", "band", "cnt", "sum_dn", "sum_sq", "min_dn", "max_dn",
+                "sum_cal", "mean_dn", "mean_refl", "hist",
+            )}
+            for ref, baseline, payload in zip(
+                pdf["media_ref"], pdf["proc_baseline"], pdf["payload"]
+            ):
+                arr, _ = tiff.decode(bytes(payload))
+                a = arr.astype(np.int64)
+                cal = np.maximum(a - 1000, 0) if baseline >= 400 else a
+                nb = a.shape[0]
+                cnt = a.shape[1] * a.shape[2]
+                s = a.sum(axis=(1, 2))
+                ss = (a * a).sum(axis=(1, 2))
+                sc = cal.sum(axis=(1, 2))
+                rows["media_ref"] += [ref] * nb
+                rows["band"] += list(range(nb))
+                rows["cnt"] += [cnt] * nb
+                rows["sum_dn"] += s.tolist()
+                rows["sum_sq"] += ss.tolist()
+                rows["min_dn"] += a.min(axis=(1, 2)).tolist()
+                rows["max_dn"] += a.max(axis=(1, 2)).tolist()
+                rows["sum_cal"] += sc.tolist()
+                rows["mean_dn"] += (s / cnt).tolist()
+                rows["mean_refl"] += (sc / (10000.0 * cnt)).tolist()
+                binned = (a * bins) // (dn_max + 1)  # same int rule as tile_histogram
+                for b in range(nb):
+                    rows["hist"].append(
+                        np.bincount(binned[b].ravel(), minlength=bins).tolist()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_ref", "proc_baseline", "payload").mapInPandas(
+        both, FUSED_SCHEMA
+    )
+
+
+def fused_stats(fused: DataFrame) -> DataFrame:
+    """Pixel-stats view of :func:`tile_stats_and_histogram` (≡ tile_pixel_stats)."""
+    return fused.drop("hist")
+
+
+def fused_histogram(fused: DataFrame) -> DataFrame:
+    """Histogram view of :func:`tile_stats_and_histogram` (≡ tile_histogram):
+    explode the dense array, keep non-zero bins only."""
+    return (
+        fused.select("media_ref", "band", F.posexplode("hist").alias("bin", "cnt"))
+        .filter(F.col("cnt") > 0)
+        .select("media_ref", "band", F.col("bin").cast("int").alias("bin"), "cnt")
+    )
+
+
 def tile_footprints(media_meta: DataFrame, level: int) -> DataFrame:
     """Cell cover of each tile footprint (bbox → covering cells, pure Catalyst).
 

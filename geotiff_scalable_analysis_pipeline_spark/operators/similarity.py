@@ -44,7 +44,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     exclude_self: bool = True,
-    max_targets: int = 1_000_000,
+    max_targets: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k via numpy matmul inside mapInPandas.
 

@@ -46,8 +46,17 @@ QSCALE = 10**9  # mean/min/max/metrics quantization (values in [0, ~1.4])
 
 
 def q(x: float) -> int:
-    """Spark F.round semantics (HALF_UP) for non-negative x."""
-    return int(math.floor(x * QSCALE + 0.5))
+    """Spark F.round semantics for non-negative x: Spark rounds
+    BigDecimal.valueOf(double) — the double's shortest decimal repr — with
+    HALF_UP, which `decimal.Decimal(repr(x))` + ROUND_HALF_UP mirrors
+    exactly. (A bare floor(x*SCALE + 0.5) can disagree when the float64
+    +0.5 addition rounds across the half boundary; the drift test in
+    tests/test_golden.py is the gate either way — it pins today's values
+    against the engine.)"""
+    import decimal
+
+    d = decimal.Decimal(repr(float(x))) * QSCALE
+    return int(d.quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
 
 
 def main() -> dict:

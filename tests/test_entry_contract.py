@@ -69,10 +69,13 @@ def test_query_matches_oracle(spark, duck_views, name):
     assert ms_s == ms_d, f"{name}: first mismatches {[(ms_s[i], ms_d[i]) for i in mismatches]}"
 
 
-@pytest.mark.parametrize("name", [n for n in ALL if n not in WITH_ORACLE])
-def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    assert df.count() >= 0
+def test_every_query_is_oracle_paired():
+    """All driver queries carry a DuckDB oracle — no rows-only leftovers.
+
+    (Replaces the old rows-only parametrization, which skipped on an empty
+    parameter set once the last two queries were oracle-paired in round 3.)
+    """
+    assert [n for n in ALL if n not in WITH_ORACLE] == []
 
 
 def test_entry_smoke(spark):

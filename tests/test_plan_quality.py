@@ -114,3 +114,23 @@ def test_shingles_have_no_global_window(spark):
         for line in p.splitlines():
             if "Window" in line:
                 assert "doc_id" in line, f"unpartitioned window in {q.__name__}: {line}"
+
+
+def test_knn_result_not_in_sql_cache_manager(spark):
+    """De-footgun pin (round-4): knn_join's returned frame must NOT register
+    with the SQL cache manager — canonical-plan matching against a cached
+    result silently short-circuited every pre-round-3 timed knn rep (PERF.md).
+    The default return is a localCheckpoint: materialized, but invisible to
+    plan matching, so a cold re-call recomputes and matches identically."""
+    spark.catalog.clearCache()
+    cfg = dg.GoldenConfig(n_tiles=200, n_points=30)
+    q, t = dg.points_df(spark, cfg), dg.tiles_df(spark, cfg)
+    a = knn_op.knn_join(q, t, k=3)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "knn_join registered its result with the cache manager - "
+        "second calls would silently reuse it"
+    )
+    b = knn_op.knn_join(q, t, k=3)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) == cfg.n_points * 3

@@ -61,3 +61,19 @@ def test_lsh_candidates_prune(spark):
         .count()
     )
     assert cand < 0.35 * n * (n - 1), f"candidates {cand} ~ all-pairs {n*(n-1)}"
+
+
+def test_cosine_topk_refuses_corpus_sized_target_side(spark):
+    """cosine_topk collects targets to the driver — the guard must refuse a
+    target side over max_targets (default 100k) and point at lsh_topk."""
+    import pytest
+
+    e = _emb(spark)
+    qv = sim.quantize(e)
+    with pytest.raises(ValueError, match="lsh_topk"):
+        sim.cosine_topk(qv, qv, k=2, max_targets=10)
+    assert sim.cosine_topk.__defaults__ is not None
+    # pin the tightened default so it can't silently drift back up
+    import inspect
+
+    assert inspect.signature(sim.cosine_topk).parameters["max_targets"].default == 100_000

@@ -200,7 +200,7 @@ def test_knn_block_pass_exact(spark, duck, corpus, monkeypatch):
 
 @settings(max_examples=12, deadline=None)
 @given(seed=st.integers(0, 2**31 - 1))
-def test_knn_block_and_rescue_random_far_queries(spark, monkeypatch, seed):
+def test_knn_block_and_rescue_random_far_queries(spark, seed):
     """Hypothesis sweep of the two-tier kNN (block pass forced + lens-pruned
     rescue) against a numpy brute force: random in-frame targets, queries
     scattered from deep inside the data to ~50 k units outside the frame
@@ -226,10 +226,16 @@ def test_knn_block_and_rescue_random_far_queries(spark, monkeypatch, seed):
         [(i, int(x), int(y)) for i, (x, y) in enumerate(qxy)],
         "q_id long, qx long, qy long",
     )
-    monkeypatch.setattr(knn_op, "BLOCK_PASS_MIN_TARGETS", 0)
-    out = knn_op.knn_join(qdf, tdf, k=k)
-    got = sorted(map(tuple, out.select("q_id", "rank", "media_ref", "dist_sq").collect()))
-    out.unpersist()
+    # Plain try/finally setattr instead of the monkeypatch fixture: Hypothesis
+    # rejects function-scoped fixtures inside @given (FailedHealthCheck), and
+    # the setattr is idempotent across examples.
+    saved_min_targets = knn_op.BLOCK_PASS_MIN_TARGETS
+    knn_op.BLOCK_PASS_MIN_TARGETS = 0
+    try:
+        out = knn_op.knn_join(qdf, tdf, k=k)
+        got = sorted(map(tuple, out.select("q_id", "rank", "media_ref", "dist_sq").collect()))
+    finally:
+        knn_op.BLOCK_PASS_MIN_TARGETS = saved_min_targets
     # brute force with (dist, ref) tie order
     want = []
     refs = np.array([f"t{i:05d}" for i in range(nt)])
@@ -249,3 +255,22 @@ def test_knn_rejects_out_of_frame_targets(spark):
     qdf = spark.createDataFrame([(1, 150, 150)], "q_id long, qx long, qy long")
     with pytest.raises(ValueError, match="re-frame"):
         knn_op.knn_join(qdf, tdf, k=1)
+
+
+def test_fused_stats_and_histogram_bit_identical(spark):
+    """Round-4 fusion: one decode pass emitting both row families must be
+    bit-identical to the separate tile_pixel_stats / tile_histogram ops."""
+    media = dg.media_df(spark, CFG)
+    fused = raster.tile_stats_and_histogram(media).persist()
+    try:
+        sort_s = ["media_ref", "band"]
+        a = raster.tile_pixel_stats(media).toPandas().sort_values(sort_s).reset_index(drop=True)
+        b = raster.fused_stats(fused).toPandas().sort_values(sort_s).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        sort_h = ["media_ref", "band", "bin"]
+        c = raster.tile_histogram(media).toPandas().sort_values(sort_h).reset_index(drop=True)
+        d = raster.fused_histogram(fused).toPandas().sort_values(sort_h).reset_index(drop=True)
+        pd.testing.assert_frame_equal(c, d)
+        assert len(a) == CFG.n_media_tiles * CFG.n_bands
+    finally:
+        fused.unpersist()
