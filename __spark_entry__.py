@@ -33,6 +33,12 @@ def _catalogue() -> dict[str, tuple]:
         cat.update(queries_text.QUERIES)
     except ImportError:
         pass
+    try:
+        from geotiff_scalable_analysis_pipeline_spark import queries_multimodal
+
+        cat.update(queries_multimodal.QUERIES)
+    except ImportError:
+        pass
     return cat
 
 

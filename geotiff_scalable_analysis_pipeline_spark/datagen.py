@@ -405,6 +405,101 @@ def text_documents_df(spark: SparkSession, n_docs: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# multimodal corpus — REAL PNG/WAV/video payloads from integer pixel formulas
+# ---------------------------------------------------------------------------
+
+MM_W, MM_H, MM_C = 32, 24, 3  # image/video frame geometry
+MM_FRAMES, MM_RATE = 12, 8000
+
+
+def mm_pix_np(seed: np.ndarray, r: np.ndarray, c: np.ndarray, ch: np.ndarray) -> np.ndarray:
+    """uint8 pixel field for multimodal images/video frames (seed = media id,
+    or id*64+frame for video)."""
+    t = (np.asarray(seed, dtype=np.int64) * M1) % 9973
+    return (
+        np.asarray(r, dtype=np.int64) * 31
+        + np.asarray(c, dtype=np.int64) * 17
+        + np.asarray(ch, dtype=np.int64) * 997
+        + t
+    ) % 256
+
+
+def mm_pix_sql(seed: str = "k", r: str = "r", c: str = "c", ch: str = "ch") -> str:
+    return (
+        f"(({r}) * 31 + ({c}) * 17 + ({ch}) * 997"
+        f" + (CAST({seed} AS BIGINT) * {M1}) % 9973) % 256"
+    )
+
+
+def mm_sample_np(k: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """int16 PCM sample field for multimodal audio."""
+    t = (np.asarray(k, dtype=np.int64) * M1) % 65521
+    return ((np.asarray(n, dtype=np.int64) * 7919 + t) % 65536 - 32768).astype(np.int64)
+
+
+def mm_sample_sql(k: str = "k", n: str = "n") -> str:
+    return f"((({n}) * 7919 + (CAST({k} AS BIGINT) * {M1}) % 65521) % 65536 - 32768)"
+
+
+def multimodal_df(spark: SparkSession, n: int = 60) -> DataFrame:
+    """(media_ref, modality, width, height, n_frames, sample_rate, payload)
+    with REAL wire-format payloads: id%3==0 → PNG image, 1 → WAV PCM16
+    audio, 2 → PNG-frame video container. Encoded in a mapInPandas (same
+    distribution discipline as media_df's GeoTIFF payloads)."""
+    import pandas as pd
+
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("mm"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("media_ref"),
+        F.when(F.col("id") % 3 == 0, "image")
+        .when(F.col("id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.when(F.col("id") % 3 != 1, MM_W).cast("int").alias("width"),
+        F.when(F.col("id") % 3 != 1, MM_H).cast("int").alias("height"),
+        F.when(F.col("id") % 3 == 2, MM_FRAMES).cast("int").alias("n_frames"),
+        F.when(F.col("id") % 3 == 1, MM_RATE).cast("int").alias("sample_rate"),
+    )
+    r, c, ch = np.meshgrid(np.arange(MM_H), np.arange(MM_W), np.arange(MM_C), indexing="ij")
+    samp_n = np.arange(MM_RATE)
+
+    def enc(it):
+        from .formats import png, wav
+        from .operators.multimodal import encode_video
+
+        for pdf in it:
+            payloads = []
+            for k, mod in zip(pdf["id"], pdf["modality"]):
+                k = int(k)
+                if mod == "image":
+                    payloads.append(png.encode(mm_pix_np(k, r, c, ch).astype(np.uint8)))
+                elif mod == "audio":
+                    payloads.append(
+                        wav.encode(mm_sample_np(k, samp_n).astype(np.int16), MM_RATE)
+                    )
+                else:
+                    frames = np.stack(
+                        [
+                            mm_pix_np(k * 64 + f, r, c, ch).astype(np.uint8)
+                            for f in range(MM_FRAMES)
+                        ]
+                    )
+                    payloads.append(encode_video(frames))
+            out = pdf.drop(columns=["id"]).copy()
+            out["payload"] = payloads
+            yield out[
+                ["media_ref", "modality", "width", "height",
+                 "n_frames", "sample_rate", "payload"]
+            ]
+
+    return base.repartition(max(2, n // 32)).mapInPandas(
+        enc,
+        "media_ref string, modality string, width int, height int, "
+        "n_frames int, sample_rate int, payload binary",
+    )
+
+
 def spans_flat_sql(cfg: GoldenConfig = GOLDEN, alias: str = "spans_flat") -> str:
     """Exploded span rows (doc_id, j, kind, text, media_ref, offset) in SQL."""
     nsp = f"({ihash_sql('d', 31)} % 8 + 1)"

@@ -1,17 +1,22 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: binary payloads in REAL wire formats + typed metadata.
 
 A 100 TB training corpus carries image/audio/video spans. The container has
-no codec libraries (no PIL/ffmpeg/librosa), so the *decode* step is a
-clearly-marked stub (deterministic fake, or NotImplementedError for real
-codecs) while everything Spark-side is real and tested: schemas, Arrow batch
-shapes, partition sizing for fat binary columns, UDF signatures, and the
-downstream feature pipeline.
+no codec libraries (no PIL/ffmpeg/librosa), so — exactly as ``formats/
+tiff.py`` does for GeoTIFF — the engine carries its own standards-conformant
+codecs: PNG (``formats/png.py``: zlib inflate + all five scanline
+unfilters) for images, RIFF/WAVE PCM16 (``formats/wav.py``) for audio, and
+a length-prefixed PNG-frame container for video (the container framing is
+engine-specific, each frame is a real PNG). Decode is therefore REAL for
+these formats; payloads in codecs genuinely absent from the sandbox (JPEG,
+MP3, H.264, ...) raise ``NotImplementedError`` with the magic named.
 
 Modality metadata struct mirrors the media table convention:
     (media_ref, modality, width, height, n_frames, sample_rate, payload)
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -26,24 +31,62 @@ FEATURE_SCHEMA = (
     "media_ref string, modality string, feat array<float>, n_items long"
 )
 
+VIDEO_MAGIC = b"GSAPVID0"  # engine video container: magic + u32 n_frames + frames
 
-def fake_decode(payload: bytes, modality: str, meta: dict) -> np.ndarray:
-    """STUB decoder — deterministic fake in place of PIL/ffmpeg/librosa.
 
-    Real deployment swaps this for the codec; the Spark plumbing (batching,
-    schema, partitioning) is identical. The fake derives pixels/samples from
-    a seeded hash of the payload so tests are reproducible.
+def encode_video(frames: np.ndarray) -> bytes:
+    """(F, H, W, C) uint8 → length-prefixed PNG-frame container."""
+    from ..formats import png
+
+    parts = [VIDEO_MAGIC, struct.pack("<I", frames.shape[0])]
+    for f in frames:
+        b = png.encode(f)
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    from ..formats import png
+
+    if payload[:8] != VIDEO_MAGIC:
+        raise ValueError("not a GSAPVID0 payload")
+    (nf,) = struct.unpack_from("<I", payload, 8)
+    pos = 12
+    frames = []
+    for _ in range(nf):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        frames.append(png.decode(payload[pos + 4 : pos + 4 + ln]))
+        pos += 4 + ln
+    return np.stack(frames)
+
+
+def decode_payload(payload: bytes, modality: str) -> np.ndarray:
+    """Real decode by modality. image → (H, W, C) uint8; audio → (N, C)
+    float32 in [-1, 1); video → (F, H, W, C) uint8.
+
+    Raises NotImplementedError for codecs absent from this sandbox, naming
+    the detected magic — an honest error path, not a stub body.
     """
-    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") % (2**32)
-    rng = np.random.default_rng(seed)
+    from ..formats import png, wav
+
     if modality == "image":
-        return rng.integers(0, 256, (meta["height"], meta["width"], 3), dtype=np.uint8)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return png.decode(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            raise NotImplementedError("JPEG codec not available in this sandbox")
+        raise NotImplementedError(f"unknown image magic {payload[:4]!r}")
     if modality == "audio":
-        return (rng.standard_normal(meta["sample_rate"]) * 0.1).astype(np.float32)
+        if payload[:4] == b"RIFF":
+            samples, _rate = wav.decode(payload)
+            return (samples.astype(np.float32) / 32768.0).astype(np.float32)
+        if payload[:3] in (b"ID3", b"\xff\xfb\x90"):
+            raise NotImplementedError("MP3 codec not available in this sandbox")
+        raise NotImplementedError(f"unknown audio magic {payload[:4]!r}")
     if modality == "video":
-        return rng.integers(
-            0, 256, (meta["n_frames"], meta["height"], meta["width"], 3), dtype=np.uint8
-        )
+        if payload[:8] == VIDEO_MAGIC:
+            return decode_video(payload)
+        raise NotImplementedError(f"unknown video magic {payload[:4]!r}")
     raise NotImplementedError(f"no decoder for modality {modality!r}")
 
 
@@ -98,15 +141,10 @@ def extract_features(media: DataFrame, target_hw: tuple[int, int] = (16, 16), n_
     def run(batches):
         for pdf in batches:
             out = {"media_ref": [], "modality": [], "feat": [], "n_items": []}
-            for ref, mod, w, h, nf, sr, payload in zip(
-                pdf["media_ref"], pdf["modality"], pdf["width"], pdf["height"],
-                pdf["n_frames"], pdf["sample_rate"], pdf["payload"],
+            for ref, mod, payload in zip(
+                pdf["media_ref"], pdf["modality"], pdf["payload"]
             ):
-                # nullable ints arrive as NaN floats in pandas — coerce safely
-                z = lambda v: 0 if pd.isna(v) else int(v)
-                meta = {"width": z(w), "height": z(h),
-                        "n_frames": z(nf), "sample_rate": z(sr)}
-                arr = fake_decode(bytes(payload), mod, meta)
+                arr = decode_payload(bytes(payload), mod)
                 if mod == "image":
                     small = _resize_nearest(arr, th, tw)
                     feat = small.mean(axis=(0, 1)).astype(np.float32)  # per channel
@@ -118,11 +156,12 @@ def extract_features(media: DataFrame, target_hw: tuple[int, int] = (16, 16), n_
                     feat = small.mean(axis=(0, 1, 2)).astype(np.float32)
                     n = len(idx)
                 elif mod == "audio":
-                    # fixed-bin energy profile
+                    # fixed-bin energy profile over the first channel
+                    mono = arr[:, 0]
                     k = 8
-                    chunks = arr[: (len(arr) // k) * k].reshape(k, -1)
+                    chunks = mono[: (len(mono) // k) * k].reshape(k, -1)
                     feat = np.sqrt((chunks**2).mean(axis=1)).astype(np.float32)
-                    n = len(arr)
+                    n = len(mono)
                 else:
                     raise NotImplementedError(mod)
                 out["media_ref"].append(ref)
@@ -134,20 +173,101 @@ def extract_features(media: DataFrame, target_hw: tuple[int, int] = (16, 16), n_
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+PIXEL_STATS_SCHEMA = (
+    "media_ref string, ch int, cnt long, sum_px long, min_px int, max_px int"
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode verification surface: PNG payloads → per (media_ref,
+    channel) integer pixel stats. Integer-exact (sums of uint8), so the
+    DuckDB oracle can recompute the same numbers from the generating pixel
+    formula without touching the codec — any decode defect (filter reversal,
+    CRC, channel order) breaks the pairing."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "ch", "cnt", "sum_px", "min_px", "max_px")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                arr = decode_payload(bytes(payload), "image").astype(np.int64)
+                h, w, nc = arr.shape
+                out["media_ref"] += [ref] * nc
+                out["ch"] += list(range(nc))
+                out["cnt"] += [h * w] * nc
+                out["sum_px"] += arr.sum(axis=(0, 1)).tolist()
+                out["min_px"] += arr.min(axis=(0, 1)).tolist()
+                out["max_px"] += arr.max(axis=(0, 1)).tolist()
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_ref", "payload")
+        .mapInPandas(run, PIXEL_STATS_SCHEMA)
+    )
+
+
+AUDIO_STATS_SCHEMA = "media_ref string, n_samples long, sum_pcm long, min_pcm int, max_pcm int"
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """WAV payloads → integer PCM stats per media_ref (decode-exact pairing,
+    same discipline as image_pixel_stats — stats on the raw int16 samples,
+    not the float normalization, so the oracle stays integer-exact)."""
+    import pandas as pd
+
+    from ..formats import wav
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "n_samples", "sum_pcm", "min_pcm", "max_pcm")}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                samples, _rate = wav.decode(bytes(payload))
+                s = samples.astype(np.int64)
+                out["media_ref"].append(ref)
+                out["n_samples"].append(s.shape[0])
+                out["sum_pcm"].append(int(s.sum()))
+                out["min_pcm"].append(int(s.min()))
+                out["max_pcm"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("modality") == "audio")
+        .select("media_ref", "payload")
+        .mapInPandas(run, AUDIO_STATS_SCHEMA)
+    )
+
+
+VIDEO_STATS_SCHEMA = "media_ref string, frame int, sum_px long"
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """Video containers → per-frame pixel sums (exercises the container walk
+    + per-frame PNG decode)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_ref": [], "frame": [], "sum_px": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                arr = decode_payload(bytes(payload), "video").astype(np.int64)
+                sums = arr.sum(axis=(1, 2, 3))
+                out["media_ref"] += [ref] * len(sums)
+                out["frame"] += list(range(len(sums)))
+                out["sum_px"] += sums.tolist()
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_ref", "payload")
+        .mapInPandas(run, VIDEO_STATS_SCHEMA)
+    )
+
+
 def synthetic_multimodal(spark, n: int = 60) -> DataFrame:
-    """Deterministic multimodal corpus for tests (payload = seeded bytes)."""
-    mods = F.when(F.col("id") % 3 == 0, "image").when(F.col("id") % 3 == 1, "audio").otherwise(
-        "video"
-    )
-    base = spark.range(n).select(
-        F.concat(F.lit("mm"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("media_ref"),
-        mods.alias("modality"),
-        F.when(F.col("id") % 3 != 1, 32).otherwise(None).cast("int").alias("width"),
-        F.when(F.col("id") % 3 != 1, 24).otherwise(None).cast("int").alias("height"),
-        F.when(F.col("id") % 3 == 2, 12).otherwise(None).cast("int").alias("n_frames"),
-        F.when(F.col("id") % 3 == 1, 8000).otherwise(None).cast("int").alias("sample_rate"),
-        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "utf-8").alias(
-            "payload"
-        ),
-    )
-    return base
+    """Deterministic multimodal corpus with REAL encoded payloads (PNG / WAV
+    / PNG-frame video) — see datagen.multimodal_df for the pixel/sample
+    formulas the DuckDB oracle mirrors."""
+    from .. import datagen as dg
+
+    return dg.multimodal_df(spark, n)

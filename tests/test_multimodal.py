@@ -1,8 +1,15 @@
-"""Multimodal plumbing: schemas, batching, decode-stub feature extraction."""
+"""Multimodal: REAL codecs (PNG/WAV/video container) + feature extraction.
+
+The decode step is no longer a stub: payloads are genuine wire formats and
+the decoded values are checked against the generating integer formulas —
+the same verification the driver queries run via DuckDB oracles.
+"""
 
 import numpy as np
 import pytest
 
+from geotiff_scalable_analysis_pipeline_spark import datagen as dg
+from geotiff_scalable_analysis_pipeline_spark.formats import png, wav
 from geotiff_scalable_analysis_pipeline_spark.operators import multimodal as mm
 
 
@@ -15,7 +22,7 @@ def test_feature_extraction_all_modalities(spark):
     assert len(by_mod["audio"]) == 8  # energy bins
     assert len(by_mod["video"]) == 3
     assert (feats[feats.modality == "video"].n_items == 4).all()  # frame sample
-    assert (feats[feats.modality == "audio"].n_items == 8000).all()
+    assert (feats[feats.modality == "audio"].n_items == dg.MM_RATE).all()
 
 
 def test_deterministic_across_partitionings(spark):
@@ -31,7 +38,14 @@ def test_deterministic_across_partitionings(spark):
 
 def test_unknown_modality_raises():
     with pytest.raises(NotImplementedError):
-        mm.fake_decode(b"xx", "hologram", {})
+        mm.decode_payload(b"xx", "hologram")
+
+
+def test_absent_codecs_raise_named():
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        mm.decode_payload(b"\xff\xd8\xff\xe0rest", "image")
+    with pytest.raises(NotImplementedError, match="MP3"):
+        mm.decode_payload(b"ID3\x04rest", "audio")
 
 
 def test_resize_nearest_exact():
@@ -40,3 +54,83 @@ def test_resize_nearest_exact():
     assert small.shape == (6, 4, 3)
     assert np.array_equal(small[0, 0], img[0, 0])
     assert np.array_equal(small[5, 3], img[10, 6])
+
+
+# ---------------------------------------------------------------------------
+# codec round-trips (kernel level, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters_and_shapes():
+    rng = np.random.default_rng(7)
+    for shape in [(24, 32, 3), (7, 5, 1), (16, 16, 4), (1, 1, 3), (6, 9)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = png.decode(png.encode(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert np.array_equal(dec, want), shape
+    # ≥5 rows ⇒ every filter type (row % 5) exercised
+    grad = (np.arange(40 * 16 * 3, dtype=np.int64).reshape(40, 16, 3) % 256).astype(np.uint8)
+    assert np.array_equal(png.decode(png.encode(grad)), grad)
+
+
+def test_png_crc_detects_corruption():
+    buf = bytearray(png.encode(np.zeros((4, 4, 3), dtype=np.uint8)))
+    buf[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode(bytes(buf))
+
+
+def test_png_deterministic_encode():
+    img = (np.arange(300, dtype=np.int64).reshape(10, 10, 3) % 256).astype(np.uint8)
+    assert png.encode(img) == png.encode(img)
+
+
+def test_wav_roundtrip_and_ancillary_chunks():
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, (500, 2), dtype=np.int64).astype(np.int16)
+    buf = wav.encode(s, 44100)
+    dec, rate = wav.decode(buf)
+    assert rate == 44100 and np.array_equal(dec, s)
+    # insert an ancillary LIST chunk before data — real files carry these
+    import struct
+
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    buf2 = buf[:fmt_end] + extra + buf[fmt_end:]
+    buf2 = buf2[:4] + struct.pack("<I", len(buf2) - 8) + buf2[8:]
+    dec2, _ = wav.decode(buf2)
+    assert np.array_equal(dec2, s)
+
+
+def test_video_container_roundtrip():
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (6, 8, 10, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_video(mm.encode_video(frames)), frames)
+
+
+# ---------------------------------------------------------------------------
+# decoded values match the generating formulas (what the driver oracle pins)
+# ---------------------------------------------------------------------------
+
+
+def test_decoded_pixels_match_formula(spark):
+    rows = dg.multimodal_df(spark, 9).filter("modality = 'image'").collect()
+    r, c, ch = np.meshgrid(
+        np.arange(dg.MM_H), np.arange(dg.MM_W), np.arange(dg.MM_C), indexing="ij"
+    )
+    assert len(rows) == 3
+    for row in rows:
+        k = int(row.media_ref[2:])
+        arr = mm.decode_payload(bytes(row.payload), "image")
+        want = dg.mm_pix_np(k, r, c, ch).astype(np.uint8)
+        assert np.array_equal(arr, want)
+
+
+def test_decoded_audio_matches_formula(spark):
+    rows = dg.multimodal_df(spark, 9).filter("modality = 'audio'").collect()
+    n = np.arange(dg.MM_RATE)
+    for row in rows:
+        k = int(row.media_ref[2:])
+        samples, rate = wav.decode(bytes(row.payload))
+        assert rate == dg.MM_RATE
+        assert np.array_equal(samples[:, 0].astype(np.int64), dg.mm_sample_np(k, n))
