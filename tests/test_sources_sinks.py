@@ -106,3 +106,90 @@ def test_probability_sink_round_trip(spark, tmp_path):
         want = oracle_chunk_prob_cube(dn, 300 if k % 2 == 0 else 500, zor, halo, patch, stride)
         assert arr.shape == want.shape
         assert (arr == want).all()  # bit-for-bit float32
+
+
+# ---------------------------------------------------------------------------
+# K4 preview PNGs + K6 viewer (round 4 — real artifacts via formats/png.py)
+# ---------------------------------------------------------------------------
+
+
+def test_class_preview_exact_lut(tmp_path):
+    import numpy as np
+
+    from geotiff_scalable_analysis_pipeline_spark.formats import png
+    from geotiff_scalable_analysis_pipeline_spark.sources import preview as pv
+
+    colors = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    cls = np.zeros((40, 30), dtype=np.int64)
+    cls[20:, :] = 1
+    cls[:, 15:] += 1  # quadrant 3 has class 2
+    cls[0, 0] = 9  # out-of-range -> gray fallback
+    rgb = pv.render_class_preview(cls, colors, downscale=10)
+    assert rgb.shape == (4, 3, 3)
+    assert tuple(rgb[0, 0]) == (128, 128, 128)  # fallback pixel survives downscale
+    assert tuple(rgb[3, 0]) == (0, 255, 0)
+    assert tuple(rgb[3, 2]) == (0, 0, 255)
+    # round-trips through the codec
+    out = pv.export_tile_previews(tmp_path, "t0", cls, colors, downscale=10)
+    dec = png.decode((tmp_path / "preview_class.png").read_bytes())
+    assert np.array_equal(dec, rgb)
+    assert set(out) == {"class"}
+
+
+def test_float_previews_and_colorbars(tmp_path):
+    import numpy as np
+
+    from geotiff_scalable_analysis_pipeline_spark.formats import png
+    from geotiff_scalable_analysis_pipeline_spark.sources import preview as pv
+
+    grad = np.linspace(0.0, 1.0, 50 * 40).reshape(50, 40)
+    out = pv.export_tile_previews(
+        tmp_path, "t1", None, None,
+        metrics={"maxprob": grad, "entropy": grad * np.log(4), "gap": grad},
+        n_classes=4,
+    )
+    assert set(out) == {
+        "maxprob", "maxprob_colorbar", "entropy", "entropy_colorbar", "gap", "gap_colorbar",
+    }
+    mp = png.decode((tmp_path / "preview_maxprob.png").read_bytes())
+    assert mp.shape == (5, 4, 3)
+    # every pixel is a row of the viridis LUT, and the gradient ordering
+    # survives (bilinear downsampling keeps corners near the ramp ends)
+    lut = pv.colormap_lut("viridis")
+    lut_rows = {tuple(r) for r in lut}
+    assert {tuple(px) for row in mp for px in row} <= lut_rows
+    assert mp[0, 0].sum() < mp[-1, -1].sum()
+    cb = png.decode((tmp_path / "preview_maxprob_colorbar.png").read_bytes())
+    assert cb.shape == (16, 256, 3)
+    assert np.array_equal(cb[0], pv.colormap_lut("viridis"))
+    # deterministic re-render
+    out2 = pv.export_tile_previews(
+        tmp_path, "t1", None, None, metrics={"gap": grad}, n_classes=4
+    )
+    assert (tmp_path / "preview_gap.png").read_bytes() == png.encode(
+        pv.render_float_preview(grad, "plasma", 10, 0.0, 1.0)
+    )
+
+
+def test_viewer_html_self_contained(tmp_path):
+    import numpy as np
+
+    from geotiff_scalable_analysis_pipeline_spark.sources import preview as pv
+
+    colors = np.array([[10, 20, 30], [200, 100, 0]], dtype=np.uint8)
+    tiles = {}
+    for t in ("tileA", "tileB"):
+        d = tmp_path / t
+        cls = (np.arange(100).reshape(10, 10) % 2).astype(np.int64)
+        tiles[t] = pv.export_tile_previews(
+            d, t, cls, colors, metrics={"gap": cls.astype(float)}, downscale=2
+        )
+    html_path = pv.generate_viewer_html(
+        tmp_path, tiles, metadata={"n_classes": 2, "labels": ["a", "b"]}
+    )
+    html = (tmp_path / "index.html").read_text()
+    assert html_path.endswith("index.html")
+    assert html.count("data:image/png;base64,") == 2 * 3  # class + gap + colorbar per tile
+    assert "tileA" in html and "tileB" in html and "n_classes" in html
+    # fully self-contained: no file references
+    assert "src=\"/" not in html and "href=" not in html
