@@ -12,8 +12,9 @@ Methodology (round 2 — each point hard-won against this VM's noise):
   a query must run long enough that compute dominates. Each query runs at
   the QUERY_SCALES default below — chosen so its 2-core wall is ≥ 30 s
   (pip_zonal at BENCH_SCALE=400 = 48 M interleaved units, knn at 400,
-  zonal_stats at 80, raster_stats at 40, dedup_text at 60 = 300 k synthetic
-  text docs, measured 61 s at local[2]). A measurement whose 2-core wall
+  zonal_stats at 80, raster_stats at 40, dedup_text at 120 = 600 k synthetic
+  text docs; dedup moved 60 -> 120 in round 4 after the corpus re-layout
+  dropped its 2-core wall to ~38 s with ~3 s of fixed overhead left). A measurement whose 2-core wall
   is under ~30 s is floor-dominated and is NOT valid efficiency evidence.
   pip_zonal moved 200 → 400 in round 3: at 200 its measured ~8.6 s of
   serial driver time (Amdahl fit of the 91.6 s / 29.4 s pair) still costs
@@ -57,7 +58,7 @@ REPS = int(os.environ.get("SCALING_REPS", "3"))
 QUERY_SCALES = json.loads(
     os.environ.get(
         "SCALING_QUERY_SCALES",
-        '{"pip_zonal": 400, "knn": 400, "raster_stats": 40, "zonal_stats": 80, "dedup_text": 60}',
+        '{"pip_zonal": 400, "knn": 400, "raster_stats": 40, "zonal_stats": 80, "dedup_text": 120}',
     )
 )
 DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "12g")  # see module docstring

@@ -102,9 +102,15 @@ def setup_corpus(spark, names):
             continue
         if table == "dedup_docs":
             # written as <dir>/documents.parquet so queries_text callables
-            # (which take an sf_dir) can read it directly
+            # (which take an sf_dir) can read it directly. 32 output files:
+            # a LO-level JVM otherwise writes 2 fat single-row-group files,
+            # capping the shingle-scan stage at 2 tasks for EVERY later
+            # parallelism level (measured: dedup_text pair_eff stuck at
+            # ~0.36 until the corpus was re-laid-out).
             df = dg.text_documents_df(spark, N_TEXT_DOCS)
-            df.write.mode("overwrite").parquet(str(CORPUS / "dedup" / "documents.parquet"))
+            df.repartition(32).write.mode("overwrite").parquet(
+                str(CORPUS / "dedup" / "documents.parquet")
+            )
         else:
             _GENERATORS[table](spark, CFG).write.mode("overwrite").parquet(str(CORPUS / table))
         done.write_text("ok")

@@ -277,7 +277,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    a = bands.alias("a")
+    # SHUFFLE_HASH, not broadcast: Catalyst's size estimate puts the bands
+    # frame under the broadcast threshold at bench scales, but a broadcast
+    # self-join (a) serializes the whole signature pipeline into a driver-side
+    # hashed-relation build and (b) recomputes that pipeline for the probe
+    # side — flat N→4N scaling, and a non-starter when the corpus is the fact
+    # table. A shuffle join on the band key is the 100 TB plan, and because
+    # both sides are canonically identical, ReuseExchange computes the
+    # signatures ONCE and reads the shuffle twice.
+    a = bands.alias("a").hint("shuffle_hash")
     b = bands.alias("b")
     return (
         a.join(b, "band_key")
@@ -332,7 +340,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = sh.join(keep, "code")  # same shuffle key as the self-join below
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
+    # shuffle_hash: the inverted-index self-join must never broadcast the
+    # corpus-sized posting list (see q_minhash_lsh_pairs rationale)
+    a = sh.alias("a").hint("shuffle_hash")
     b = sh.alias("b")
     inter = (
         a.join(b, "code")
@@ -441,7 +451,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_val"),
     )
-    a = bands.alias("a")
+    # shuffle_hash for the same reason as q_minhash_lsh_pairs: never broadcast
+    # a corpus-sized band frame; ReuseExchange computes the signatures once
+    a = bands.alias("a").hint("shuffle_hash")
     b = bands.alias("b")
     return (
         a.join(b, ["band_idx", "band_val"])
