@@ -133,7 +133,28 @@ def main():
     # min-wall efficiency is reported alongside.
     pairs: dict[str, list] = {q: [] for q in QUERY_SCALES}  # (lo, hi, canary)
     meta: dict[str, dict] = {}
-    for rep in range(REPS):
+    # SCALING_MERGE_LOGS: comma-separated stderr logs of PRIOR sweeps run with
+    # the same code/corpus/method; their per-rep pair lines are merged in so a
+    # follow-up sweep adds reps instead of discarding the earlier sample. Only
+    # lines whose query and scale match the current QUERY_SCALES are taken.
+    n_merged = 0
+    for path in filter(None, os.environ.get("SCALING_MERGE_LOGS", "").split(",")):
+        import re as _re
+
+        pat = _re.compile(
+            rf"# rep\d+ (\w+)@(\d+): local\[{LO}\]=([\d.]+)s "
+            rf"local\[{HI}\]=([\d.]+)s pair_eff=[\d.]+ \(canary ([\d.]+)s\)"
+        )
+        for line in Path(path).read_text().splitlines():
+            m = pat.match(line.strip())
+            if not m:
+                continue
+            q, scale, lo, hi, c = m.groups()
+            if q in QUERY_SCALES and int(scale) == QUERY_SCALES[q]:
+                pairs[q].append((float(lo), float(hi), float(c)))
+                n_merged += 1
+    merged_reps = min(len(v) for v in pairs.values()) if n_merged else 0
+    for rep in range(merged_reps, merged_reps + REPS):
         for q, scale in QUERY_SCALES.items():
             c = canary()
             r_lo = run_one(q, LO, scale)
@@ -170,13 +191,14 @@ def main():
             "runs_hi": hi_runs,
             "canaries": [c for _, _, c in pairs[q]],
         }
+    n_full_reps = min(len(v) for v in pairs.values())
     suite_eff = round(
         median(
             [
                 sum(pairs[q][rep][0] for q in QUERY_SCALES)
                 / sum(pairs[q][rep][1] for q in QUERY_SCALES)
                 / ratio
-                for rep in range(REPS)
+                for rep in range(n_full_reps)
             ]
         ),
         3,
@@ -197,7 +219,7 @@ def main():
         "repeat executions at the 4N level — a local-mode artifact "
         "documented in the script); each rep runs a query's two levels "
         "back-to-back so both land in the same host-noise window, across "
-        f"{REPS} reps; headline efficiency = median of per-rep pair "
+        f"{n_full_reps} reps; headline efficiency = median of per-rep pair "
         "efficiencies (min-wall efficiency shown alongside); single-thread "
         "CPU canary logged before every pair.",
         "",
