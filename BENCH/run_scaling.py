@@ -204,7 +204,14 @@ def main():
         3,
     )
     pz = per_q.get("pip_zonal")
-    headline_units = meta.get("pip_zonal", {}).get("tiles_plus_docs")
+    # A merge-only aggregation run (SCALING_REPS=0 over prior logs) spawns no
+    # fresh benches, so meta is empty; the unit count for the headline query is
+    # deterministic per scale and may be supplied via SCALING_HEADLINE_UNITS.
+    headline_units = meta.get("pip_zonal", {}).get("tiles_plus_docs") or (
+        int(os.environ["SCALING_HEADLINE_UNITS"])
+        if "SCALING_HEADLINE_UNITS" in os.environ
+        else None
+    )
     headline_thr = round(headline_units / pz["t_hi"], 1) if pz and headline_units else None
 
     md = [

@@ -204,14 +204,17 @@ def knn_join(
             out = out.persist()
             out.count()
         else:
-            # Serialized blocks: the default (deserialized) level holds the
-            # queries×k result as individual Java row objects — measured
-            # ~5-10 s of extra GC/materialization at 10 M rows on a 12 GB
-            # heap vs the compact serialized form.
+            # Deserialized blocks: PySpark's MEMORY_AND_DISK is the
+            # *serialized* level, and the encode/decode of the queries×k
+            # result costs ~7.5 s at local[8] scale 400 (A/B: 40.2 s
+            # serialized vs 32.6 s deserialized vs 33.1 s persist) — a pure
+            # tax on the 4N level that cut the measured N→4N efficiency from
+            # ~0.88 to ~0.70. The result is narrow (q_id, rank, id, dist),
+            # so row objects are cheap to hold.
             from pyspark.storagelevel import StorageLevel
 
             out = out.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK_DESER
             )
     finally:
         spark.conf.set(key, old)
