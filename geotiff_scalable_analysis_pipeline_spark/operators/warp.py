@@ -116,11 +116,12 @@ def warp_np_gcp(
     dst_ps: int,
     dst_h: int,
     dst_w: int,
+    method: str = "nearest",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """GCP (deformation-grid) warp with nearest sampling — the non-affine
-    reprojection path (reference: src/eo_core/data.py:174-195, where S1
-    sources carry ground control points instead of an affine transform and
-    ``rasterio.warp.reproject`` fits the deformation).
+    """GCP (deformation-grid) warp — the non-affine reprojection path
+    (reference: src/eo_core/data.py:174-195, where S1 sources carry ground
+    control points instead of an affine transform and
+    ``rasterio.warp.reproject(resampling=bilinear)`` fits the deformation).
 
     The Spark-first re-expression uses the standard piecewise-affine GCP
     model: control points sit on a regular ``gs``-pixel source lattice;
@@ -134,11 +135,14 @@ def warp_np_gcp(
     scaled by D = 2·src_ps·L² (L = 2·src_ps·gs), so the DuckDB oracle
     reproduces every sampled pixel bit-for-bit.
 
-    Nearest sampling only: bilinear-after-deformation would scale values by
-    D² ≈ 4·10¹² which overflows int64 in downstream integer sums; the
-    reference's S1 path feeds mosaic-max where nearest/bilinear differ only
-    at source-pixel boundaries, and the affine ``warp_np`` covers exact
-    bilinear.
+    ``method="bilinear"`` matches the reference's resampling: naively the
+    value would be scaled by D² ≈ 4·10¹² (int64 overflow under downstream
+    sums), so the deformed intra-pixel remainder — exact in units of 1/L² —
+    is re-quantized to the affine path's 2·src_ps grid with HALF_UP
+    (``(rem + L²/2) // L²``): weights then live in the same (2·src_ps)²
+    scale as :func:`warp_np` bilinear, positions keep 1/(2·src_ps)-pixel
+    resolution, and every sampled value stays a small exact integer the
+    oracle reproduces. Validity is center-containment for both methods.
 
     ``du``/``dv``: (GN+1, GN+1) int64 half-pixel offsets, GN = ceil(max(H,W)/gs).
     Returns (values, valid) like :func:`warp_np`.
@@ -178,7 +182,34 @@ def warp_np_gcp(
     cs = (U + BIAS * D) // D - BIAS
     rs = (V + BIAS * D) // D - BIAS
     valid = (rs >= 0) & (rs < H) & (cs >= 0) & (cs < W)
-    vals = src.astype(np.int64)[:, np.clip(rs, 0, H - 1), np.clip(cs, 0, W - 1)]
+    s = src.astype(np.int64)
+    if method == "nearest":
+        vals = s[:, np.clip(rs, 0, H - 1), np.clip(cs, 0, W - 1)]
+        return vals, valid
+    if method != "bilinear":
+        raise ValueError(f"unknown resampling method {method!r}")
+
+    d = 2 * src_ps
+    Lsq = L * L
+    hp = src_ps * Lsq  # half source pixel in D-scaled units
+    mU = U - hp
+    mV = V - hp
+    ix0 = (mU + BIAS * D) // D - BIAS
+    iy0 = (mV + BIAS * D) // D - BIAS
+    # exact remainder ∈ [0, D) re-quantized HALF_UP to 2·src_ps units ∈ [0, d]
+    fx = (mU - D * ix0 + Lsq // 2) // Lsq
+    fy = (mV - D * iy0 + Lsq // 2) // Lsq
+    cx0 = np.clip(ix0, 0, W - 1)
+    cx1 = np.clip(ix0 + 1, 0, W - 1)
+    cy0 = np.clip(iy0, 0, H - 1)
+    cy1 = np.clip(iy0 + 1, 0, H - 1)
+    v00 = s[:, cy0, cx0]
+    v01 = s[:, cy0, cx1]
+    v10 = s[:, cy1, cx0]
+    v11 = s[:, cy1, cx1]
+    vals = (d - fy)[None] * ((d - fx)[None] * v00 + fx[None] * v01) + fy[None] * (
+        (d - fx)[None] * v10 + fx[None] * v11
+    )
     return vals, valid
 
 
@@ -270,6 +301,7 @@ def warp_mosaic_stats_gcp(
     chunk_px: int,
     dst_ps: int,
     gs: int,
+    method: str = "nearest",
 ) -> DataFrame:
     """GCP variant of :func:`warp_mosaic_stats` (reference data.py:174-195).
 
@@ -306,6 +338,7 @@ def warp_mosaic_stats_gcp(
                 dst_ps,
                 chunk_px,
                 chunk_px,
+                method,
             )
             if buf is None:
                 buf = np.zeros_like(vals)

@@ -738,7 +738,7 @@ def _gcp_off_col(tile_k, i, j, a: int, b: int):
     return (tile_k * dg.M1 + i * a + j * b) % 7 - 3
 
 
-def q_warp_mosaic_gcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gcp_warp_inputs(spark: SparkSession):
     t, m = _warp_inputs(spark)
     rng = F.sequence(F.lit(0), F.lit(_GCP_GN))
     tk = F.col("tile_k")
@@ -749,10 +749,20 @@ def q_warp_mosaic_gcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gcp_dv",
         F.transform(rng, lambda i: F.transform(rng, lambda j: _gcp_off_col(tk, i, j, 13, 41))),
     )
+    return t, m
+
+
+def q_warp_mosaic_gcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, m = _gcp_warp_inputs(spark)
     return warp.warp_mosaic_stats_gcp(t, m, WARP_CHUNK, WARP_DPS, GCP_GS)
 
 
-def _sql_warp_gcp() -> str:
+def q_warp_mosaic_gcp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, m = _gcp_warp_inputs(spark)
+    return warp.warp_mosaic_stats_gcp(t, m, WARP_CHUNK, WARP_DPS, GCP_GS, "bilinear")
+
+
+def _sql_warp_gcp(method: str = "nearest") -> str:
     cfg = WARP_CFG
     ps, dps, ch, gs, gn = cfg.px_size, WARP_DPS, WARP_CHUNK, GCP_GS, _GCP_GN
     ext, bias, w = ch * dps, warp.BIAS, cfg.tile_px
@@ -761,6 +771,30 @@ def _sql_warp_gcp() -> str:
     D = 2 * ps * Lsq
     du = lambda i, j: f"((tile_k * {dg.M1} + ({i}) * 31 + ({j}) * 17) % 7 - 3)"
     dv = lambda i, j: f"((tile_k * {dg.M1} + ({i}) * 13 + ({j}) * 41) % 7 - 3)"
+    d, hp = 2 * ps, ps * Lsq
+    if method == "nearest":
+        bil_cols = ""
+        val = dg.dn_sql("d.tile_k", "b.band", "d.rs", "d.cs")
+    else:
+        # HALF_UP re-quantization of the deformed remainder to 2·ps units —
+        # mirrors warp_np_gcp's bilinear branch bit-for-bit (warp.py)
+        ix0 = f"((U - {hp} + {bias * D}) // {D} - {bias})"
+        iy0 = f"((V - {hp} + {bias * D}) // {D} - {bias})"
+        bil_cols = (
+            f", (U - {hp} - {D}*{ix0} + {Lsq // 2}) // {Lsq} AS fx"
+            f", (V - {hp} - {D}*{iy0} + {Lsq // 2}) // {Lsq} AS fy"
+            f", GREATEST(LEAST({ix0}, {w - 1}), 0) AS cx0"
+            f", GREATEST(LEAST({ix0} + 1, {w - 1}), 0) AS cx1"
+            f", GREATEST(LEAST({iy0}, {w - 1}), 0) AS cy0"
+            f", GREATEST(LEAST({iy0} + 1, {w - 1}), 0) AS cy1"
+        )
+        dn = lambda rr, cc: f"({dg.dn_sql('d.tile_k', 'b.band', rr, cc)})"
+        val = (
+            f"(({d} - d.fy) * (({d} - d.fx) * {dn('d.cy0', 'd.cx0')}"
+            f" + d.fx * {dn('d.cy0', 'd.cx1')})"
+            f" + d.fy * (({d} - d.fx) * {dn('d.cy1', 'd.cx0')}"
+            f" + d.fx * {dn('d.cy1', 'd.cx1')}))"
+        )
     return f"""WITH {dg.tiles_sql(cfg)},
 media AS (SELECT * FROM tiles_geo WHERE tile_k < {cfg.n_media_tiles}),
 cand AS (
@@ -790,7 +824,7 @@ d3 AS (
 d4 AS (
   SELECT chx, chy, tile_k, rr, cc,
          (U + {bias * D}) // {D} - {bias} AS cs,
-         (V + {bias * D}) // {D} - {bias} AS rs
+         (V + {bias * D}) // {D} - {bias} AS rs{bil_cols}
   FROM d3),
 pix AS (
   SELECT c.chx, c.chy, b.band, r.i AS rr, cc.i AS cc
@@ -798,7 +832,7 @@ pix AS (
        range(0, {ch}) r(i), range(0, {ch}) cc(i)),
 vals AS (
   SELECT d.chx, d.chy, b.band, d.rr, d.cc,
-         max({dg.dn_sql("d.tile_k", "b.band", "d.rs", "d.cs")}) AS v
+         max({val}) AS v
   FROM d4 d, range(0, {cfg.n_bands}) b(band)
   WHERE d.cs BETWEEN 0 AND {w - 1} AND d.rs BETWEEN 0 AND {w - 1}
   GROUP BY d.chx, d.chy, b.band, d.rr, d.cc),
@@ -815,6 +849,7 @@ GROUP BY p.chx, p.chy, p.band, n.n_sources"""
 
 
 SQL_WARP_GCP = _sql_warp_gcp()
+SQL_WARP_GCP_BILINEAR = _sql_warp_gcp("bilinear")
 
 
 # ---------------------------------------------------------------------------
@@ -884,6 +919,7 @@ QUERIES = {
     "warp_mosaic_nearest": (q_warp_mosaic_nearest, SQL_WARP_NEAREST),
     "warp_mosaic_bilinear": (q_warp_mosaic_bilinear, SQL_WARP_BILINEAR),
     "warp_mosaic_gcp": (q_warp_mosaic_gcp, SQL_WARP_GCP),
+    "warp_mosaic_gcp_bilinear": (q_warp_mosaic_gcp_bilinear, SQL_WARP_GCP_BILINEAR),
     "temporal_stack_frames": (q_temporal_stack, SQL_TEMPORAL_STACK),
     "global_class_probs": (q_global_class_probs, _sql_global_class_probs()),
     "class_metrics": (q_class_metrics, _sql_class_metrics()),

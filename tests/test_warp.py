@@ -167,3 +167,89 @@ def test_gcp_warp_matches_scalar_oracle(seed, dx, dy):
             assert valid[r, c] == want_ok, (r, c)
             if want_ok:
                 assert vals[0, r, c] == want_v, (r, c)
+
+
+def test_gcp_zero_offsets_equal_affine_bilinear():
+    """With a zero deformation grid the quantized-fraction GCP bilinear must
+    reduce bit-for-bit to the affine fixed-point bilinear (same (2·ps)² value
+    scale, same center-containment validity)."""
+    from geotiff_scalable_analysis_pipeline_spark.operators.warp import warp_np_gcp
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 10001, size=(2, 32, 32), dtype=np.int64)
+    z = np.zeros((3, 3), dtype=np.int64)
+    for dx, dy, dps in [(-40, 35, 5), (0, 0, 10), (17, -23, 3)]:
+        va, ok_a = warp_np(src, 100, 900, 10, 100 + dx, 900 + dy, dps, 24, 24, "bilinear")
+        vg, ok_g = warp_np_gcp(
+            src, z, z, 16, 100, 900, 10, 100 + dx, 900 + dy, dps, 24, 24, "bilinear"
+        )
+        assert np.array_equal(ok_a, ok_g)
+        assert np.array_equal(va[:, ok_a], vg[:, ok_g])
+
+
+def _gcp_bilinear_oracle_pixel(src, du, dv, gs, src_x0, src_y1, ps, x, y):
+    """Exact-rational scalar reference for one GCP bilinear dest pixel:
+    continuous deformed position via fractions.Fraction, remainder quantized
+    HALF_UP to 2·ps units — independent of warp_np_gcp's int64 lattice."""
+    import math
+    from fractions import Fraction as Fr
+
+    H, W = src.shape
+    gn = du.shape[0] - 1
+    u = (Fr(x) - src_x0) / ps  # continuous source col units
+    v = (src_y1 - Fr(y)) / ps  # continuous source row units
+    cl = lambda i, lo, hi: min(max(i, lo), hi)
+
+    jg = cl(math.floor(u / gs), 0, max(gn - 1, 0))
+    ig = cl(math.floor(v / gs), 0, max(gn - 1, 0))
+    tx = u / gs - jg
+    ty = v / gs - ig
+    off = lambda g: (1 - ty) * ((1 - tx) * int(g[ig, jg]) + tx * int(g[ig, jg + 1])) + ty * (
+        (1 - tx) * int(g[ig + 1, jg]) + tx * int(g[ig + 1, jg + 1])
+    )
+    uu = u + off(dv) / 2
+    vv = v + off(du) / 2
+    cs, rs = math.floor(uu), math.floor(vv)
+    valid = 0 <= cs < W and 0 <= rs < H
+    d = 2 * ps
+    ix0, iy0 = math.floor(uu - Fr(1, 2)), math.floor(vv - Fr(1, 2))
+    fx = math.floor((uu - Fr(1, 2) - ix0) * d + Fr(1, 2))
+    fy = math.floor((vv - Fr(1, 2) - iy0) * d + Fr(1, 2))
+    g = lambda r, c: int(src[cl(r, 0, H - 1), cl(c, 0, W - 1)])
+    val = (d - fy) * ((d - fx) * g(iy0, ix0) + fx * g(iy0, ix0 + 1)) + fy * (
+        (d - fx) * g(iy0 + 1, ix0) + fx * g(iy0 + 1, ix0 + 1)
+    )
+    return val, valid
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    dx=st.integers(-40, 40),
+    dy=st.integers(-40, 40),
+)
+def test_gcp_bilinear_matches_exact_fraction_oracle(seed, dx, dy):
+    from geotiff_scalable_analysis_pipeline_spark.operators.warp import warp_np_gcp
+
+    rng = np.random.default_rng(seed)
+    ps, gs, w = 10, 16, 32
+    src = rng.integers(0, 10001, size=(1, w, w), dtype=np.int64)
+    du = rng.integers(-3, 4, size=(3, 3)).astype(np.int64)
+    dv = rng.integers(-3, 4, size=(3, 3)).astype(np.int64)
+    src_x0, src_y1 = 500, 1200
+    dst_x0, dst_y1, dps, n = 500 + dx, 1200 + dy, 5, 16
+    vals, valid = warp_np_gcp(
+        src, du, dv, gs, src_x0, src_y1, ps, dst_x0, dst_y1, dps, n, n, "bilinear"
+    )
+    from fractions import Fraction as Fr
+
+    for r in range(n):
+        for c in range(n):
+            x = Fr(2 * dst_x0 + (2 * c + 1) * dps, 2)
+            y = Fr(2 * dst_y1 - (2 * r + 1) * dps, 2)
+            want_v, want_ok = _gcp_bilinear_oracle_pixel(
+                src[0], du, dv, gs, src_x0, src_y1, ps, x, y
+            )
+            assert valid[r, c] == want_ok, (r, c)
+            if want_ok:
+                assert vals[0, r, c] == want_v, (r, c, vals[0, r, c], want_v)
