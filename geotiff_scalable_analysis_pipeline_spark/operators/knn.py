@@ -65,6 +65,13 @@ BLOCK_PASS_MIN_TARGETS = 200_000
 # bounded at (2^8)^2 = 65 k cells regardless of corpus size
 GRID_MAX_LEVEL = 8
 
+# shuffle sizing for this join's heavy stages: one task per ~this many
+# targets (floor = core count, cap = 16× cores) — see the wave-amortization
+# note in knn_join. 400 k keeps tasks in the tens-of-seconds band at the
+# measured per-core block-pass throughput, enough waves to amortize
+# stragglers without paying per-task overhead on small corpora.
+ROWS_PER_TASK = 400_000
+
 
 def pick_level(n_targets: int) -> int:
     """Bucket level targeting ~6 targets/cell over the frame:
@@ -169,37 +176,56 @@ def knn_join(
     )
 
     glevel = min(level, GRID_MAX_LEVEL)
-    if n_targets < BLOCK_PASS_MIN_TARGETS:
-        out = _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached)
-    else:
-        finished, escalated = _block_knn(
-            queries.sparkSession, q, tgt, k, target_id, targets.schema[target_id].dataType,
-            bbox_units, n_targets, dbg, cached,
-        )
-        # escalated carries each failed query's kth-so-far from the block pass
-        # (a valid upper bound on the true kth — it came from a target
-        # subset). The one-shot pass turns that bound directly into the
-        # provably sufficient join radius; unbounded failures (blocks with
-        # fewer than k targets) get theirs from the count-grid oracle.
-        rescued = _oneshot_knn(
-            q.join(escalated, "q_id"), tgt, k, glevel, target_id, n_targets, dbg, cached
-        )
-        out = finished.unionByName(rescued)
 
-    # Materialize with AQE partition-coalescing OFF: the rescue's cell
-    # equi-join fans out ~targets-per-cell× AFTER the shuffle, so AQE's
-    # input-bytes heuristic coalesces a few-hundred-MB shuffle into a couple
-    # of tasks and serializes hundreds of millions of candidate distances
-    # (event-log evidence: a 165 s two-task stage at scale 400 on local[8]).
-    # (The conf toggle is session-global for the duration of this one
-    # materialization job — restored in the finally. Non-reentrant: a
-    # concurrent query on the same session runs with coalescing off during
-    # that window; acceptable for a single-tenant session.)
+    # Wave-amortized shuffle sizing, scoped to this join: with the session
+    # default (shuffle partitions = core count) every heavy stage is exactly
+    # ONE task wave, so its wall clock is the SLOWEST task — measured on the
+    # block-pass cogroup at scale 800 / local[8]: 8 tasks, max 92.1 s vs
+    # mean 84.1 s, a ~10% straggler tax that low-parallelism runs don't pay
+    # (many waves amortize imbalance) and that therefore surfaces as lost
+    # N→4N scaling efficiency (pair_eff 0.68 → 0.86 with 4-5 waves). The
+    # partition count is sized by DATA (one task per ~400 k targets), with
+    # the core count as the floor — a small corpus keeps the session
+    # default, so this never taxes short interactive queries; AQE cannot do
+    # this upward re-split itself (cogroup/applyInPandas distributions are
+    # not coalescible and shuffles can't gain partitions at runtime).
     spark = queries.sparkSession
-    key = "spark.sql.adaptive.coalescePartitions.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
+    cores = spark.sparkContext.defaultParallelism
+    p_key = "spark.sql.shuffle.partitions"
+    a_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    p_old = spark.conf.get(p_key)
+    a_old = spark.conf.get(a_key, "true")
+    n_part = max(cores, min((n_targets + ROWS_PER_TASK - 1) // ROWS_PER_TASK, 16 * cores))
+    spark.conf.set(p_key, str(n_part))
     try:
+        if n_targets < BLOCK_PASS_MIN_TARGETS:
+            out = _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached)
+        else:
+            finished, escalated = _block_knn(
+                queries.sparkSession, q, tgt, k, target_id, targets.schema[target_id].dataType,
+                bbox_units, n_targets, dbg, cached,
+            )
+            # escalated carries each failed query's kth-so-far from the block
+            # pass (a valid upper bound on the true kth — it came from a
+            # target subset). The one-shot pass turns that bound directly
+            # into the provably sufficient join radius; unbounded failures
+            # (blocks with fewer than k targets) get theirs from the
+            # count-grid oracle.
+            rescued = _oneshot_knn(
+                q.join(escalated, "q_id"), tgt, k, glevel, target_id, n_targets, dbg, cached
+            )
+            out = finished.unionByName(rescued)
+
+        # Materialize with AQE partition-coalescing OFF: the rescue's cell
+        # equi-join fans out ~targets-per-cell× AFTER the shuffle, so AQE's
+        # input-bytes heuristic coalesces a few-hundred-MB shuffle into a
+        # couple of tasks and serializes hundreds of millions of candidate
+        # distances (event-log evidence: a 165 s two-task stage at scale 400
+        # on local[8]). (Both conf toggles here are session-global for the
+        # duration of this join — restored in the finally. Non-reentrant: a
+        # concurrent query on the same session runs with these confs during
+        # that window; acceptable for a single-tenant session.)
+        spark.conf.set(a_key, "false")
         if cache_result:
             out = out.persist()
             out.count()
@@ -217,7 +243,8 @@ def knn_join(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK_DESER
             )
     finally:
-        spark.conf.set(key, old)
+        spark.conf.set(p_key, p_old)
+        spark.conf.set(a_key, a_old)
     for f in cached:
         f.unpersist()
     return out

@@ -191,3 +191,103 @@ def lsh_topk(embeddings: DataFrame, k: int = 10, dim: int = 64) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "other_id", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (second scale path): inverted-file coarse quantizer —
+# the FAISS IVF-Flat shape re-expressed as a Spark bucket join
+# ---------------------------------------------------------------------------
+
+# Every vector is assigned to its nearest coarse-quantizer centroid (its
+# "home cell" = one inverted list); a query probes its IVF_NPROBE nearest
+# cells and rescores the union of those lists exactly. The cell id is the
+# shuffle key — candidates per query = nprobe · avg list length, never
+# all-pairs. A production deployment would train the centroids (driver-side
+# k-means on a bounded sample, then broadcast); here they are a deterministic
+# integer lattice sized to the quantized embedding component scale so both
+# engines (Spark/numpy and the DuckDB oracle) regenerate the identical
+# quantizer — approximation lives in the operator's definition, not in
+# sampling nondeterminism. Hot cells (skewed lists) would reuse
+# operators/skew.py salting exactly like the pip join.
+IVF_CELLS = 32
+IVF_NPROBE = 4
+_IVF_SALT = 9176
+_IVF_HALF = 1 << 17  # centroid components in [-2^17, 2^17) ≈ data component σ
+
+
+def _ivf_centroids(dim: int) -> np.ndarray:
+    """(IVF_CELLS, dim) deterministic integer centroids (same integer-hash
+    family as :func:`_planes`; the DuckDB oracle mirrors the formula)."""
+    idx = np.arange(IVF_CELLS * dim, dtype=np.int64)
+    h = (idx * 2654435761 + _IVF_SALT * 40503 + 12345) % 2147483648
+    return (h % (2 * _IVF_HALF) - _IVF_HALF).reshape(IVF_CELLS, dim)
+
+
+def ivf_probes(qdf: DataFrame, nprobe: int, dim: int = 64) -> DataFrame:
+    """(vec_id, q, n2) → (vec_id, probe, cell, q, n2), probe ∈ [0, nprobe).
+
+    probe 0 is the HOME cell (argmin exact int64 squared Euclidean distance
+    to the centroid; ties → smallest cell id): the inverted list the vector
+    belongs to. probes 1..nprobe-1 are the next-nearest cells, used only on
+    the query side of the join. All-integer arithmetic: dist² ranking is
+    n2_c − 2·q·c (the query's own norm is constant per row), |q·c| ≤
+    64·4·10⁶·2¹⁷ ≪ 2⁶³ — bit-reproducible in any engine.
+    """
+    import pandas as pd
+
+    cents = _ivf_centroids(dim)  # (C, d)
+    n2c = (cents * cents).sum(axis=1)  # (C,)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (B, d)
+            score = n2c[None, :] - 2 * (qm @ cents.T)  # (B, C) dist² − n2_q
+            order = np.argsort(score, axis=1, kind="stable")[:, :nprobe]  # (B, P)
+            out = {"vec_id": [], "probe": [], "cell": [], "q": [], "n2": []}
+            for p in range(nprobe):
+                out["vec_id"] += pdf["vec_id"].tolist()
+                out["probe"] += [p] * len(pdf)
+                out["cell"] += order[:, p].astype(np.int64).tolist()
+                out["q"] += pdf["q"].tolist()
+                out["n2"] += pdf["n2"].tolist()
+            yield pd.DataFrame(out)
+
+    return qdf.mapInPandas(
+        run, "vec_id long, probe int, cell long, q array<long>, n2 long"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = 10, nprobe: int = IVF_NPROBE, dim: int = 64
+) -> DataFrame:
+    """Approximate cosine top-k via IVF inverted lists: cell join → exact
+    rescoring. Unlike :func:`lsh_topk`'s multi-table union, each target sits
+    in exactly ONE list and query probes are distinct cells, so every
+    (query, target) candidate materializes at most once — no dedup shuffle.
+    Scores are the identical exact int64-quantized cosine; only coverage is
+    approximate (recall vs :func:`cosine_topk` measured in tests)."""
+    qv = quantize(embeddings)
+    pr = ivf_probes(qv, nprobe, dim)
+    a = pr.select(
+        "vec_id", "cell", F.col("q").alias("qa"), F.col("n2").alias("n2a")
+    )
+    c = pr.filter(F.col("probe") == 0).select(
+        F.col("vec_id").alias("other_id"), "cell",
+        F.col("q").alias("qb"), F.col("n2").alias("n2b"),
+    )
+    pairs = a.join(c, "cell").filter(F.col("vec_id") != F.col("other_id"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    cos = dot.cast("double") / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "other_id")
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "other_id", "cos")
+    )

@@ -666,9 +666,76 @@ SELECT vec_id, rank, other_id, cos FROM ranked WHERE rank <= {TOPK}"""
 SQL_ANN_LSH = _sql_ann_lsh()
 
 
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF inverted lists (second scale path, FAISS
+    IVF-Flat shape): nearest-centroid home cells + nprobe multi-probe,
+    exact cosine rescoring. Deterministic integer coarse quantizer, so
+    DuckDB regenerates the identical cells, candidates, and scores."""
+    from .operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(e, k=TOPK)
+
+
+def _sql_ann_ivf() -> str:
+    from .operators.similarity import IVF_CELLS, IVF_NPROBE, _IVF_HALF, _IVF_SALT
+
+    d = 64  # embedding dim in the driver tables
+    add = _IVF_SALT * 40503 + 12345
+    span = 2 * _IVF_HALF
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> x * x)), (a,b) -> a+b) AS n2
+  FROM q),
+flat AS (
+  SELECT vec_id, n2, unnest(q) AS qi, generate_subscripts(q, 1) - 1 AS i FROM n),
+cents AS (
+  SELECT t.t, i.i,
+         ((CAST(t.t * {d} + i.i AS BIGINT) * 2654435761 + {add})
+          % 2147483648) % {span} - {_IVF_HALF} AS w
+  FROM range(0, {IVF_CELLS}) t(t), range(0, {d}) i(i)),
+cn AS (SELECT t, sum(w * w) AS n2c FROM cents GROUP BY t),
+cdist AS (
+  SELECT f.vec_id, c.t, any_value(cn.n2c) - 2 * sum(f.qi * c.w) AS score
+  FROM flat f JOIN cents c ON c.i = f.i JOIN cn ON cn.t = c.t
+  GROUP BY f.vec_id, c.t),
+probes AS (
+  SELECT vec_id, t AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score, t) AS pr
+  FROM cdist),
+home AS (SELECT vec_id, cell FROM probes WHERE pr = 1),
+cand AS (
+  SELECT p.vec_id, h.vec_id AS other_id
+  FROM probes p JOIN home h ON h.cell = p.cell AND h.vec_id <> p.vec_id
+  WHERE p.pr <= {IVF_NPROBE}),
+pair_dots AS (
+  SELECT c.vec_id, c.other_id, sum(fa.qi * fb.qi) AS dot,
+         any_value(fa.n2) AS n2a, any_value(fb.n2) AS n2b
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.vec_id
+  JOIN flat fb ON fb.vec_id = c.other_id AND fb.i = fa.i
+  GROUP BY c.vec_id, c.other_id),
+ranked AS (
+  SELECT vec_id, other_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) AS cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) DESC,
+                                     other_id) AS rank
+  FROM pair_dots)
+SELECT vec_id, rank, other_id, cos FROM ranked WHERE rank <= {TOPK}"""
+
+
+SQL_ANN_IVF = _sql_ann_ivf()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "embedding_ann_lsh": (q_embedding_ann_lsh, SQL_ANN_LSH),
+    "embedding_ann_ivf": (q_embedding_ann_ivf, SQL_ANN_IVF),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     "token_count_regex": (q_token_count_regex, SQL_TOKEN_COUNT),

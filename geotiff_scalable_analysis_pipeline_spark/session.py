@@ -29,7 +29,14 @@ def get_spark(
 
     Parallelism comes from ``master`` (default ``local[$SPARK_GRAFT_CPUS]``);
     shuffle partitions default to the core count so local runs don't pay for
-    200 tiny shuffle files.
+    200 tiny shuffle files. Operators whose heavy stages would then run as
+    exactly ONE task wave (wall clock = slowest task — a measured ~10%
+    straggler tax at high parallelism) scope a data-sized partition count
+    around their own execution instead; see ``operators/knn.py`` for the
+    rule and the scale-800 measurements behind it. A blanket 4×-cores
+    default was measured and rejected: it fixed the big-corpus straggler
+    tax but cost ~50% wall on the small-corpus driver bench (AQE cannot
+    coalesce cogroup/applyInPandas required distributions).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
