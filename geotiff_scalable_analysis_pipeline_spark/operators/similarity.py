@@ -291,3 +291,40 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "other_id", "cos")
     )
+
+
+def lsh_neardup_pairs(embeddings: DataFrame, tau: float, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-dup EDGES: LSH bucket candidates with exact
+    quantized cosine ≥ ``tau``, canonical ``vec_id < other_id`` orientation.
+
+    The dedup variant of :func:`lsh_topk`: instead of per-query ranking, a
+    symmetric similarity-graph edge list, fed to
+    ``operators/dedup_cc.connected_components`` to collapse duplicate
+    clusters. Candidate generation and scoring are both deterministic
+    integer arithmetic, so the DuckDB oracle regenerates the identical edge
+    set — approximation (LSH recall at weak cos) lives in the operator's
+    definition, not in engine nondeterminism.
+    """
+    qv = quantize(embeddings)
+    b = lsh_buckets(qv, dim)
+    a = b.select(
+        F.col("vec_id"), "table", "bucket", F.col("q").alias("qa"), F.col("n2").alias("n2a")
+    )
+    c = b.select(
+        F.col("vec_id").alias("other_id"), "table", "bucket",
+        F.col("q").alias("qb"), F.col("n2").alias("n2b"),
+    )
+    pairs = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("vec_id") < F.col("other_id"))
+        .dropDuplicates(["vec_id", "other_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    cos = dot.cast("double") / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(float(tau)))
+        .select("vec_id", "other_id", "cos")
+    )

@@ -325,9 +325,21 @@ SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type, count(*) AS n,
 FROM events GROUP BY hour_bucket, event_type"""
 
 
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly windowed aggregation run as a REAL Structured Streaming
+    query (file-source readStream → watermark → window() → availableNow to
+    completion, streaming/ingest.py). The exact-decimal sum makes the result
+    independent of micro-batch boundaries, so the batch oracle
+    (SQL_EVENTS_HOURLY) verifies the streaming path verbatim."""
+    from .streaming.ingest import hourly_event_stats_streaming
+
+    return hourly_event_stats_streaming(spark, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_hourly_windows": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "streaming_events_hourly": (q_streaming_events_hourly, SQL_EVENTS_HOURLY),
     "shipping_priority_topk": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "region_revenue_5way": (q_region_revenue, SQL_REGION_REVENUE),
     "events_latest_per_user": (q_events_latest_per_user, SQL_EVENTS_LATEST),

@@ -732,8 +732,140 @@ SELECT vec_id, rank, other_id, cos FROM ranked WHERE rank <= {TOPK}"""
 SQL_ANN_IVF = _sql_ann_ivf()
 
 
+# ---------------------------------------------------------------------------
+# Dedup collapse: candidate edges → connected components → representatives
+# ---------------------------------------------------------------------------
+
+# Near-dup cosine threshold: the sf embedding corpora are near-gaussian
+# (no planted dup clusters), so τ sits in the top ~0.1% of the pair-cosine
+# distribution — enough edges to form non-trivial components, selective
+# enough that the result is not all-pairs.
+NEARDUP_TAU = 0.35
+
+
+def q_minhash_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate edges → connected components → every document
+    collapsed to its duplicate-cluster representative (component-min doc_id)
+    plus the cluster size. Chains collapse transitively: A≈B, B≈C puts A,C
+    in one cluster even though the A–C pair was never a candidate.
+
+    Scale path: O(log n) large-star/small-star rounds of two shuffles each
+    (operators/dedup_cc.py) — no transitive closure ever materializes. The
+    DuckDB oracle floods labels through a recursive CTE instead (a closure
+    build, fine at oracle scale and exactly what the operator avoids at
+    100 TB)."""
+    from .operators.dedup_cc import connected_components
+
+    edges = q_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("node")
+    )
+    reps = connected_components(edges, docs)
+    sizes = reps.groupBy("rep").agg(F.count("*").alias("csize"))
+    return reps.join(sizes, "rep").select(
+        F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"), "csize"
+    )
+
+
+SQL_MINHASH_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+sym AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node),
+rep AS (SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node),
+sizes AS (SELECT rep_id, count(*) AS csize FROM rep GROUP BY rep_id)
+SELECT r.doc_id, r.rep_id, s.csize FROM rep r JOIN sizes s USING (rep_id)"""
+
+
+def q_embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, end to end: LSH bucket candidate
+    edges with exact int64-quantized cosine ≥ τ
+    (operators/similarity.lsh_neardup_pairs) → connected components →
+    per-vector duplicate-cluster representative + cluster size.
+
+    Both the candidate set and the scores are deterministic integer
+    arithmetic, so the oracle regenerates the identical edge set;
+    approximation (LSH recall at weak cosine) lives in the operator's
+    definition, not in engine nondeterminism."""
+    from .operators import similarity
+    from .operators.dedup_cc import connected_components
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = similarity.lsh_neardup_pairs(e, NEARDUP_TAU).select(
+        F.col("vec_id").alias("u"), F.col("other_id").alias("v")
+    )
+    reps = connected_components(edges, e.select(F.col("vec_id").alias("node")))
+    sizes = reps.groupBy("rep").agg(F.count("*").alias("csize"))
+    return reps.join(sizes, "rep").select(
+        F.col("node").alias("vec_id"), F.col("rep").alias("rep_id"), "csize"
+    )
+
+
+def _sql_embedding_neardup_components() -> str:
+    from .operators.similarity import N_PLANES, N_TABLES, _PLANE_SALT
+
+    d = 64  # embedding dim in the driver tables
+    add = _PLANE_SALT * 40503 + 12345
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> x * x)), (a,b) -> a+b) AS n2
+  FROM q),
+flat AS (
+  SELECT vec_id, n2, unnest(q) AS qi, generate_subscripts(q, 1) - 1 AS i FROM n),
+planes AS (
+  SELECT t.t, p.p, i.i,
+         ((CAST(t.t * {N_PLANES * d} + p.p * {d} + i.i AS BIGINT) * 2654435761 + {add})
+          % 2147483648) - 1073741824 AS w
+  FROM range(0, {N_TABLES}) t(t), range(0, {N_PLANES}) p(p), range(0, {d}) i(i)),
+dots AS (
+  SELECT f.vec_id, pl.t, pl.p, sum(f.qi * pl.w) AS s
+  FROM flat f JOIN planes pl ON pl.i = f.i
+  GROUP BY f.vec_id, pl.t, pl.p),
+buckets AS (
+  SELECT vec_id, t, CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS other_id
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id),
+pair_dots AS (
+  SELECT c.vec_id, c.other_id, sum(fa.qi * fb.qi) AS dot,
+         any_value(fa.n2) AS n2a, any_value(fb.n2) AS n2b
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.vec_id
+  JOIN flat fb ON fb.vec_id = c.other_id AND fb.i = fa.i
+  GROUP BY c.vec_id, c.other_id),
+edges AS (
+  SELECT vec_id AS u, other_id AS v FROM pair_dots
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) >= {NEARDUP_TAU}),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node),
+rep AS (SELECT node AS vec_id, min(lab) AS rep_id FROM reach GROUP BY node),
+sizes AS (SELECT rep_id, count(*) AS csize FROM rep GROUP BY rep_id)
+SELECT r.vec_id, r.rep_id, s.csize FROM rep r JOIN sizes s USING (rep_id)"""
+
+
+SQL_EMBEDDING_NEARDUP_COMPONENTS = _sql_embedding_neardup_components()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_dedup_components": (q_minhash_dedup_components, SQL_MINHASH_DEDUP_COMPONENTS),
+    "embedding_neardup_components": (
+        q_embedding_neardup_components,
+        SQL_EMBEDDING_NEARDUP_COMPONENTS,
+    ),
     "embedding_ann_lsh": (q_embedding_ann_lsh, SQL_ANN_LSH),
     "embedding_ann_ivf": (q_embedding_ann_ivf, SQL_ANN_IVF),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

@@ -1,0 +1,83 @@
+"""Connected-components dedup collapse (operators/dedup_cc.py) vs a
+union-find oracle: random graphs, adversarial paths, isolated nodes,
+string ids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from geotiff_scalable_analysis_pipeline_spark.operators.dedup_cc import connected_components
+
+
+def _union_find(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # representative = component MIN (two passes: settle, then minimize)
+    comp: dict[int, list[int]] = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in comp.values() for x in members}
+
+
+def _run(spark, n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    edf = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)], "u long, v long"
+    )
+    ndf = spark.createDataFrame([(int(i),) for i in range(n_nodes)], "node long")
+    out = connected_components(edf, ndf)
+    rows = out.collect()
+    assert len(rows) == n_nodes  # exactly one row per node
+    return {r["node"]: r["rep"] for r in rows}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(2, 40), m=st.integers(0, 60))
+def test_cc_random_graphs_match_union_find(spark, seed, n, m):
+    rng = np.random.default_rng(seed)
+    edges = [tuple(map(int, rng.integers(0, n, size=2))) for _ in range(m)]
+    assert _run(spark, n, edges) == _union_find(n, edges)
+
+
+def test_cc_path_graph_log_rounds(spark):
+    """A 64-node path — the adversarial case for naive min-label propagation
+    (O(diameter) = 63 rounds); large-star/small-star must converge well
+    inside the O(log n) budget and still label every node with the min."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _run(spark, n, edges)
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_isolated_nodes_and_empty_edges(spark):
+    got = _run(spark, 5, [])
+    assert got == {i: i for i in range(5)}
+
+
+def test_cc_string_ids_and_self_loops(spark):
+    edf = spark.createDataFrame(
+        [("d3", "d1"), ("d1", "d2"), ("d7", "d7"), ("d9", "d8")], "u string, v string"
+    )
+    ndf = spark.createDataFrame([(f"d{i}",) for i in range(10)], "node string")
+    got = {r["node"]: r["rep"] for r in connected_components(edf, ndf).collect()}
+    want = {f"d{i}": f"d{i}" for i in range(10)}
+    want.update({"d1": "d1", "d2": "d1", "d3": "d1", "d8": "d8", "d9": "d8"})
+    assert got == want
+
+
+def test_cc_unconverged_raises(spark):
+    edf = spark.createDataFrame([(i, i + 1) for i in range(16)], "u long, v long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edf, max_rounds=1)

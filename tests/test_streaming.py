@@ -1,0 +1,144 @@
+"""Structured Streaming surface (streaming/ingest.py, streaming/stateful.py):
+streaming/batch parity, exactly-once checkpoint resume, watermark late-data
+drop across restarts, cross-batch stateful operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+
+from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import (
+    hourly_event_stats_streaming,
+    hourly_windowed_stats,
+    incremental_parquet_ingest,
+)
+from geotiff_scalable_analysis_pipeline_spark.streaming.stateful import (
+    batch_user_stats,
+    running_user_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_hourly_equals_batch(spark):
+    """The windowed streaming aggregate equals the batch events_hourly query
+    even when forced through one-file micro-batches."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_relational import q_events_hourly
+
+    got = hourly_event_stats_streaming(
+        spark, SF, query_name="t_stream_hourly", max_files_per_trigger=1
+    )
+    assert _rows(got) == _rows(q_events_hourly(spark, SF))
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    """Re-running the checkpointed ingest over a grown source directory
+    processes only the NEW files — no duplicates, nothing missed."""
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    base = spark.read.parquet(f"{SF}/events.parquet")
+    schema = base.schema
+    batch1 = base.filter(F.col("event_id") % 2 == 0)
+    batch2 = base.filter(F.col("event_id") % 2 == 1)
+    batch1.coalesce(1).write.parquet(src, mode="append")
+
+    doubled = lambda df: df.withColumn("value", F.col("value") * 2)  # noqa: E731
+    incremental_parquet_ingest(spark, src, sink, ckpt, transform=doubled, schema=schema)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == batch1.count()
+
+    batch2.coalesce(1).write.parquet(src, mode="append")
+    incremental_parquet_ingest(spark, src, sink, ckpt, transform=doubled, schema=schema)
+    out = spark.read.parquet(sink)
+    assert out.count() == base.count()  # batch1 NOT reprocessed
+    assert out.select("event_id").distinct().count() == base.count()  # no dupes
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    """Watermark state persists in the checkpoint: a row arriving in run 2
+    below the run-1 watermark is dropped; open windows stay unemitted."""
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    d = dt.datetime(2024, 3, 1)
+
+    def mk(rows, part):
+        spark.createDataFrame(
+            [(i, d + dt.timedelta(minutes=m), 1, "x", 1.0, "{}") for i, m in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(src, mode="append")
+
+    def run():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = hourly_windowed_stats(stream, watermark="30 minutes")
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: 10:05, 10:50, 12:00 → watermark 11:30 → [10:00,11:00) emitted
+    mk([(1, 10 * 60 + 5), (2, 10 * 60 + 50), (3, 12 * 60)], 1)
+    run()
+    got1 = {(r["hour_bucket"] % 24, r["n"]) for r in spark.read.parquet(sink).collect()}
+    assert got1 == {(10, 2)}
+
+    # run 2: a LATE 10:20 row (below the checkpointed watermark — dropped)
+    # and a 14:00 row (advances watermark to 13:30 → [12:00,13:00) emits;
+    # [14:00,15:00) stays open, and the late row is in NO window).
+    mk([(4, 10 * 60 + 20), (5, 14 * 60)], 2)
+    run()
+    got2 = {(r["hour_bucket"] % 24, r["n"]) for r in spark.read.parquet(sink).collect()}
+    assert got2 == {(10, 2), (12, 1)}
+
+
+def test_stateful_running_user_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    the final changelog row per user equals the batch aggregate."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = spark.read.parquet(f"{SF}/events.parquet")
+    for k in range(3):  # three files → three forced micro-batches
+        base.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = "t_stateful_user_stats"
+    spark.catalog.dropTempView(name)
+    q = (
+        running_user_stats(stream)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode changelog: latest (= max n_events) row per user is current
+    log = spark.table(name)
+    final = (
+        log.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value_micros")).alias("s"))
+        .select("user_id", "s.n_events", "s.sum_value_micros")
+    )
+    assert _rows(final) == _rows(batch_user_stats(base))
+    # state really spanned batches: some user must appear in >1 changelog row
+    assert log.groupBy("user_id").count().filter("count > 1").count() > 0
+
+
+def test_streaming_query_registered_in_driver_contract():
+    import __spark_entry__ as entrymod
+
+    assert "streaming_events_hourly" in entrymod.queries()
+    assert "streaming_events_hourly" in entrymod.oracle_sql()
