@@ -189,6 +189,48 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
 FROM s GROUP BY user_id, session_no"""
 
 
+def q_events_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN ``F.session_window`` in a batch
+    groupBy — same 30-min-gap rule as the lag() form (events exactly gap
+    apart merge; a new session starts only when the gap is strictly
+    greater), but expressed as one hash aggregate instead of two analytic
+    windows + an aggregate: no per-user global sort, partial merge map-side.
+    ``end_us`` is the native window end = last event + gap."""
+    from .streaming.ingest import session_windows
+
+    return session_windows(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+def q_streaming_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same session windows run as a REAL streaming query
+    (readStream → watermark → session_window → availableNow, complete-mode
+    memory sink so open sessions reach the result too). Session merging
+    happens in the state store across micro-batches; the batch
+    gaps-and-islands oracle verifies the streaming path verbatim."""
+    from .streaming.ingest import user_sessions_streaming
+
+    return user_sessions_streaming(spark, sf_dir)
+
+
+SQL_EVENTS_SESSIONS_NATIVE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g)
+SELECT user_id, min(epoch_us(ts)) AS start_us,
+       max(epoch_us(ts)) + 1800000000 AS end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS {_D})) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, session_no"""
+
+
 def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -340,6 +382,8 @@ QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_hourly_windows": (q_events_hourly, SQL_EVENTS_HOURLY),
     "streaming_events_hourly": (q_streaming_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessions_native": (q_events_sessions_native, SQL_EVENTS_SESSIONS_NATIVE),
+    "streaming_events_sessions": (q_streaming_events_sessions, SQL_EVENTS_SESSIONS_NATIVE),
     "shipping_priority_topk": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "region_revenue_5way": (q_region_revenue, SQL_REGION_REVENUE),
     "events_latest_per_user": (q_events_latest_per_user, SQL_EVENTS_LATEST),

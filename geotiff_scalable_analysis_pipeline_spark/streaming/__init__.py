@@ -22,8 +22,13 @@ training corpus wants it (build brief: "Structured Streaming for streams"):
   with watermarks run to completion under ``availableNow`` (the
   ``streaming_events_hourly`` driver query — oracle-paired against the
   batch SQL verbatim, exact-decimal sums make micro-batch boundaries
-  invisible); checkpointed append-mode file→file ingest whose re-runs
-  process only new files (exactly-once at file granularity);
+  invisible); native ``F.session_window`` sessionization, batch AND
+  streaming (``events_sessions_native`` / ``streaming_events_sessions``
+  driver queries sharing one gaps-and-islands oracle — state-store session
+  merging across micro-batches in complete mode; append mode + watermark
+  emits exactly the closed sessions, the 100 TB shape); checkpointed
+  append-mode file→file ingest whose re-runs process only new files
+  (exactly-once at file granularity);
 * :mod:`.stateful` — ``applyInPandasWithState`` running per-user state
   across micro-batches (update-mode changelog, int64-exact sums).
 

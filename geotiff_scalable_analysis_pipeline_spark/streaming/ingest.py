@@ -120,6 +120,74 @@ def hourly_event_stats_streaming(
     return spark.createDataFrame(rows.collect(), rows.schema)
 
 
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Native session windows per user over a streaming OR batch frame:
+    ``F.session_window`` merges events whose gap is ≤ the threshold
+    (boundary measured empirically: two events exactly ``gap`` apart MERGE,
+    so a new session starts only when the gap is strictly greater — the
+    identical rule to the lag()-based batch ``events_sessions`` query, which
+    is what lets both share one gaps-and-islands oracle). ``window.end`` is
+    ``last_ts + gap``.
+
+    Works unchanged on batch frames (Spark supports session_window in batch
+    groupBy) and on streaming frames (state-store merge across
+    micro-batches). ``watermark``, when given, is applied AFTER the
+    timestamp cast — a later ``withColumn("ts", …)`` would silently drop
+    the watermark tag from the replaced column."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_D)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def user_sessions_streaming(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gap: str = "30 minutes",
+    query_name: str = "streaming_events_sessions",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-user session windows as a real streaming query run to completion.
+
+    Complete-mode memory sink so EVERY session (open or closed) reaches the
+    result — which is what makes the batch gaps-and-islands oracle verify
+    this query verbatim. Complete mode keeps all session state, so this
+    form suits the bounded correctness-harness corpus; the 100 TB
+    continuously-running shape is append mode + watermark (closed sessions
+    emit incrementally, state evicted — semantics pinned by
+    tests/test_streaming.py::test_streaming_sessions_append_emits_closed)."""
+    ev = stream_events(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
+    agg = session_windows(ev, gap, watermark=watermark)
+    spark.catalog.dropTempView(query_name)
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(query_name)
+    return spark.createDataFrame(rows.collect(), rows.schema)
+
+
 def incremental_parquet_ingest(
     spark: SparkSession,
     source_dir: str,

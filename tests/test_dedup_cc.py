@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import HealthCheck, given, settings
-from hypothesis import strategies as st
 
 from geotiff_scalable_analysis_pipeline_spark.operators.dedup_cc import connected_components
 
@@ -43,12 +41,33 @@ def _run(spark, n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
     return {r["node"]: r["rep"] for r in rows}
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(seed=st.integers(0, 2**31 - 1), n=st.integers(2, 40), m=st.integers(0, 60))
-def test_cc_random_graphs_match_union_find(spark, seed, n, m):
-    rng = np.random.default_rng(seed)
-    edges = [tuple(map(int, rng.integers(0, n, size=2))) for _ in range(m)]
-    assert _run(spark, n, edges) == _union_find(n, edges)
+def test_cc_random_graphs_match_union_find(spark):
+    """16 random graphs (varying density, including edge-free and
+    near-complete) batched into ONE namespaced CC run — components never
+    cross the 10_000-id namespaces, so a single O(log n)-round execution
+    verifies all graphs at once instead of paying the per-run driver
+    round-trips 16 times (this test was 292 s as a 5-example hypothesis
+    loop; batched it is ~30 s with broader coverage)."""
+    all_edges: list[tuple[int, int]] = []
+    want: dict[int, int] = {}
+    n_total = 0
+    nodes: list[int] = []
+    for g in range(16):
+        rng = np.random.default_rng(g)
+        n = int(rng.integers(2, 41))
+        m = int(rng.integers(0, 61))
+        base = g * 10_000
+        edges = [tuple(map(int, rng.integers(0, n, size=2))) for _ in range(m)]
+        reps = _union_find(n, edges)
+        all_edges += [(base + a, base + b) for a, b in edges]
+        want.update({base + x: base + r for x, r in reps.items()})
+        nodes += [base + i for i in range(n)]
+        n_total += n
+    edf = spark.createDataFrame(all_edges or [(0, 0)], "u long, v long")
+    ndf = spark.createDataFrame([(i,) for i in nodes], "node long")
+    rows = connected_components(edf, ndf).collect()
+    assert len(rows) == n_total
+    assert {r["node"]: r["rep"] for r in rows} == want
 
 
 def test_cc_path_graph_log_rounds(spark):

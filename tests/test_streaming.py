@@ -137,8 +137,74 @@ def test_stateful_running_user_stats_across_batches(spark, tmp_path):
     assert log.groupBy("user_id").count().filter("count > 1").count() > 0
 
 
+def test_streaming_sessions_complete_equals_batch(spark):
+    """session_window merges across forced one-file micro-batches in the
+    state store: the complete-mode streaming result equals the batch
+    session_window aggregate AND the lag()-based gaps-and-islands form."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_relational import (
+        q_events_sessions_native,
+    )
+    from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import (
+        user_sessions_streaming,
+    )
+
+    got = user_sessions_streaming(
+        spark, SF, query_name="t_stream_sessions", max_files_per_trigger=1
+    )
+    assert _rows(got) == _rows(q_events_sessions_native(spark, SF))
+
+
+def test_streaming_sessions_append_emits_closed(spark, tmp_path):
+    """The 100 TB shape: append mode + watermark emits exactly the sessions
+    the watermark has CLOSED (end + nothing mergeable), evicting their
+    state; open sessions stay unemitted."""
+    from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import (
+        session_windows,
+    )
+
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    d = dt.datetime(2024, 3, 1)
+
+    def mk(rows):
+        spark.createDataFrame(
+            [(i, d + dt.timedelta(minutes=m), u, "x", 1.0, "{}") for i, m, u in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(src, mode="append")
+
+    def run():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = session_windows(stream, "30 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    # user 1: events at 10:00, 10:10 (one session, ends 10:40);
+    # user 2: event at 13:00 (session ends 13:30 — NOT closed by wm 12:50)
+    mk([(1, 10 * 60, 1), (2, 10 * 60 + 10, 1), (3, 13 * 60, 2)])
+    run()
+    got1 = {(r["user_id"], r["n_events"]) for r in spark.read.parquet(sink).collect()}
+    assert got1 == {(1, 2)}  # user 1's closed session only
+
+    # a 15:00 user-2 event: new session (gap > 30 min), watermark → 14:50
+    # closes the 13:00 session; the 15:00 one stays open.
+    mk([(4, 15 * 60, 2)])
+    run()
+    got2 = {(r["user_id"], r["n_events"]) for r in spark.read.parquet(sink).collect()}
+    assert got2 == {(1, 2), (2, 1)}
+
+
 def test_streaming_query_registered_in_driver_contract():
     import __spark_entry__ as entrymod
 
-    assert "streaming_events_hourly" in entrymod.queries()
-    assert "streaming_events_hourly" in entrymod.oracle_sql()
+    for name in ("streaming_events_hourly", "streaming_events_sessions",
+                 "events_sessions_native"):
+        assert name in entrymod.queries()
+        assert name in entrymod.oracle_sql()
