@@ -106,28 +106,35 @@ def test_resize_bilinear_channels_broadcast():
 
 
 def _gcp_oracle_pixel(src, du, dv, gs, src_x0, src_y1, ps, x, y):
-    """Scalar float reference for one GCP-warped dest pixel center (x, y):
-    piecewise-bilinear offset interpolation (clamped cell ⇒ extrapolation),
-    then nearest sampling — no shared code with warp_np_gcp's fixed point."""
+    """Exact-rational scalar reference for one GCP-warped dest pixel center
+    (x, y): piecewise-bilinear offset interpolation (clamped cell ⇒
+    extrapolation), then nearest sampling — no shared code with warp_np_gcp's
+    int64 lattice. Uses fractions.Fraction throughout: a float version of this
+    oracle mis-floors when the deformed coordinate lands exactly on an integer
+    lattice line (e.g. exact uu == 1 evaluated as 0.999…9 in float64), which
+    is an oracle defect, not an engine defect."""
+    import math
+    from fractions import Fraction as Fr
+
     H, W = src.shape
     gn = du.shape[0] - 1
+    cl = lambda i, lo, hi: min(max(i, lo), hi)
     # continuous affine source-pixel coords of the dest center
-    u = (x - src_x0) / ps  # col units
-    v = (src_y1 - y) / ps  # row units
-    jg = min(max(int(np.floor(u / gs)), 0), max(gn - 1, 0))
-    ig = min(max(int(np.floor(v / gs)), 0), max(gn - 1, 0))
+    u = (Fr(x) - src_x0) / ps  # col units
+    v = (src_y1 - Fr(y)) / ps  # row units
+    jg = cl(math.floor(u / gs), 0, max(gn - 1, 0))
+    ig = cl(math.floor(v / gs), 0, max(gn - 1, 0))
     tx = u / gs - jg
     ty = v / gs - ig
-    off = lambda g: (
-        (1 - ty) * ((1 - tx) * g[ig, jg] + tx * g[ig, jg + 1])
-        + ty * ((1 - tx) * g[ig + 1, jg] + tx * g[ig + 1, jg + 1])
+    off = lambda g: (1 - ty) * ((1 - tx) * int(g[ig, jg]) + tx * int(g[ig, jg + 1])) + ty * (
+        (1 - tx) * int(g[ig + 1, jg]) + tx * int(g[ig + 1, jg + 1])
     )
-    uu = u + off(dv) / 2.0  # half-pixel offsets
-    vv = v + off(du) / 2.0
-    cs = int(np.floor(uu))
-    rs = int(np.floor(vv))
+    uu = u + off(dv) / 2  # half-pixel offsets
+    vv = v + off(du) / 2
+    cs = math.floor(uu)
+    rs = math.floor(vv)
     valid = 0 <= cs < W and 0 <= rs < H
-    return src[min(max(rs, 0), H - 1), min(max(cs, 0), W - 1)], valid
+    return src[cl(rs, 0, H - 1), cl(cs, 0, W - 1)], valid
 
 
 def test_gcp_zero_offsets_equal_affine_nearest():
