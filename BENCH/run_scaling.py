@@ -169,6 +169,14 @@ def main():
                 flush=True,
             )
 
+    empty = [q for q in QUERY_SCALES if not pairs[q]]
+    if empty:
+        raise SystemExit(
+            f"no pairs for {empty}: merged logs carry no lines at these "
+            f"queries' scales and SCALING_REPS={REPS} ran no fresh reps — "
+            "fix SCALING_QUERY_SCALES/SCALING_MERGE_LOGS or raise SCALING_REPS"
+        )
+
     def median(xs):
         s = sorted(xs)
         n = len(s)
@@ -228,7 +236,15 @@ def main():
         "back-to-back so both land in the same host-noise window, across "
         f"{n_full_reps} reps; headline efficiency = median of per-rep pair "
         "efficiencies (min-wall efficiency shown alongside); single-thread "
-        "CPU canary logged before every pair.",
+        "CPU canary logged before every pair."
+        + (
+            " Pairs were merged from prior same-method sweep logs "
+            "(`SCALING_MERGE_LOGS`; see the provenance section): a PAIR's "
+            "two levels always share one noise window, but the suite "
+            "efficiency pairs rep INDICES, which may span sweeps."
+            if n_merged
+            else ""
+        ),
         "",
         f"| query | scale | local[{LO}] s (runs) | local[{HI}] s (runs) | "
         "pair efficiencies | median eff | min-walls eff |",

@@ -42,8 +42,15 @@ def decode(buf: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(buf):
         tag = buf[pos : pos + 4]
         (length,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + length > len(buf):
+            raise ValueError(
+                f"corrupt WAV: chunk {tag!r} claims {length} bytes, "
+                f"only {len(buf) - pos - 8} remain"
+            )
         body = buf[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
+            if length < 16:
+                raise ValueError(f"corrupt WAV: fmt chunk too short ({length} bytes)")
             fmt_tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if fmt_tag != 1 or bits != 16:
                 raise NotImplementedError(
@@ -54,5 +61,10 @@ def decode(buf: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if ch is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if ch == 0 or len(data) % (2 * ch):
+        raise ValueError(
+            f"corrupt WAV: data length {len(data)} not a whole number of "
+            f"{ch}-channel PCM16 frames"
+        )
     samples = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
     return samples, rate

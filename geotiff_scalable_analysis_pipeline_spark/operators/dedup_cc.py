@@ -41,6 +41,21 @@ from pyspark.storagelevel import StorageLevel
 MAX_ROUNDS = 25  # ⌈log₂ n⌉ + slack; a 2²⁵-node path is beyond any real corpus
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release a SUPERSEDED round's localCheckpoint blocks immediately.
+
+    A localCheckpoint has no lineage, so this is only safe for frames that
+    are never read again (each round's ``nxt`` is eagerly materialized
+    before its predecessor is freed). Without this, up to ``max_rounds``
+    corpus-sized edge sets stay resident between driver GCs — at scale
+    that evicts useful blocks or spills. The checkpointed plan is a
+    ``LogicalRDD`` whose RDD sits in the context's persistent-RDD map."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape differs (future Spark) — driver GC reclaims it
+
+
 def _canon(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (hi, lo) tuples, no self-loops."""
     return (
@@ -111,6 +126,7 @@ def connected_components(
                 ).alias("h"),
             ).first()
         )
+        _free_checkpoint(e)  # superseded round — nxt is already materialized
         e = nxt
         if sig == prev_sig:
             converged = True
@@ -119,7 +135,9 @@ def connected_components(
     if not converged:
         raise RuntimeError(f"CC did not converge within {max_rounds} rounds")
     # Fixpoint edge set is a star per component: (member, min). A member
-    # appears once per star edge; min-nodes appear only as `v`.
+    # appears once per star edge; min-nodes appear only as `v`. The final
+    # round's checkpoint stays resident (the returned reps read it lazily);
+    # driver GC reclaims it once the caller drops the result.
     member_reps = e.groupBy("u").agg(F.min("v").alias("rep")).select(
         F.col("u").alias("node"), "rep"
     )

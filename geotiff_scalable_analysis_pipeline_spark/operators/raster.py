@@ -30,6 +30,41 @@ PIXEL_STATS_SCHEMA = (
 HIST_BINS = 16
 HIST_SCHEMA = "media_ref string, band int, bin int, cnt long"
 
+_STATS_KEYS = (
+    "media_ref", "band", "cnt", "sum_dn", "sum_sq", "min_dn", "max_dn",
+    "sum_cal", "mean_dn", "mean_refl",
+)
+
+
+def _append_band_stats(rows: dict, ref, baseline, a: np.ndarray) -> None:
+    """Append one row per band of the calibration + integer-exact stats for a
+    decoded (nb, H, W) int64 array. THE single definition of the radiometric
+    rule (baseline ≥ 400 → max(DN−1000, 0)) and the nine stats columns —
+    shared by the fused and unfused operators so they cannot drift."""
+    cal = np.maximum(a - 1000, 0) if baseline >= 400 else a
+    nb = a.shape[0]
+    cnt = a.shape[1] * a.shape[2]
+    s = a.sum(axis=(1, 2))
+    ss = (a * a).sum(axis=(1, 2))
+    sc = cal.sum(axis=(1, 2))
+    rows["media_ref"] += [ref] * nb
+    rows["band"] += list(range(nb))
+    rows["cnt"] += [cnt] * nb
+    rows["sum_dn"] += s.tolist()
+    rows["sum_sq"] += ss.tolist()
+    rows["min_dn"] += a.min(axis=(1, 2)).tolist()
+    rows["max_dn"] += a.max(axis=(1, 2)).tolist()
+    rows["sum_cal"] += sc.tolist()
+    rows["mean_dn"] += (s / cnt).tolist()
+    rows["mean_refl"] += (sc / (10000.0 * cnt)).tolist()
+
+
+def _dense_hists(a: np.ndarray, bins: int, dn_max: int) -> list[np.ndarray]:
+    """Per-band dense histograms under THE single bin rule
+    ``bin = DN·bins // (dn_max+1)`` (exact parity with the SQL oracle)."""
+    binned = (a * bins) // (dn_max + 1)
+    return [np.bincount(binned[b].ravel(), minlength=bins) for b in range(a.shape[0])]
+
 
 def tile_pixel_stats(media: DataFrame) -> DataFrame:
     """One row per (media_ref, band): integer-exact pixel statistics.
@@ -43,31 +78,12 @@ def tile_pixel_stats(media: DataFrame) -> DataFrame:
         from ..formats import tiff
 
         for pdf in it:
-            rows = {k: [] for k in (
-                "media_ref", "band", "cnt", "sum_dn", "sum_sq", "min_dn", "max_dn",
-                "sum_cal", "mean_dn", "mean_refl",
-            )}
+            rows = {k: [] for k in _STATS_KEYS}
             for ref, baseline, payload in zip(
                 pdf["media_ref"], pdf["proc_baseline"], pdf["payload"]
             ):
                 arr, _ = tiff.decode(bytes(payload))
-                a = arr.astype(np.int64)
-                cal = np.maximum(a - 1000, 0) if baseline >= 400 else a
-                nb = a.shape[0]
-                cnt = a.shape[1] * a.shape[2]
-                s = a.sum(axis=(1, 2))
-                ss = (a * a).sum(axis=(1, 2))
-                sc = cal.sum(axis=(1, 2))
-                rows["media_ref"] += [ref] * nb
-                rows["band"] += list(range(nb))
-                rows["cnt"] += [cnt] * nb
-                rows["sum_dn"] += s.tolist()
-                rows["sum_sq"] += ss.tolist()
-                rows["min_dn"] += a.min(axis=(1, 2)).tolist()
-                rows["max_dn"] += a.max(axis=(1, 2)).tolist()
-                rows["sum_cal"] += sc.tolist()
-                rows["mean_dn"] += (s / cnt).tolist()
-                rows["mean_refl"] += (sc / (10000.0 * cnt)).tolist()
+                _append_band_stats(rows, ref, baseline, arr.astype(np.int64))
             yield pd.DataFrame(rows)
 
     return media.select("media_ref", "proc_baseline", "payload").mapInPandas(
@@ -89,10 +105,9 @@ def tile_histogram(media: DataFrame, bins: int = HIST_BINS, dn_max: int = 10000)
             out = {"media_ref": [], "band": [], "bin": [], "cnt": []}
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 arr, _ = tiff.decode(bytes(payload))
-                nb = arr.shape[0]
-                for b in range(nb):
-                    binned = (arr[b].astype(np.int64) * bins) // (dn_max + 1)
-                    counts = np.bincount(binned.ravel(), minlength=bins)
+                for b, counts in enumerate(
+                    _dense_hists(arr.astype(np.int64), bins, dn_max)
+                ):
                     nz = np.nonzero(counts)[0]
                     out["media_ref"] += [ref] * len(nz)
                     out["band"] += [b] * len(nz)
@@ -125,36 +140,14 @@ def tile_stats_and_histogram(
         from ..formats import tiff
 
         for pdf in it:
-            rows = {k: [] for k in (
-                "media_ref", "band", "cnt", "sum_dn", "sum_sq", "min_dn", "max_dn",
-                "sum_cal", "mean_dn", "mean_refl", "hist",
-            )}
+            rows = {k: [] for k in _STATS_KEYS + ("hist",)}
             for ref, baseline, payload in zip(
                 pdf["media_ref"], pdf["proc_baseline"], pdf["payload"]
             ):
                 arr, _ = tiff.decode(bytes(payload))
                 a = arr.astype(np.int64)
-                cal = np.maximum(a - 1000, 0) if baseline >= 400 else a
-                nb = a.shape[0]
-                cnt = a.shape[1] * a.shape[2]
-                s = a.sum(axis=(1, 2))
-                ss = (a * a).sum(axis=(1, 2))
-                sc = cal.sum(axis=(1, 2))
-                rows["media_ref"] += [ref] * nb
-                rows["band"] += list(range(nb))
-                rows["cnt"] += [cnt] * nb
-                rows["sum_dn"] += s.tolist()
-                rows["sum_sq"] += ss.tolist()
-                rows["min_dn"] += a.min(axis=(1, 2)).tolist()
-                rows["max_dn"] += a.max(axis=(1, 2)).tolist()
-                rows["sum_cal"] += sc.tolist()
-                rows["mean_dn"] += (s / cnt).tolist()
-                rows["mean_refl"] += (sc / (10000.0 * cnt)).tolist()
-                binned = (a * bins) // (dn_max + 1)  # same int rule as tile_histogram
-                for b in range(nb):
-                    rows["hist"].append(
-                        np.bincount(binned[b].ravel(), minlength=bins).tolist()
-                    )
+                _append_band_stats(rows, ref, baseline, a)
+                rows["hist"] += [h.tolist() for h in _dense_hists(a, bins, dn_max)]
             yield pd.DataFrame(rows)
 
     return media.select("media_ref", "proc_baseline", "payload").mapInPandas(

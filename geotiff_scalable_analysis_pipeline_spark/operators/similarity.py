@@ -267,7 +267,17 @@ def ivf_topk(
     in exactly ONE list and query probes are distinct cells, so every
     (query, target) candidate materializes at most once — no dedup shuffle.
     Scores are the identical exact int64-quantized cosine; only coverage is
-    approximate (recall vs :func:`cosine_topk` measured in tests)."""
+    approximate (recall vs :func:`cosine_topk` measured in tests).
+
+    Plan-shape note: both join sides derive from ``ivf_probes``, so the
+    centroid-scoring ``mapInPandas`` runs twice (the two sides' projections
+    differ, so the exchange is not reused) and the probe side carries the
+    q array nprobe-fold through the cell shuffle. Deliberate: the scoring is
+    IVF_CELLS·dim ≈ 2k integer ops per vector — noise next to any exchange —
+    while de-duplicating it (checkpoint a slim (vec_id, probe, cell) frame,
+    join the arrays back per side) adds two corpus-sized vec_id shuffles of
+    the very array column it tries to save. Same carry-the-array trade as
+    :func:`lsh_topk`."""
     qv = quantize(embeddings)
     pr = ivf_probes(qv, nprobe, dim)
     a = pr.select(

@@ -23,6 +23,7 @@ byte-identical to matplotlib output. Everything is deterministic.
 from __future__ import annotations
 
 import base64
+import html as _html
 import json
 from pathlib import Path
 
@@ -143,31 +144,33 @@ def generate_viewer_html(
     png_path} (the export_tile_previews return value)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    esc = lambda s: _html.escape(str(s), quote=True)
     rows = []
     for tile_name in sorted(tiles):
         cells = []
         for artifact in sorted(tiles[tile_name]):
             b64 = base64.b64encode(Path(tiles[tile_name][artifact]).read_bytes()).decode()
             cells.append(
-                f'<figure><img alt="{tile_name} {artifact}" '
+                f'<figure><img alt="{esc(tile_name)} {esc(artifact)}" '
                 f'src="data:image/png;base64,{b64}"/>'
-                f"<figcaption>{artifact}</figcaption></figure>"
+                f"<figcaption>{esc(artifact)}</figcaption></figure>"
             )
-        rows.append(f"<section><h2>{tile_name}</h2>{''.join(cells)}</section>")
+        rows.append(f"<section><h2>{esc(tile_name)}</h2>{''.join(cells)}</section>")
     meta_html = ""
     if metadata:
         items = "".join(
-            f"<tr><td>{k}</td><td>{json.dumps(v)}</td></tr>" for k, v in sorted(metadata.items())
+            f"<tr><td>{esc(k)}</td><td>{esc(json.dumps(v))}</td></tr>"
+            for k, v in sorted(metadata.items())
         )
         meta_html = f"<table><caption>metadata</caption>{items}</table>"
     html = (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
-        f"<title>{title}</title>"
+        f"<title>{esc(title)}</title>"
         "<style>body{font-family:sans-serif;margin:2rem}"
         "figure{display:inline-block;margin:0 1rem 1rem 0}"
         "img{image-rendering:pixelated;border:1px solid #ccc}"
         "td{border:1px solid #ccc;padding:2px 8px}</style>"
-        f"</head><body><h1>{title}</h1>{meta_html}{''.join(rows)}</body></html>"
+        f"</head><body><h1>{esc(title)}</h1>{meta_html}{''.join(rows)}</body></html>"
     )
     p = out / "index.html"
     p.write_text(html)

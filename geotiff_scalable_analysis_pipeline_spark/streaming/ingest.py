@@ -104,7 +104,15 @@ def hourly_event_stats_streaming(
     ev = stream_events(
         spark, sf_dir, max_files_per_trigger=max_files_per_trigger
     )
-    agg = hourly_windowed_stats(ev, watermark)
+    return _run_complete_to_memory(hourly_windowed_stats(ev, watermark), query_name)
+
+
+def _run_complete_to_memory(agg: DataFrame, query_name: str) -> DataFrame:
+    """Run a streaming aggregate to completion (``availableNow``) into a
+    complete-mode memory sink and return the final result detached from the
+    transient sink view (the returned frame must survive the next rerun's
+    ``dropTempView``)."""
+    spark = agg.sparkSession
     spark.catalog.dropTempView(query_name)  # no-op when absent; allows reruns
     q = (
         agg.writeStream.trigger(availableNow=True)
@@ -114,8 +122,6 @@ def hourly_event_stats_streaming(
         .start()
     )
     q.awaitTermination()
-    # Detach the result from the transient memory-sink view: the returned
-    # frame must survive the next rerun's dropTempView.
     rows = spark.table(query_name)
     return spark.createDataFrame(rows.collect(), rows.schema)
 
@@ -174,18 +180,7 @@ def user_sessions_streaming(
     emit incrementally, state evicted — semantics pinned by
     tests/test_streaming.py::test_streaming_sessions_append_emits_closed)."""
     ev = stream_events(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
-    agg = session_windows(ev, gap, watermark=watermark)
-    spark.catalog.dropTempView(query_name)
-    q = (
-        agg.writeStream.trigger(availableNow=True)
-        .outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    q.awaitTermination()
-    rows = spark.table(query_name)
-    return spark.createDataFrame(rows.collect(), rows.schema)
+    return _run_complete_to_memory(session_windows(ev, gap, watermark=watermark), query_name)
 
 
 def incremental_parquet_ingest(

@@ -80,6 +80,21 @@ def test_cc_path_graph_log_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_cc_frees_superseded_round_checkpoints(spark):
+    """Each round's localCheckpoint is released as soon as it is superseded:
+    after a multi-round run (64-node path ⇒ ≥4 rounds) at most the FINAL
+    round's checkpoint may remain resident. Before the fix, every round's
+    corpus-sized edge set stayed in executor storage until driver GC."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(63)]
+    edf = spark.createDataFrame(edges, "u long, v long")
+    out = connected_components(edf)
+    out.count()
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, f"leaked {after - before} round checkpoints"
+
+
 def test_cc_isolated_nodes_and_empty_edges(spark):
     got = _run(spark, 5, [])
     assert got == {i: i for i in range(5)}

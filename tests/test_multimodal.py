@@ -102,6 +102,28 @@ def test_wav_roundtrip_and_ancillary_chunks():
     assert np.array_equal(dec2, s)
 
 
+def test_wav_rejects_truncated_and_misaligned():
+    import struct
+
+    import pytest
+
+    s = np.zeros((100, 2), dtype=np.int16)
+    buf = wav.encode(s, 8000)
+    # data chunk length field larger than the remaining buffer
+    with pytest.raises(ValueError, match="corrupt WAV"):
+        wav.decode(buf[:-10])
+    # data bytes not a whole number of 2-channel PCM16 frames: shrink the
+    # data payload by 2 bytes and fix up the chunk + RIFF lengths
+    fmt_end = 12 + 8 + 16
+    data_len = len(buf) - fmt_end - 8
+    buf2 = (
+        buf[:4] + struct.pack("<I", len(buf) - 8 - 2) + buf[8:fmt_end]
+        + b"data" + struct.pack("<I", data_len - 2) + buf[fmt_end + 8 : -2]
+    )
+    with pytest.raises(ValueError, match="frames"):
+        wav.decode(buf2)
+
+
 def test_video_container_roundtrip():
     rng = np.random.default_rng(5)
     frames = rng.integers(0, 256, (6, 8, 10, 3), dtype=np.uint8)

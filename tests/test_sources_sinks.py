@@ -193,3 +193,20 @@ def test_viewer_html_self_contained(tmp_path):
     assert "tileA" in html and "tileB" in html and "n_classes" in html
     # fully self-contained: no file references
     assert "src=\"/" not in html and "href=" not in html
+
+
+def test_viewer_html_escapes_names(tmp_path):
+    import numpy as np
+
+    from geotiff_scalable_analysis_pipeline_spark.sources import preview as pv
+
+    colors = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    cls = np.zeros((4, 4), dtype=np.int64)
+    hostile = 'a<b>&"q'
+    tiles = {hostile: pv.export_tile_previews(tmp_path / "t", "t", cls, colors)}
+    pv.generate_viewer_html(
+        tmp_path, tiles, title="<script>x</script>", metadata={"k<i>": "v&w"}
+    )
+    html = (tmp_path / "index.html").read_text()
+    assert "<script>" not in html and "<b>" not in html and "<i>" not in html
+    assert "a&lt;b&gt;" in html  # escaped, not dropped
