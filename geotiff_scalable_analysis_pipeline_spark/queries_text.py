@@ -859,8 +859,24 @@ SELECT r.vec_id, r.rep_id, s.csize FROM rep r JOIN sizes s USING (rep_id)"""
 SQL_EMBEDDING_NEARDUP_COMPONENTS = _sql_embedding_neardup_components()
 
 
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a REAL Structured Streaming query: file-source
+    readStream over documents → state-store ``dropDuplicates`` on
+    ``md5(text)`` → availableNow append run (streaming/ingest.py). Each
+    distinct fingerprint is emitted exactly once regardless of micro-batch
+    boundaries, so the batch ``SELECT DISTINCT`` oracle verifies the
+    streaming path verbatim."""
+    from .streaming.ingest import streaming_dedup_exact
+
+    return streaming_dedup_exact(spark, sf_dir)
+
+
+SQL_STREAMING_DEDUP = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_STREAMING_DEDUP),
     "minhash_dedup_components": (q_minhash_dedup_components, SQL_MINHASH_DEDUP_COMPONENTS),
     "embedding_neardup_components": (
         q_embedding_neardup_components,

@@ -107,16 +107,17 @@ def hourly_event_stats_streaming(
     return _run_complete_to_memory(hourly_windowed_stats(ev, watermark), query_name)
 
 
-def _run_complete_to_memory(agg: DataFrame, query_name: str) -> DataFrame:
-    """Run a streaming aggregate to completion (``availableNow``) into a
-    complete-mode memory sink and return the final result detached from the
-    transient sink view (the returned frame must survive the next rerun's
-    ``dropTempView``)."""
+def _run_complete_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming frame to completion (``availableNow``) into a memory
+    sink and return the final result detached from the transient sink view
+    (the returned frame must survive the next rerun's ``dropTempView``)."""
     spark = agg.sparkSession
     spark.catalog.dropTempView(query_name)  # no-op when absent; allows reruns
     q = (
         agg.writeStream.trigger(availableNow=True)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
@@ -124,6 +125,57 @@ def _run_complete_to_memory(agg: DataFrame, query_name: str) -> DataFrame:
     q.awaitTermination()
     rows = spark.table(query_name)
     return spark.createDataFrame(rows.collect(), rows.schema)
+
+
+def stream_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source ``readStream`` over the documents table (same schema-pin +
+    glob-wrap mechanics as :func:`stream_events`)."""
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    path = f"{sf_dir}/{glob}"
+    if "*" not in glob and "[" not in glob:
+        path = f"{sf_dir}/{glob[:-1]}[{glob[-1]}]"
+    return reader.parquet(path)
+
+
+def streaming_dedup_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    glob: str = "documents.parquet",
+    query_name: str = "streaming_dedup_exact",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: state-store ``dropDuplicates`` over the content
+    fingerprint — each distinct ``md5(text)`` is emitted exactly ONCE, in the
+    micro-batch where it is first seen; later copies (including copies in
+    LATER micro-batches — the state store carries the seen-set across
+    batches) are dropped. Append mode, so the continuous-ingest shape is the
+    same code path as this bounded ``availableNow`` run.
+
+    Projecting the row down to the fingerprint BEFORE dropDuplicates is what
+    makes the result deterministic (and batch-oracle-pairable as
+    ``SELECT DISTINCT md5(text)``): streaming dropDuplicates keeps the
+    first-ARRIVING full row, and arrival order is not deterministic.
+
+    State note (100 TB): unbounded seen-set state, by design — exact global
+    dedup needs it. A production continuous pipeline would either bound it
+    with ``dropDuplicatesWithinWatermark`` (dedup within the late-data
+    horizon) or compact the state to a bloom/LSH sketch; the bounded-corpus
+    correctness harness wants the exact form."""
+    d = stream_documents(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    uniq = d.select(F.md5("text").alias("text_md5")).dropDuplicates(["text_md5"])
+    return _run_complete_to_memory(uniq, query_name, output_mode="append")
 
 
 def session_windows(

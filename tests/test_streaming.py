@@ -201,6 +201,38 @@ def test_streaming_sessions_append_emits_closed(spark, tmp_path):
     assert got2 == {(1, 2), (2, 1)}
 
 
+def test_streaming_dedup_state_spans_microbatches(spark, tmp_path):
+    """streaming_dedup_exact's seen-set lives in the state store: a
+    duplicate arriving in a LATER micro-batch (maxFilesPerTrigger=1, one
+    file per batch) is dropped, and each distinct fingerprint is emitted
+    exactly once."""
+    from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import (
+        streaming_dedup_exact,
+    )
+
+    src = tmp_path / "docs"
+    a = spark.createDataFrame(
+        [("d1", "alpha"), ("d2", "beta"), ("d3", "alpha")], "doc_id string, text string"
+    )
+    b = spark.createDataFrame(
+        [("d4", "alpha"), ("d5", "gamma"), ("d6", "beta")], "doc_id string, text string"
+    )
+    a.coalesce(1).write.parquet(str(src / "f1.parquet"))
+    b.coalesce(1).write.parquet(str(src / "f2.parquet"))
+    out = streaming_dedup_exact(
+        spark,
+        str(src),
+        glob="*.parquet/*.parquet",
+        query_name="t_stream_dedup",
+        max_files_per_trigger=1,
+    )
+    got = sorted(r["text_md5"] for r in out.collect())
+    import hashlib
+
+    want = sorted(hashlib.md5(t.encode()).hexdigest() for t in ("alpha", "beta", "gamma"))
+    assert got == want
+
+
 def test_streaming_query_registered_in_driver_contract():
     import __spark_entry__ as entrymod
 
