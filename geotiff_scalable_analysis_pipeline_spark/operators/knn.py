@@ -121,6 +121,13 @@ def knn_join(
     checkpoint blocks are small; pass ``cache_result=True`` to get the old
     lineage-preserving ``persist()`` behavior instead (caller must then
     ``unpersist()``).
+
+    Not reentrant: execution scopes two session-global SQL confs
+    (``spark.sql.shuffle.partitions`` data-sized for wave amortization, and
+    AQE partition coalescing pinned off around result materialization —
+    both restored in a ``finally``). A concurrent query on the SAME session
+    runs under those confs for the duration; fine for a single-tenant
+    job/bench session, serialize calls if the session is shared.
     """
     import os as _os
 

@@ -178,6 +178,28 @@ def streaming_dedup_exact(
     return _run_complete_to_memory(uniq, query_name, output_mode="append")
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], horizon: str = "1 hour"
+) -> DataFrame:
+    """BOUNDED-state streaming dedup — the production continuous-ingest form
+    of :func:`streaming_dedup_exact` (whose exact global seen-set grows
+    without bound): ``dropDuplicatesWithinWatermark`` keeps a key's state
+    only until the watermark passes ``first_event_time + horizon``.
+
+    Measured semantics (pinned by
+    tests/test_streaming.py::test_dedup_within_watermark_bounded_state):
+    a duplicate is suppressed while the key's state is live; state is
+    evicted at the END of the first micro-batch whose watermark exceeds the
+    expiry — so a duplicate arriving in that same batch is still suppressed,
+    and one arriving in a LATER batch is re-emitted as a fresh first-seen.
+    The trade is exactness for O(horizon·rate) state: duplicates farther
+    apart than the horizon (plus one batch) pass through."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", horizon
+    )
+    return ev.dropDuplicatesWithinWatermark(keys)
+
+
 def session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
 ) -> DataFrame:

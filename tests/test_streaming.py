@@ -233,6 +233,56 @@ def test_streaming_dedup_state_spans_microbatches(spark, tmp_path):
     assert got == want
 
 
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dedup_within_watermark (bounded-state dedup): duplicates inside the
+    horizon are suppressed; a key's state is evicted at the END of the first
+    batch whose watermark passes first_ts + horizon, so a duplicate in that
+    SAME batch is still suppressed and one in a LATER batch re-emits."""
+    import time
+
+    from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import (
+        dedup_within_watermark,
+    )
+
+    src = tmp_path / "ev"
+    batches = [
+        # A first-seen + in-horizon dup; C advances event time to 10:00
+        [("A", "2024-01-01 00:00:00"), ("A", "2024-01-01 00:10:00"),
+         ("B", "2024-01-01 00:05:00"), ("C", "2024-01-01 10:00:00")],
+        # wm=09:00 > A's expiry 01:00, but eviction runs at batch END:
+        # this A is still suppressed
+        [("A", "2024-01-01 10:01:00")],
+        # state evicted -> fresh first-seen, re-emitted
+        [("A", "2024-01-01 10:02:00")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k string, ts string").coalesce(1).write.parquet(
+            str(src / f"f{i}.parquet")
+        )
+        time.sleep(1.1)  # file-source orders batches by mtime
+    st = (
+        spark.readStream.schema("k string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet/*.parquet")
+    )
+    out = dedup_within_watermark(st, ["k"], "1 hour")
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName("t_wm_dedup")
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.k, str(r.ts)) for r in spark.table("t_wm_dedup").collect())
+    assert got == [
+        ("A", "2024-01-01 00:00:00"),
+        ("A", "2024-01-01 10:02:00"),
+        ("B", "2024-01-01 00:05:00"),
+        ("C", "2024-01-01 10:00:00"),
+    ]
+
+
 def test_streaming_query_registered_in_driver_contract():
     import __spark_entry__ as entrymod
 
