@@ -378,8 +378,61 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_event_stats_streaming(spark, sf_dir)
 
 
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution as a REAL stream-stream join (two
+    file-source readStreams over events, watermarked event-time interval
+    join, availableNow to completion — streaming/ingest.py). Single
+    micro-batch ⇒ no state eviction can drop an in-horizon pair, so the
+    batch interval-join oracle verifies the streaming path verbatim; the
+    multi-batch eviction semantics are pinned by
+    tests/test_streaming.py::test_stream_stream_interval_join_semantics."""
+    from .streaming.ingest import click_attribution_streaming
+
+    return click_attribution_streaming(spark, sf_dir)
+
+
+SQL_CLICK_ATTRIBUTION = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"""
+
+
+def q_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``) over
+    event keys, run under a single ``availableNow`` micro-batch: the horizon
+    (60 days) exceeds the corpus span and eviction only runs at batch
+    boundaries, so every key is emitted exactly once — the batch DISTINCT
+    oracle applies verbatim. The ts column is projected out AFTER the dedup
+    (which first-arrival row survives is nondeterministic; the key set is
+    not). Cross-batch eviction/re-emission semantics are pinned by
+    tests/test_streaming.py::test_dedup_within_watermark_bounded_state."""
+    from .streaming.ingest import (
+        _run_complete_to_memory,
+        dedup_within_watermark,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    out = dedup_within_watermark(ev, ["user_id", "event_type"], horizon="60 days")
+    return _run_complete_to_memory(
+        out.select("user_id", "event_type"),
+        "streaming_dedup_bounded",
+        output_mode="append",
+    )
+
+
+SQL_STREAMING_DEDUP_BOUNDED = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "streaming_click_attribution": (
+        q_streaming_click_attribution,
+        SQL_CLICK_ATTRIBUTION,
+    ),
+    "streaming_dedup_bounded": (q_streaming_dedup_bounded, SQL_STREAMING_DEDUP_BOUNDED),
     "events_hourly_windows": (q_events_hourly, SQL_EVENTS_HOURLY),
     "streaming_events_hourly": (q_streaming_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions_native": (q_events_sessions_native, SQL_EVENTS_SESSIONS_NATIVE),

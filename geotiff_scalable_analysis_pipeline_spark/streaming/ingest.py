@@ -200,6 +200,85 @@ def dedup_within_watermark(
     return ev.dropDuplicatesWithinWatermark(keys)
 
 
+def interval_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    horizon: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join with an event-time interval
+    condition — the attribution/funnel shape (for each left event, every
+    right event by the same ``key`` within ``[l_ts, l_ts + horizon]``).
+
+    Both sides are buffered in the state store; the interval condition is
+    what lets Spark bound that state: a left row is provably dead once the
+    global watermark (min across BOTH sources, minus ``watermark``) passes
+    ``l_ts + horizon``. Measured eviction timing (pinned by
+    tests/test_streaming.py::test_stream_stream_interval_join_semantics):
+    the watermark incorporates batch N's event times only at the END of
+    batch N and state cleanup runs at batch end, so a right row arriving in
+    the batch where the watermark first exceeds the expiry STILL matches
+    (one-batch grace); one arriving in the next batch does not. Cross-batch
+    matches inside the horizon are always emitted.
+
+    100 TB note: state is O(rate × (horizon + watermark)) per side — the
+    join never holds either full stream. The key is the shuffle key, so
+    skewed keys salt exactly like the batch joins (operators/skew.py).
+
+    Works unchanged on batch frames (watermarks are a no-op there), which is
+    what lets the driver query share the batch interval-join oracle
+    verbatim under a single ``availableNow`` micro-batch.
+    """
+    l = left.select(
+        F.col("event_id").alias("left_id"),
+        F.col(key).alias("l_key"),
+        F.col("ts").cast("timestamp").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("right_id"),
+        F.col(key).alias("r_key"),
+        F.col("ts").cast("timestamp").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, "inner").select(
+        "left_id",
+        "right_id",
+        F.col("l_key").alias(key),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    )
+
+
+def click_attribution_streaming(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    horizon: str = "1 hour",
+    query_name: str = "streaming_click_attribution",
+) -> DataFrame:
+    """Click→purchase attribution as a REAL stream-stream join: two
+    file-source readStreams over the events table (clicks side, purchases
+    side), watermarked interval join, run to completion under
+    ``availableNow``. With no ``maxFilesPerTrigger`` the run is a single
+    micro-batch, so no in-horizon pair can straddle an eviction — the batch
+    interval-join oracle verifies the result verbatim; multi-batch
+    state-eviction semantics are pinned by the pytest instead."""
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    j = interval_attribution_join(clicks, purchases, horizon=horizon).select(
+        F.col("left_id").alias("click_id"),
+        F.col("right_id").alias("purchase_id"),
+        "user_id",
+        "lag_us",
+    )
+    return _run_complete_to_memory(j, query_name, output_mode="append")
+
+
 def session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
 ) -> DataFrame:

@@ -283,6 +283,77 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     ]
 
 
+def test_stream_stream_interval_join_semantics(spark, tmp_path):
+    """interval_attribution_join (stream-stream): an in-horizon match is
+    emitted whether the right row arrives in the SAME batch or a LATER one
+    (left state persists across batches). Eviction timing: the watermark
+    only incorporates batch N's event times at the END of batch N, and state
+    cleanup runs at batch end — so a right row arriving in the batch where
+    the watermark FIRST exceeds left_ts + horizon still matches (one-batch
+    grace, same rule test_dedup_within_watermark_bounded_state pins for
+    dedup state), while one arriving in the NEXT batch does not."""
+    import time
+
+    from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import (
+        interval_attribution_join,
+    )
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    click_batches = [
+        [(100, 1, "2024-01-01 00:00:00")],  # the attributable click
+        [(101, 7, "2024-01-01 00:05:00")],  # filler (no purchases for u7)
+        [(102, 99, "2024-01-01 10:00:00")],  # advances clicks-side watermark
+        [(103, 98, "2024-01-01 10:01:00")],  # filler
+        [(104, 97, "2024-01-01 10:02:00")],  # filler
+    ]
+    purchase_batches = [
+        [(200, 1, "2024-01-01 00:30:00")],  # same-batch match (lag 30 min)
+        [(201, 1, "2024-01-01 00:50:00")],  # CROSS-batch match (lag 50 min)
+        [(202, 50, "2024-01-01 10:00:00")],  # advances purchases-side watermark
+        # batch 3 runs under wm = min(10:00, 10:00) - 10 min = 09:50, which
+        # exceeds click 100's expiry 01:00 — but eviction runs at batch END,
+        # so this in-horizon purchase still matches (one-batch grace):
+        [(203, 1, "2024-01-01 00:55:00")],
+        # batch 4: state evicted -> in-horizon but NOT emitted
+        [(204, 1, "2024-01-01 00:56:00")],
+    ]
+    schema = "event_id long, user_id long, ts string"
+    for i in range(5):
+        for d, rows in ((cdir, click_batches[i]), (pdir, purchase_batches[i])):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(d / f"f{i}.parquet")
+            )
+        time.sleep(1.1)  # file-source orders batches by mtime
+
+    def rd(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*.parquet/*.parquet")
+        )
+
+    out = interval_attribution_join(
+        rd(cdir), rd(pdir), horizon="1 hour", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("memory")
+        .queryName("t_ssj")
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.left_id, r.right_id, r.user_id, r.lag_us)
+        for r in spark.table("t_ssj").collect()
+    )
+    assert got == [
+        (100, 200, 1, 1_800_000_000),
+        (100, 201, 1, 3_000_000_000),
+        (100, 203, 1, 3_300_000_000),
+    ]
+
+
 def test_streaming_query_registered_in_driver_contract():
     import __spark_entry__ as entrymod
 
