@@ -874,8 +874,36 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_DEDUP = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test corpus split — the standard
+    hash-assignment step of a training-data pipeline (every worker, every
+    rerun, and every engine assigns each document identically; no seed, no
+    shuffle, no sampling drift when the corpus grows). The first two hex
+    chars of ``md5(doc_id)`` are uniform over 256 buckets; byte-lexicographic
+    thresholds 'cd' (205/256 ≈ 80.1%) and 'e6' (230/256 ≈ 89.8%) give an
+    ~80/10/10 split. Map-only (narrow projection, no shuffle) — at 100 TB
+    this is a free column, not a job."""
+    d = _docs(spark, sf_dir)
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(hx < F.lit("cd"), F.lit("train"))
+        .when(hx < F.lit("e6"), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+SQL_CORPUS_SPLIT = """
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_STREAMING_DEDUP),
     "minhash_dedup_components": (q_minhash_dedup_components, SQL_MINHASH_DEDUP_COMPONENTS),
     "embedding_neardup_components": (
