@@ -136,3 +136,31 @@ def test_pyramid_build_and_viewport_pruning(spark, tmp_path):
         for r in full.groupBy("level").agg(F.sum("n_tiles").alias("s")).collect()
     }
     assert per_level[5] <= per_level[6] <= per_level[7]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """write_bucketed + bucketed_join: two tables bucketed on the join key
+    sort-merge-join with ZERO Exchange (the shuffle was paid once, at write
+    time); the identical unbucketed join shuffles both sides (control)."""
+    from geotiff_scalable_analysis_pipeline_spark.plans import bucketing
+
+    n = 10_000
+    a = spark.range(n).select(F.col("id").alias("k"), (F.col("id") * 3).alias("va"))
+    b = spark.range(n).select(F.col("id").alias("k"), (F.col("id") * 7).alias("vb"))
+    try:
+        bucketing.write_bucketed(a, "t_buck_a", "k", 8, path=str(tmp_path / "a"))
+        bucketing.write_bucketed(b, "t_buck_b", "k", 8, path=str(tmp_path / "b"))
+        j = bucketing.bucketed_join(spark, "t_buck_a", "t_buck_b", "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # control: same data, same forced SMJ, no bucketing -> both sides shuffle
+        ju = a.hint("merge").join(b, "k")
+        planu = ju._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in planu
+        got = {(r.k, r.va, r.vb) for r in j.collect()}
+        assert got == {(i, 3 * i, 7 * i) for i in range(n)}
+        # bucket files are the parallelism floor: one file per bucket
+        assert len(spark.table("t_buck_a").inputFiles()) == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_buck_a")
+        spark.sql("DROP TABLE IF EXISTS t_buck_b")
