@@ -13,6 +13,13 @@ semantics it needs from Iceberg directly (SURVEY.md §7.0):
   ``partition_filter`` selects files driver-side before Spark ever touches
   them (manifest pruning, the Iceberg scan-planning analog; row-group pruning
   inside files is still Spark's).
+* **file-stats data skipping** — ``commit(stats_for=[cols])`` records each
+  file's column min/max in the manifest (parquet footer reads, no data
+  scan); ``read(range_filter={col: (lo, hi)})`` skips files whose range
+  cannot intersect. Combined with :func:`zorder_layout` (Morton clustering
+  at write time, which makes per-file x/y ranges tight) this is Iceberg's
+  sort-order + metadata-skipping path: a bbox query over a 100 TB table
+  plans down to the files that can actually contain matches.
 
 This is NOT the Apache Iceberg file format — it is a minimal reimplementation
 of the snapshot/manifest/pruning contract the north rule requires.
@@ -26,6 +33,62 @@ import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_layout(
+    df: DataFrame, xcol: str, ycol: str, *, level: int = 12, n_files: int = 64
+) -> DataFrame:
+    """Cluster rows by Morton (Z-order) code before a stats-tracked commit.
+
+    Range-partition + sort by the interleaved-bit cell id so each output
+    file covers a compact Z-range; a Z-range is a compact x/y region, so the
+    per-file x/y min/max recorded by ``commit(stats_for=[x, y])`` are tight
+    and a bbox ``range_filter`` skips most files. This is the write-time
+    half of data skipping (Iceberg's table sort-order); linear layouts give
+    tight stats in ONE dimension only (a row-major scan covers the full x
+    range in every file). ``repartitionByRange`` samples the Z-values to cut
+    balanced files — at cluster scale that is one extra pass over the
+    write's shuffle, paid once per commit."""
+    from ..functions.cells import cell_id_col
+
+    z = cell_id_col(F.col(xcol), F.col(ycol), level)
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
+def _file_column_stats(path: Path, cols: list[str]) -> dict:
+    """Per-file column min/max from the parquet FOOTER (no data scan).
+
+    Driver-side here (bounded: one footer read per committed file — the
+    same metadata pass Iceberg runs in its writer tasks). Columns missing
+    from the file or lacking row-group statistics are omitted — readers
+    treat missing stats as 'cannot prune' (safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(str(path)).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    out: dict[str, list] = {}
+    for c in cols:
+        if c not in names:
+            continue
+        i = names.index(c)
+        mn = mx = None
+        ok = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if ok and isinstance(mn, (int, float, str)) and not isinstance(mn, bool):
+            out[c] = [mn, mx]
+    return out
 
 
 class TableCatalog:
@@ -70,6 +133,7 @@ class TableCatalog:
         table: str,
         partition_by: list[str] | None = None,
         mode: str = "append",
+        stats_for: list[str] | None = None,
     ) -> int:
         """Write df as a new snapshot; returns the snapshot id.
 
@@ -94,7 +158,10 @@ class TableCatalog:
                 if "=" in seg:
                     k, v = seg.split("=", 1)
                     parts[k] = v
-            files.append({"path": str(rel), "partition": parts})
+            rec = {"path": str(rel), "partition": parts}
+            if stats_for:
+                rec["stats"] = _file_column_stats(f, stats_for)
+            files.append(rec)
 
         prev_files = []
         if mode == "append" and parent is not None:
@@ -125,16 +192,32 @@ class TableCatalog:
         table: str,
         snapshot: int | None = None,
         partition_filter=None,
+        range_filter: dict | None = None,
     ) -> DataFrame:
-        """Manifest-planned scan with driver-side partition pruning.
+        """Manifest-planned scan with driver-side partition + stats pruning.
 
         ``partition_filter``: callable dict→bool over a file's partition
         values (strings, as encoded in paths).
-        """
+        ``range_filter``: ``{col: (lo, hi)}`` — skip files whose recorded
+        min/max (``commit(stats_for=…)``) cannot intersect the closed range;
+        files without stats for a column are kept (safe). The caller still
+        applies the exact row filter — this only shrinks the scan."""
         man = self.manifest(table, snapshot)
         files = man["files"]
         if partition_filter is not None:
             files = [f for f in files if partition_filter(f["partition"])]
+        if range_filter:
+
+            def _keep(f: dict) -> bool:
+                st = f.get("stats") or {}
+                for c, (lo, hi) in range_filter.items():
+                    if c in st:
+                        mn, mx = st[c]
+                        if mx < lo or mn > hi:
+                            return False
+                return True
+
+            files = [f for f in files if _keep(f)]
         if not files:
             return spark.createDataFrame([], man["schema"])
         # one scan per snapshot prefix: partition-value directories live

@@ -164,3 +164,46 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_buck_a")
         spark.sql("DROP TABLE IF EXISTS t_buck_b")
+
+
+def test_zorder_stats_skipping(spark, tmp_path):
+    """commit(stats_for=…) records per-file min/max from parquet footers;
+    read(range_filter=…) plans a bbox query down to the files that can
+    contain matches. Z-order layout makes BOTH x and y per-file ranges
+    tight, so a quadrant query prunes harder than the row-major linear
+    layout (which is tight in y only)."""
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import (
+        TableCatalog,
+        zorder_layout,
+    )
+
+    cat = TableCatalog(tmp_path)
+    # 64x64 point grid in row-major id order, coordinates scaled to the frame
+    res = 2048.0  # 64 cells of 2048 -> exactly the level-6 lattice
+    pts = spark.range(4096).select(
+        ((F.col("id") % 64) * res).alias("x"),
+        (F.floor(F.col("id") / 64) * res).alias("y"),
+        F.col("id").alias("v"),
+    )
+    cat.commit(zorder_layout(pts, "x", "y", level=6, n_files=16), "z", stats_for=["x", "y"])
+    cat.commit(
+        pts.repartitionByRange(16, "v").sortWithinPartitions("v"),
+        "lin",
+        stats_for=["x", "y"],
+    )
+    man = cat.manifest("z")
+    assert all("x" in f["stats"] and "y" in f["stats"] for f in man["files"])
+
+    bbox = {"x": (0.0, 15 * res), "y": (0.0, 15 * res)}  # one level-2 quadrant
+    pred = f"x <= {15 * res} AND y <= {15 * res}"
+    want = sorted(r.v for r in cat.read(spark, "z").filter(pred).collect())
+
+    pz = cat.read(spark, "z", range_filter=bbox)
+    plin = cat.read(spark, "lin", range_filter=bbox)
+    assert sorted(r.v for r in pz.filter(pred).collect()) == want
+    assert sorted(r.v for r in plin.filter(pred).collect()) == want
+    nz, nlin, ntot = len(pz.inputFiles()), len(plin.inputFiles()), 16
+    # z-order: the quadrant is 1/16 of the z-range -> ~1 file; linear
+    # row-major: y-stats alone keep 1/4 of files
+    assert nz <= 2, nz
+    assert nz < nlin <= ntot
