@@ -236,6 +236,42 @@ class TableCatalog:
             out = out.unionByName(p)
         return out
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Small-file compaction: rewrite the current snapshot into files of
+        ~``target_file_bytes`` and commit it as a new OVERWRITE snapshot.
+
+        Continuous ingest (streaming appends, per-partition commits) accretes
+        small files; every downstream scan then pays per-file open/seek/task
+        overhead — at 100 TB the file count, not the byte count, becomes the
+        scan bottleneck. Compaction is the standing maintenance job
+        (Iceberg's rewrite_data_files): readers are never blocked (the commit
+        point is still the atomic ``current`` rename), prior snapshots stay
+        time-travelable until ``expire``. Partition spec and stats columns
+        are carried over from the current manifest."""
+        man = self.manifest(table)
+        sizes = [
+            (self._tdir(table) / f["path"]).stat().st_size for f in man["files"]
+        ]
+        n_out = max(1, round(sum(sizes) / target_file_bytes))
+        stats_cols = sorted({c for f in man["files"] for c in f.get("stats", {})})
+        spec = man["partition_spec"]
+        df = self.read(spark, table)
+        # partitionBy splits each task's rows across its partition values, so
+        # repartition ON the spec keys keeps one file per (task, value) pair
+        df = df.repartition(n_out, *spec) if spec else df.repartition(n_out)
+        return self.commit(
+            df,
+            table,
+            partition_by=spec or None,
+            mode="overwrite",
+            stats_for=stats_cols or None,
+        )
+
     def expire(self, table: str, keep_last: int = 2) -> list[int]:
         """Drop old snapshots' manifests + now-unreachable files."""
         snaps = self.snapshots(table)

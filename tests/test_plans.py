@@ -207,3 +207,27 @@ def test_zorder_stats_skipping(spark, tmp_path):
     # row-major: y-stats alone keep 1/4 of files
     assert nz <= 2, nz
     assert nz < nlin <= ntot
+
+
+def test_compaction_rewrites_small_files(spark, tmp_path):
+    """compact(): many small files -> few right-sized files as a NEW
+    overwrite snapshot; data identical, prior snapshot still time-travelable,
+    stats columns carried over so range_filter keeps working."""
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import TableCatalog
+
+    cat = TableCatalog(tmp_path)
+    df = spark.range(10_000).select(F.col("id").alias("v"), (F.col("id") % 7).alias("g"))
+    s1 = cat.commit(df.repartition(32), "t", stats_for=["v"])
+    assert len(cat.manifest("t", s1)["files"]) == 32
+    s2 = cat.compact(spark, "t", target_file_bytes=1 << 30)
+    man2 = cat.manifest("t", s2)
+    assert len(man2["files"]) == 1
+    assert all("v" in f.get("stats", {}) for f in man2["files"])
+    assert cat.read(spark, "t").count() == 10_000
+    got = sorted(r.v for r in cat.read(spark, "t").collect())
+    assert got == list(range(10_000))
+    # time travel to the pre-compaction snapshot still works
+    assert cat.read(spark, "t", snapshot=s1).count() == 10_000
+    # stats pruning still effective on the compacted snapshot
+    pruned = cat.read(spark, "t", range_filter={"v": (0, 10)})
+    assert len(pruned.inputFiles()) == 1
