@@ -901,9 +901,43 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-and-chunk): each document's
+    exact global token offset and the first/last seq_len=2048 training
+    sequence it lands in, in canonical doc_id order. Computed with the
+    two-pass distributed prefix sum in operators/packing.py (range
+    partition + per-partition scan + broadcast partition offsets) — NOT a
+    single-partition global window, which is what the oracle uses and what
+    this query must equal regardless of partitioning."""
+    from .operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    counted = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return pack_sequences(counted, "doc_id", "n_tokens", 2048)
+
+
+SQL_SEQUENCE_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM t)
+SELECT doc_id, n_tokens, start_off,
+       start_off // 2048 AS seq_first,
+       CASE WHEN n_tokens = 0 THEN start_off // 2048
+            ELSE (start_off + n_tokens - 1) // 2048 END AS seq_last
+FROM c"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_STREAMING_DEDUP),
     "minhash_dedup_components": (q_minhash_dedup_components, SQL_MINHASH_DEDUP_COMPONENTS),
     "embedding_neardup_components": (
