@@ -34,6 +34,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def zorder_layout(
@@ -134,6 +135,7 @@ class TableCatalog:
         partition_by: list[str] | None = None,
         mode: str = "append",
         stats_for: list[str] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Write df as a new snapshot; returns the snapshot id.
 
@@ -174,6 +176,7 @@ class TableCatalog:
             "partition_spec": partition_by or [],
             "schema": df.schema.json(),
             "files": prev_files + files,
+            **(extra or {}),
         }
         mpath = self._manifest_path(table, snap)
         mpath.parent.mkdir(parents=True, exist_ok=True)
@@ -219,7 +222,9 @@ class TableCatalog:
 
             files = [f for f in files if _keep(f)]
         if not files:
-            return spark.createDataFrame([], man["schema"])
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(man["schema"]))
+            )
         # one scan per snapshot prefix: partition-value directories live
         # BELOW each snap dir, so each scan gets its own basePath (a single
         # basePath across snapshots trips partition discovery)
@@ -233,8 +238,22 @@ class TableCatalog:
         ]
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            # schema evolution: an append snapshot may ADD columns — files
+            # written before the column existed read as null (Iceberg
+            # add-column semantics; parquet files are never rewritten)
+            out = out.unionByName(p, allowMissingColumns=True)
+        # the requested snapshot's manifest schema is authoritative for
+        # column set and order (a column added after this snapshot must not
+        # leak into a time-travel read of it)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        return out.select(
+            *[
+                F.col(f.name)
+                if f.name in out.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def compact(
         self,

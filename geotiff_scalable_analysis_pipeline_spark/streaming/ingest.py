@@ -200,6 +200,65 @@ def dedup_within_watermark(
     return ev.dropDuplicatesWithinWatermark(keys)
 
 
+def stream_to_catalog(
+    src: DataFrame,
+    catalog,
+    table: str,
+    checkpoint_dir: str,
+    *,
+    partition_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
+) -> None:
+    """Stream → snapshot-catalog sink: each micro-batch commits as one
+    catalog APPEND snapshot (``foreachBatch``), so streaming ingest lands in
+    the same table layer batch queries read — with time travel, manifest
+    pruning, stats skipping, and ``compact()`` all applying to streamed
+    data.
+
+    Exactly-once: the checkpoint's commit log already guarantees each batch
+    is processed once across restarts; the remaining gap is a crash BETWEEN
+    the catalog commit and the checkpoint commit, which would replay the
+    epoch. Each manifest records its ``stream_batch_id``; a replayed epoch
+    (batch_id ≤ the current manifest's) is skipped, making the sink
+    idempotent — the foreachBatch analogue of the txn-id dedup a
+    transactional sink performs. One ``availableNow`` pass per call, like
+    :func:`incremental_parquet_ingest`."""
+
+    def _last_stream_batch() -> int:
+        # walk the parent chain: a maintenance commit (compact) between
+        # stream batches must not erase the epoch marker
+        snap = catalog.current_snapshot(table)
+        while snap is not None:
+            try:
+                man = catalog.manifest(table, snap)
+            except FileNotFoundError:
+                break  # expired ancestor — nothing older can outrank us
+            if "stream_batch_id" in man:
+                return man["stream_batch_id"]
+            snap = man.get("parent")
+        return -1
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if _last_stream_batch() >= batch_id:
+            return  # replayed epoch — already committed
+        catalog.commit(
+            batch_df,
+            table,
+            partition_by=partition_by,
+            mode="append",
+            stats_for=stats_for,
+            extra={"stream_batch_id": batch_id},
+        )
+
+    q = (
+        src.writeStream.foreachBatch(_commit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def interval_attribution_join(
     left: DataFrame,
     right: DataFrame,

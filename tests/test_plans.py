@@ -231,3 +231,31 @@ def test_compaction_rewrites_small_files(spark, tmp_path):
     # stats pruning still effective on the compacted snapshot
     pruned = cat.read(spark, "t", range_filter={"v": (0, 10)})
     assert len(pruned.inputFiles()) == 1
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column semantics: an append snapshot may ADD columns; old
+    files (never rewritten) read the new column as null, and a time-travel
+    read of the OLD snapshot does not see the later column at all."""
+    cat = TableCatalog(tmp_path)
+    s1 = cat.commit(spark.range(4).select(F.col("id"), (F.col("id") * 2).alias("v")), "ev")
+    s2 = cat.commit(
+        spark.range(4, 7).select(
+            F.col("id"), (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+        ),
+        "ev",
+        mode="append",
+    )
+    cur = cat.read(spark, "ev")
+    assert cur.columns == ["id", "v", "tag"]  # manifest schema is authoritative
+    rows = {r.id: r.tag for r in cur.collect()}
+    assert len(rows) == 7
+    assert all(rows[i] is None for i in range(4))  # pre-evolution files -> null
+    assert all(rows[i] == "x" for i in range(4, 7))
+    # time travel: the old snapshot must NOT leak the later column
+    old = cat.read(spark, "ev", snapshot=s1)
+    assert old.columns == ["id", "v"]
+    assert old.count() == 4
+    # empty pruned read also returns the manifest schema (not a crash)
+    empty = cat.read(spark, "ev", snapshot=s2, partition_filter=lambda pv: False)
+    assert empty.columns == ["id", "v", "tag"] and empty.count() == 0

@@ -361,3 +361,51 @@ def test_streaming_query_registered_in_driver_contract():
                  "events_sessions_native"):
         assert name in entrymod.queries()
         assert name in entrymod.oracle_sql()
+
+
+def test_stream_to_catalog_exactly_once(spark, tmp_path):
+    """foreachBatch -> catalog sink: each micro-batch is one append snapshot;
+    a replayed epoch (crash between catalog commit and checkpoint commit,
+    simulated via a fresh checkpoint over the same source) is skipped by the
+    manifest's stream_batch_id — even when a compact() ran in between."""
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import TableCatalog
+    from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import stream_to_catalog
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    base = spark.read.parquet(f"{SF}/events.parquet")
+    schema = base.schema
+    base.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src, mode="append")
+
+    cat = TableCatalog(tmp_path / "cat")
+
+    def run(checkpoint):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_to_catalog(stream, cat, "ev", checkpoint)
+
+    run(ckpt)
+    n_even = base.filter(F.col("event_id") % 2 == 0).count()
+    assert cat.read(spark, "ev").count() == n_even
+    man = cat.manifest("ev")
+    assert man["stream_batch_id"] == 0
+
+    # new data -> one more snapshot, old data NOT reprocessed
+    base.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src, mode="append")
+    run(ckpt)
+    assert cat.read(spark, "ev").count() == base.count()
+    assert cat.read(spark, "ev").select("event_id").distinct().count() == base.count()
+    assert cat.manifest("ev")["stream_batch_id"] == 1
+
+    # maintenance compaction between stream epochs (no stream_batch_id on its
+    # own manifest) must not erase the epoch marker for the replay guard
+    cat.compact(spark, "ev", target_file_bytes=1 << 30)
+    assert "stream_batch_id" not in cat.manifest("ev")
+
+    # replay: fresh checkpoint re-delivers batches 0..1 -> both skipped
+    run(str(tmp_path / "ckpt2"))
+    assert cat.read(spark, "ev").count() == base.count()
+    assert cat.read(spark, "ev").select("event_id").distinct().count() == base.count()
