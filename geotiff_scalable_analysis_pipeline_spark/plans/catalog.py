@@ -128,24 +128,16 @@ class TableCatalog:
         )
 
     # -- write path ----------------------------------------------------------
-    def commit(
+    def _write_snapshot(
         self,
         df: DataFrame,
         table: str,
-        partition_by: list[str] | None = None,
-        mode: str = "append",
-        stats_for: list[str] | None = None,
-        extra: dict | None = None,
-    ) -> int:
-        """Write df as a new snapshot; returns the snapshot id.
-
-        ``append`` snapshots include the parent's files; ``overwrite`` starts
-        fresh. The commit point is the atomic rename of the ``current``
-        pointer — a crash before that leaves the table at the old snapshot
-        with only unreachable orphan files (cleaned by expire).
-        """
-        parent = self.current_snapshot(table)
-        snap = (parent or 0) + 1
+        snap: int,
+        partition_by: list[str] | None,
+        stats_for: list[str] | None,
+    ) -> list[dict]:
+        """Write df's files under ``data/snap-<snap>/``; return manifest
+        file entries (path + partition values + optional column stats)."""
         data_dir = self._tdir(table) / "data" / f"snap-{snap}"
         writer = df.write.mode("errorifexists")
         if partition_by:
@@ -164,6 +156,40 @@ class TableCatalog:
             if stats_for:
                 rec["stats"] = _file_column_stats(f, stats_for)
             files.append(rec)
+        return files
+
+    def _commit_manifest(self, table: str, man: dict) -> int:
+        """Make a manifest durable, then atomically flip ``current``."""
+        snap = man["snapshot_id"]
+        mpath = self._manifest_path(table, snap)
+        mpath.parent.mkdir(parents=True, exist_ok=True)
+        tmp = mpath.with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps(man, indent=1))
+        os.replace(tmp, mpath)  # manifest visible
+        tmp2 = self._current_path(table).with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp2.write_text(str(snap))
+        os.replace(tmp2, self._current_path(table))  # THE commit point
+        return snap
+
+    def commit(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        mode: str = "append",
+        stats_for: list[str] | None = None,
+        extra: dict | None = None,
+    ) -> int:
+        """Write df as a new snapshot; returns the snapshot id.
+
+        ``append`` snapshots include the parent's files; ``overwrite`` starts
+        fresh. The commit point is the atomic rename of the ``current``
+        pointer — a crash before that leaves the table at the old snapshot
+        with only unreachable orphan files (cleaned by expire).
+        """
+        parent = self.current_snapshot(table)
+        snap = (parent or 0) + 1
+        files = self._write_snapshot(df, table, snap, partition_by, stats_for)
 
         prev_files = []
         if mode == "append" and parent is not None:
@@ -178,15 +204,7 @@ class TableCatalog:
             "files": prev_files + files,
             **(extra or {}),
         }
-        mpath = self._manifest_path(table, snap)
-        mpath.parent.mkdir(parents=True, exist_ok=True)
-        tmp = mpath.with_suffix(f".tmp-{uuid.uuid4().hex}")
-        tmp.write_text(json.dumps(man, indent=1))
-        os.replace(tmp, mpath)  # manifest visible
-        tmp2 = self._current_path(table).with_suffix(f".tmp-{uuid.uuid4().hex}")
-        tmp2.write_text(str(snap))
-        os.replace(tmp2, self._current_path(table))  # THE commit point
-        return snap
+        return self._commit_manifest(table, man)
 
     # -- read path -----------------------------------------------------------
     def read(
@@ -221,10 +239,16 @@ class TableCatalog:
                 return True
 
             files = [f for f in files if _keep(f)]
+        return self._scan(spark, table, files, man["schema"])
+
+    def _scan(
+        self, spark: SparkSession, table: str, files: list[dict], schema_json: str
+    ) -> DataFrame:
+        """Scan an explicit manifest file list under the authoritative
+        snapshot schema (see ``read`` for the evolution semantics)."""
+        schema = StructType.fromJson(json.loads(schema_json))
         if not files:
-            return spark.createDataFrame(
-                [], StructType.fromJson(json.loads(man["schema"]))
-            )
+            return spark.createDataFrame([], schema)
         # one scan per snapshot prefix: partition-value directories live
         # BELOW each snap dir, so each scan gets its own basePath (a single
         # basePath across snapshots trips partition discovery)
@@ -245,7 +269,6 @@ class TableCatalog:
         # the requested snapshot's manifest schema is authoritative for
         # column set and order (a column added after this snapshot must not
         # leak into a time-travel read of it)
-        schema = StructType.fromJson(json.loads(man["schema"]))
         return out.select(
             *[
                 F.col(f.name)
@@ -289,6 +312,156 @@ class TableCatalog:
             partition_by=spec or None,
             mode="overwrite",
             stats_for=stats_cols or None,
+        )
+
+    # -- row-level changes (copy-on-write) ------------------------------------
+    def _stats_cols(self, man: dict) -> list[str]:
+        return sorted({c for f in man["files"] for c in f.get("stats", {})})
+
+    def _commit_rewrite(
+        self,
+        spark: SparkSession,
+        table: str,
+        man: dict,
+        untouched: list[dict],
+        new_data: DataFrame | None,
+        mode: str,
+        extra: dict | None = None,
+    ) -> int:
+        """Commit ``untouched`` (carried by reference, never rewritten) plus
+        the files of ``new_data`` as a new snapshot. The COW core shared by
+        delete and merge: at 100 TB the cost is proportional to the files
+        that can actually contain affected rows, not the table size."""
+        parent = man["snapshot_id"]
+        snap = parent + 1
+        spec = man["partition_spec"]
+        new_files: list[dict] = []
+        if new_data is not None:
+            new_files = self._write_snapshot(
+                new_data, table, snap, spec or None, self._stats_cols(man) or None
+            )
+        return self._commit_manifest(
+            table,
+            {
+                "snapshot_id": snap,
+                "parent": parent,
+                "mode": mode,
+                "partition_spec": spec,
+                "schema": man["schema"],
+                "files": untouched + new_files,
+                **(extra or {}),
+            },
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        condition,
+        *,
+        range_scope: dict | None = None,
+    ) -> int:
+        """Copy-on-write row delete: rewrite only the files that can contain
+        matching rows, minus those rows; all other files are carried into the
+        new snapshot by reference (Iceberg COW DELETE).
+
+        ``condition``: Column or SQL string selecting the rows to DELETE.
+        ``range_scope``: ``{col: (lo, hi)}`` — a caller-declared superset
+        region of the predicate; files whose recorded stats cannot intersect
+        it are carried over without being read (the manifest-pruning half of
+        the delete plan). Files without stats are always rewritten (safe).
+        For a predicate that IS a closed range, use :meth:`delete_range`,
+        which additionally drops fully-covered files metadata-only."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        man = self.manifest(table)
+        untouched, rewrite = [], []
+        for f in man["files"]:
+            disjoint = False
+            st = f.get("stats") or {}
+            for c, (lo, hi) in (range_scope or {}).items():
+                if c in st:
+                    mn, mx = st[c]
+                    if mx < lo or mn > hi:
+                        disjoint = True
+                        break
+            (untouched if disjoint else rewrite).append(f)
+        if not rewrite:
+            return man["snapshot_id"]  # nothing can match — no-op
+        new_data = self._scan(spark, table, rewrite, man["schema"]).filter(~cond)
+        return self._commit_rewrite(
+            spark, table, man, untouched, new_data, "delete",
+            extra={"rewritten_files": len(rewrite)},
+        )
+
+    def delete_range(
+        self, spark: SparkSession, table: str, col: str, lo, hi
+    ) -> int:
+        """Delete all rows with ``lo <= col <= hi``. Three-way file plan from
+        manifest stats: files disjoint from the range are carried over
+        unread; files FULLY INSIDE it are dropped metadata-only (no data IO
+        at all — the fast path that makes retention deletes on a Z-ordered /
+        partitioned 100 TB table a metadata operation); only straddling
+        files (or files without stats) are rewritten."""
+        man = self.manifest(table)
+        untouched, dropped, rewrite = [], [], []
+        for f in man["files"]:
+            st = (f.get("stats") or {}).get(col)
+            if st is not None:
+                mn, mx = st
+                if mx < lo or mn > hi:
+                    untouched.append(f)
+                    continue
+                if lo <= mn and mx <= hi:
+                    dropped.append(f)
+                    continue
+            rewrite.append(f)
+        if not rewrite and not dropped:
+            return man["snapshot_id"]  # nothing can match — no-op
+        new_data = None
+        if rewrite:
+            cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+            new_data = self._scan(spark, table, rewrite, man["schema"]).filter(~cond)
+        return self._commit_rewrite(
+            spark, table, man, untouched, new_data, "delete",
+            extra={"rewritten_files": len(rewrite), "dropped_files": len(dropped)},
+        )
+
+    def merge_upsert(
+        self, spark: SparkSession, table: str, source: DataFrame, keys: list[str]
+    ) -> int:
+        """MERGE (upsert): rows matching ``keys`` are replaced by the source
+        row; unmatched source rows are inserted. Copy-on-write at partition
+        granularity: when every partition column is a join key, a match can
+        only live in the source row's own partition tuple, so only the
+        partitions the source touches are rewritten — the driver-side plan
+        collects one tuple per touched partition (bounded by the source's
+        partition fan-out, not table size). Otherwise the whole table is
+        rewritten (documented fallback; same as an unpartitioned Iceberg
+        COW MERGE)."""
+        man = self.manifest(table)
+        spec = man["partition_spec"]
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        src = source.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        if spec and set(spec) <= set(keys):
+            touched = {
+                tuple(str(r[c]) for c in spec)
+                for r in src.select(*spec).distinct().collect()
+            }
+            affected = [
+                f
+                for f in man["files"]
+                if tuple(f["partition"].get(c) for c in spec) in touched
+            ]
+            aff_paths = {f["path"] for f in affected}
+            untouched = [f for f in man["files"] if f["path"] not in aff_paths]
+        else:
+            affected, untouched = man["files"], []
+        old = self._scan(spark, table, affected, man["schema"])
+        kept = old.join(src.select(*keys).distinct(), on=keys, how="left_anti")
+        new_data = kept.unionByName(src)
+        return self._commit_rewrite(
+            spark, table, man, untouched, new_data, "merge",
+            extra={"rewritten_files": len(affected)},
         )
 
     def expire(self, table: str, keep_last: int = 2) -> list[int]:

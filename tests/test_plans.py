@@ -259,3 +259,106 @@ def test_schema_evolution_add_column(spark, tmp_path):
     # empty pruned read also returns the manifest schema (not a crash)
     empty = cat.read(spark, "ev", snapshot=s2, partition_filter=lambda pv: False)
     assert empty.columns == ["id", "v", "tag"] and empty.count() == 0
+
+
+def test_delete_range_metadata_fast_path(spark, tmp_path):
+    """delete_range: stats-disjoint files carried by reference (not read),
+    fully-covered files dropped metadata-only, only straddling files
+    rewritten; result equals the row filter; time travel intact."""
+    cat = TableCatalog(tmp_path)
+    df = spark.range(1000).select(F.col("id").alias("v"), (F.col("id") % 3).alias("g"))
+    # 10 files of 100 contiguous v each -> tight per-file [min,max]
+    s1 = cat.commit(
+        df.repartitionByRange(10, "v").sortWithinPartitions("v"), "t", stats_for=["v"]
+    )
+    man1 = cat.manifest("t", s1)
+    s2 = cat.delete_range(spark, "t", "v", 150, 450)
+    man2 = cat.manifest("t", s2)
+    assert man2["mode"] == "delete"
+    # files [200,300),[300,400) fully inside -> dropped; [100,200),[400,500)
+    # straddle -> rewritten; the other 6 carried over by reference
+    assert man2["dropped_files"] == 2
+    assert man2["rewritten_files"] == 2
+    carried = {f["path"] for f in man1["files"]} & {f["path"] for f in man2["files"]}
+    assert len(carried) == 6
+    got = sorted(r.v for r in cat.read(spark, "t").collect())
+    assert got == [v for v in range(1000) if not (150 <= v <= 450)]
+    assert cat.read(spark, "t", snapshot=s1).count() == 1000  # time travel
+    # no-op delete outside the domain commits nothing
+    assert cat.delete_range(spark, "t", "v", 5000, 6000) == s2
+
+
+def test_delete_where_with_range_scope(spark, tmp_path):
+    """delete_where: arbitrary predicate; range_scope prunes the rewrite set
+    driver-side, files outside the scope are carried by reference."""
+    cat = TableCatalog(tmp_path)
+    df = spark.range(400).select(F.col("id").alias("v"), (F.col("id") % 2).alias("par"))
+    s1 = cat.commit(
+        df.repartitionByRange(4, "v").sortWithinPartitions("v"), "t", stats_for=["v"]
+    )
+    s2 = cat.delete_where(
+        spark, "t", "v % 2 = 0 AND v BETWEEN 100 AND 199",
+        range_scope={"v": (100, 199)},
+    )
+    man2 = cat.manifest("t", s2)
+    assert man2["rewritten_files"] == 1  # only the [100,200) file read
+    carried = {f["path"] for f in cat.manifest("t", s1)["files"]} & {
+        f["path"] for f in man2["files"]
+    }
+    assert len(carried) == 3
+    got = sorted(r.v for r in cat.read(spark, "t").collect())
+    assert got == [v for v in range(400) if not (100 <= v <= 199 and v % 2 == 0)]
+
+
+def test_merge_upsert_partition_pruned_cow(spark, tmp_path):
+    """merge_upsert: partition cols ⊆ keys -> only touched partitions are
+    rewritten (others carried by reference); matched rows replaced,
+    unmatched source rows inserted — including brand-new partitions."""
+    cat = TableCatalog(tmp_path)
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("int").alias("p"),
+        F.col("id").alias("k"),
+        F.lit(0).alias("val"),
+    )
+    s1 = cat.commit(df, "t", partition_by=["p"])
+    src = spark.createDataFrame(
+        [(1, 1, 99), (1, 5, 99), (7, 1000, 99)], "p int, k long, val int"
+    )  # two updates in p=1, one insert in new partition p=7
+    s2 = cat.merge_upsert(spark, "t", src, keys=["p", "k"])
+    man2 = cat.manifest("t", s2)
+    assert man2["mode"] == "merge"
+    cur = cat.read(spark, "t")
+    assert cur.count() == 101
+    upd = {r.k: r.val for r in cur.filter("p = 1").collect()}
+    assert upd[1] == 99 and upd[5] == 99 and upd[9] == 0
+    assert cur.filter("p = 7").count() == 1
+    # untouched partitions carried by reference (same physical files)
+    old_untouched = {
+        f["path"] for f in cat.manifest("t", s1)["files"] if f["partition"]["p"] != "1"
+    }
+    assert old_untouched <= {f["path"] for f in man2["files"]}
+    # p=1's old files are NOT in the new manifest
+    old_p1 = {
+        f["path"] for f in cat.manifest("t", s1)["files"] if f["partition"]["p"] == "1"
+    }
+    assert not (old_p1 & {f["path"] for f in man2["files"]})
+    assert cat.read(spark, "t", snapshot=s1).count() == 100  # time travel
+
+
+def test_merge_upsert_full_rewrite_fallback(spark, tmp_path):
+    """Keys that don't cover the partition spec -> documented full-table COW
+    fallback; result still exact."""
+    cat = TableCatalog(tmp_path)
+    df = spark.range(50).select(
+        (F.col("id") % 2).cast("int").alias("p"), F.col("id").alias("k"),
+        F.lit(0).alias("val"),
+    )
+    cat.commit(df, "t", partition_by=["p"])
+    src = spark.createDataFrame([(0, 4, 7), (1, 999, 7)], "p int, k long, val int")
+    s2 = cat.merge_upsert(spark, "t", src, keys=["k"])  # p not a key
+    cur = cat.read(spark, "t")
+    assert cur.count() == 51
+    assert cur.filter("k = 4").collect()[0].val == 7
+    assert cat.manifest("t", s2)["rewritten_files"] == len(
+        cat.manifest("t", s2 - 1)["files"]
+    )
