@@ -934,8 +934,85 @@ SELECT doc_id, n_tokens, start_off,
 FROM c"""
 
 
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    n-gram shingle with the held-out eval set — the overlap scrub every
+    serious pretraining pipeline runs before training (real pipelines use
+    13-grams; this corpus's short synthetic docs use the engine's 3-gram
+    shingles so overlaps actually occur at test scale).
+
+    The eval set is derived deterministically from the corpus itself (the
+    ``corpus_split`` md5 rule's 'test' bucket) — no external data. Scale
+    shape: eval sets are tiny relative to a 100 TB corpus, so the distinct
+    eval shingle list is BROADCAST and the train side never shuffles — the
+    scrub is one map-side semi-join pass plus a per-doc partial aggregate.
+    Output: one row per contaminated train doc with the distinct shingle
+    overlap count and how many eval docs it collides with."""
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    sh = _shingles(spark, sf_dir).distinct().withColumn("hx", hx)
+    train = sh.filter(F.col("hx") < "cd").select("doc_id", "code")
+    eval_ = sh.filter(F.col("hx") >= "e6").select(
+        F.col("doc_id").alias("eval_doc_id"), "code"
+    )
+    return (
+        train.join(F.broadcast(eval_), "code")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_SHINGLES_CTE},
+ds AS (SELECT DISTINCT doc_id, code FROM shingles),
+tagged AS (
+  SELECT doc_id, code, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx FROM ds),
+train AS (SELECT doc_id, code FROM tagged WHERE hx < 'cd'),
+ev AS (SELECT doc_id AS eval_doc_id, code FROM tagged WHERE hx >= 'e6')
+SELECT t.doc_id, count(*) AS n_shared_shingles,
+       count(DISTINCT e.eval_doc_id) AS n_eval_docs
+FROM train t JOIN ev e USING (code)
+GROUP BY t.doc_id"""
+
+
+# per-source keep rates for domain mixing: first-byte md5 thresholds
+# (64/256 = 25%, 128/256 = 50%, 32/256 = 12.5%); other sources default to
+# the base mixture rate 50%
+STRATA_THRESHOLDS = {"src0": "40", "src1": "80", "src2": "20"}
+STRATA_DEFAULT = "80"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (domain-mix) sampling: each source stratum
+    keeps a configured fraction of its documents — the up/down-weighting
+    step that sets a training mixture's domain proportions. Membership is a
+    pure function of (doc_id, source) via an md5 hex-prefix threshold
+    (decorrelated from the ``corpus_split`` hash, which keys on doc_id
+    alone): no seed, no shuffle, no drift as the corpus grows, identical
+    assignment on every engine and every rerun. Map-only narrow projection —
+    at 100 TB this is a filter, not a job."""
+    d = _docs(spark, sf_dir)
+    hx = F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "source")), 1, 2)
+    thr = F.lit(STRATA_DEFAULT)
+    for src, t in sorted(STRATA_THRESHOLDS.items()):
+        thr = F.when(F.col("source") == src, F.lit(t)).otherwise(thr)
+    return d.filter(hx < thr).select("doc_id", "source", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) <
+  CASE source {' '.join(f"WHEN '{s}' THEN '{t}'" for s, t in sorted(STRATA_THRESHOLDS.items()))}
+       ELSE '{STRATA_DEFAULT}' END"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "benchmark_decontaminate": (q_benchmark_decontaminate, SQL_DECONTAMINATE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_STREAMING_DEDUP),

@@ -134,3 +134,26 @@ def test_knn_result_not_in_sql_cache_manager(spark):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b and len(rows_a) == cfg.n_points * 3
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle list (tiny vs a 100 TB corpus) must broadcast — the
+    train side never shuffles for the scrub join."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_text import (
+        q_benchmark_decontaminate,
+    )
+
+    p = _plan(q_benchmark_decontaminate(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Domain-mix sampling is a filter, not a job: no Exchange, no Python."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_text import (
+        q_stratified_sample,
+    )
+
+    p = _plan(q_stratified_sample(spark, "/root/testdata/sf0.01"))
+    assert "Exchange" not in p
+    assert "Python" not in p
