@@ -3,11 +3,17 @@
 The sandbox has no Iceberg runtime jars, so the engine implements the
 semantics it needs from Iceberg directly (SURVEY.md §7.0):
 
-* **snapshots** — every commit writes data files under a new
-  ``data/snap-<id>/`` prefix plus a manifest JSON listing exactly the files
+* **snapshots** — every commit writes data files under a new write-unique
+  ``data/w-<id>/`` prefix plus a manifest JSON listing exactly the files
   (with per-file partition values + row counts); a ``current`` pointer is
   updated by atomic rename. Readers never list directories — they read the
   manifest, so concurrent/failed writers are invisible (no partial reads).
+* **optimistic concurrency** — the manifest for snapshot N is created with
+  an atomic exclusive link: of two racing writers exactly one wins, the
+  loser retries metadata-only against the new parent (``commit``) or raises
+  :class:`CommitConflictError` for the caller to re-plan (row-level
+  rewrites). The ``current`` flip is a monotonic CAS, and a winner that
+  crashes between link and flip is rolled forward by the next committer.
 * **time travel** — ``read(table, snapshot_id)`` reads any retained snapshot.
 * **partition pruning** — manifests carry partition values; ``read`` with a
   ``partition_filter`` selects files driver-side before Spark ever touches
@@ -35,6 +41,17 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the snapshot id this commit targeted.
+
+    ``commit`` (append/overwrite of freshly written files) retries
+    internally — the Iceberg optimistic-concurrency loop: data files are
+    written ONCE under a write-unique prefix, only the metadata attempt
+    repeats. Row-level rewrites (``delete_*``, ``merge_upsert``, ``compact``)
+    propagate it instead: their file plan was computed against a manifest
+    that is now stale, so the caller must re-run the operation."""
 
 
 def zorder_layout(
@@ -132,13 +149,16 @@ class TableCatalog:
         self,
         df: DataFrame,
         table: str,
-        snap: int,
+        write_id: str,
         partition_by: list[str] | None,
         stats_for: list[str] | None,
     ) -> list[dict]:
-        """Write df's files under ``data/snap-<snap>/``; return manifest
-        file entries (path + partition values + optional column stats)."""
-        data_dir = self._tdir(table) / "data" / f"snap-{snap}"
+        """Write df's files under ``data/<write_id>/``; return manifest file
+        entries (path + partition values + optional column stats). The
+        prefix is write-unique, NOT the snapshot id: under optimistic
+        concurrency the snapshot id isn't final until the metadata commit
+        wins, and a retried commit must reuse these files as-is."""
+        data_dir = self._tdir(table) / "data" / write_id
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -159,17 +179,46 @@ class TableCatalog:
         return files
 
     def _commit_manifest(self, table: str, man: dict) -> int:
-        """Make a manifest durable, then atomically flip ``current``."""
+        """Make a manifest durable with EXCLUSIVE creation, then atomically
+        flip ``current``. The exclusive link is the concurrency arbiter: of
+        two writers targeting the same snapshot id, exactly one wins; the
+        loser gets :class:`CommitConflictError`. The ``current`` flip cannot
+        go backwards: a writer can only win snapshot N+1 after observing
+        current = N, i.e. after the previous winner's flip completed."""
         snap = man["snapshot_id"]
         mpath = self._manifest_path(table, snap)
         mpath.parent.mkdir(parents=True, exist_ok=True)
         tmp = mpath.with_suffix(f".tmp-{uuid.uuid4().hex}")
         tmp.write_text(json.dumps(man, indent=1))
-        os.replace(tmp, mpath)  # manifest visible
-        tmp2 = self._current_path(table).with_suffix(f".tmp-{uuid.uuid4().hex}")
-        tmp2.write_text(str(snap))
-        os.replace(tmp2, self._current_path(table))  # THE commit point
+        try:
+            os.link(tmp, mpath)  # atomic create-exclusive: the commit race
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{table}: snapshot {snap} was committed by another writer"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        self._flip_forward(table, snap)  # THE commit point
         return snap
+
+    def _flip_forward(self, table: str, snap: int) -> None:
+        """Monotonic compare-and-set of ``current`` (never moves backwards —
+        a slow winner's late flip must not undo a later commit). Locked on
+        this host; a real deployment maps this to the metastore's CAS (what
+        Iceberg's catalog commit provides)."""
+        import fcntl
+
+        lock = self._tdir(table) / "_manifests" / ".lock"
+        with open(lock, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            cur = self.current_snapshot(table)
+            if cur is not None and cur >= snap:
+                return
+            tmp2 = self._current_path(table).with_suffix(
+                f".tmp-{uuid.uuid4().hex}"
+            )
+            tmp2.write_text(str(snap))
+            os.replace(tmp2, self._current_path(table))
 
     def commit(
         self,
@@ -187,24 +236,44 @@ class TableCatalog:
         pointer — a crash before that leaves the table at the old snapshot
         with only unreachable orphan files (cleaned by expire).
         """
-        parent = self.current_snapshot(table)
-        snap = (parent or 0) + 1
-        files = self._write_snapshot(df, table, snap, partition_by, stats_for)
+        files = self._write_snapshot(
+            df, table, f"w-{uuid.uuid4().hex[:12]}", partition_by, stats_for
+        )
+        # optimistic-concurrency loop: data is on disk exactly once (above);
+        # only the metadata attempt repeats. Each retry re-reads the parent,
+        # so a concurrent append's files are re-included, and rolls a
+        # half-committed winner's flip forward first (the manifest is the
+        # WAL record; the flip is idempotent).
+        last: CommitConflictError | None = None
+        for _ in range(6):
+            parent = self.current_snapshot(table)
+            snap = (parent or 0) + 1
+            prev_files = []
+            if mode == "append" and parent is not None:
+                prev_files = self.manifest(table, parent)["files"]
+            man = {
+                "snapshot_id": snap,
+                "parent": parent,
+                "mode": mode,
+                "partition_spec": partition_by or [],
+                "schema": df.schema.json(),
+                "files": prev_files + files,
+                **(extra or {}),
+            }
+            try:
+                return self._commit_manifest(table, man)
+            except CommitConflictError as e:
+                last = e
+                self._roll_forward(table)
+        raise last
 
-        prev_files = []
-        if mode == "append" and parent is not None:
-            prev_files = self.manifest(table, parent)["files"]
-
-        man = {
-            "snapshot_id": snap,
-            "parent": parent,
-            "mode": mode,
-            "partition_spec": partition_by or [],
-            "schema": df.schema.json(),
-            "files": prev_files + files,
-            **(extra or {}),
-        }
-        return self._commit_manifest(table, man)
+    def _roll_forward(self, table: str) -> None:
+        """Recover a winner that crashed (or is paused) between its manifest
+        link and its ``current`` flip: advance ``current`` to the newest
+        existing manifest so retries make progress."""
+        snaps = self.snapshots(table)
+        if snaps:
+            self._flip_forward(table, snaps[-1])
 
     # -- read path -----------------------------------------------------------
     def read(
@@ -331,14 +400,22 @@ class TableCatalog:
         """Commit ``untouched`` (carried by reference, never rewritten) plus
         the files of ``new_data`` as a new snapshot. The COW core shared by
         delete and merge: at 100 TB the cost is proportional to the files
-        that can actually contain affected rows, not the table size."""
+        that can actually contain affected rows, not the table size.
+
+        No retry on :class:`CommitConflictError`: the untouched/rewrite file
+        plan was computed against ``man``, which a concurrent commit has made
+        stale — retrying the metadata alone could resurrect deleted rows or
+        drop the concurrent writer's files. The caller re-runs the whole
+        operation against the new current snapshot (Iceberg's serializable
+        validation behavior)."""
         parent = man["snapshot_id"]
         snap = parent + 1
         spec = man["partition_spec"]
         new_files: list[dict] = []
         if new_data is not None:
             new_files = self._write_snapshot(
-                new_data, table, snap, spec or None, self._stats_cols(man) or None
+                new_data, table, f"w-{uuid.uuid4().hex[:12]}",
+                spec or None, self._stats_cols(man) or None,
             )
         return self._commit_manifest(
             table,

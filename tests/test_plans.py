@@ -362,3 +362,77 @@ def test_merge_upsert_full_rewrite_fallback(spark, tmp_path):
     assert cat.manifest("t", s2)["rewritten_files"] == len(
         cat.manifest("t", s2 - 1)["files"]
     )
+
+
+def test_concurrent_commits_optimistic_retry(spark, tmp_path):
+    """Optimistic concurrency: racing appenders all land (losers retry
+    metadata-only against the new parent); snapshot ids are distinct and
+    every writer's rows survive."""
+    import threading
+
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import TableCatalog
+
+    cat = TableCatalog(tmp_path)
+    cat.commit(spark.range(0, 10).select(F.col("id").alias("v")), "t")
+    errs, lock = [], threading.Lock()
+
+    def writer(i):
+        try:
+            for j in range(2):
+                lo = 100 * (1 + 2 * i + j)
+                cat.commit(
+                    spark.range(lo, lo + 10).select(F.col("id").alias("v")),
+                    "t",
+                    mode="append",
+                )
+        except Exception as e:  # pragma: no cover
+            with lock:
+                errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert cat.snapshots("t") == list(range(1, 10))  # 1 seed + 8 appends
+    got = sorted(r.v for r in cat.read(spark, "t").collect())
+    want = sorted(
+        list(range(10))
+        + [v for i in range(4) for j in range(2)
+           for v in range(100 * (1 + 2 * i + j), 100 * (1 + 2 * i + j) + 10)]
+    )
+    assert got == want
+
+
+def test_commit_conflict_and_roll_forward(spark, tmp_path):
+    """A manifest that exists without a current flip (winner crashed
+    mid-commit) blocks its id: row-level rewrites raise CommitConflictError
+    (stale plan), while commit() rolls the flip forward and lands after it —
+    including the crashed winner's (durable, hence committed) files."""
+    import pytest as _pytest
+
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import (
+        CommitConflictError,
+        TableCatalog,
+    )
+
+    cat = TableCatalog(tmp_path)
+    s1 = cat.commit(spark.range(5).select(F.col("id").alias("v")), "t", stats_for=["v"])
+    # simulate a concurrent winner that linked manifest 2 but died pre-flip
+    man2 = dict(cat.manifest("t", s1))
+    man2.update(snapshot_id=2, parent=1)
+    cat._manifest_path("t", 2).write_text(__import__("json").dumps(man2))
+    assert cat.current_snapshot("t") == 1  # flip never happened
+
+    # a COW rewrite planned against snapshot 1 must refuse (stale plan)
+    with _pytest.raises(CommitConflictError):
+        cat.delete_range(spark, "t", "v", 0, 1)
+
+    # but a plain append recovers: roll forward, then commit as snapshot 3
+    s3 = cat.commit(spark.range(100, 103).select(F.col("id").alias("v")), "t", mode="append")
+    assert s3 == 3
+    assert cat.current_snapshot("t") == 3
+    # the crashed winner's manifest was durable -> its files are the parent
+    assert cat.read(spark, "t").count() == 5 + 3
+    # and the rewrite succeeds when re-planned against the fresh snapshot
+    cat.delete_range(spark, "t", "v", 0, 1)
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == [2, 3, 4, 100, 101, 102]
