@@ -228,6 +228,7 @@ class TableCatalog:
         mode: str = "append",
         stats_for: list[str] | None = None,
         extra: dict | None = None,
+        require_parent: int | None = None,
     ) -> int:
         """Write df as a new snapshot; returns the snapshot id.
 
@@ -235,6 +236,12 @@ class TableCatalog:
         fresh. The commit point is the atomic rename of the ``current``
         pointer — a crash before that leaves the table at the old snapshot
         with only unreachable orphan files (cleaned by expire).
+
+        ``require_parent``: commit only on top of exactly this snapshot —
+        raise :class:`CommitConflictError` (NO retry) if another writer got
+        there first. Used by operations whose df was PLANNED from a specific
+        snapshot (compaction): a retried overwrite would silently discard
+        the concurrent commit's rows.
         """
         files = self._write_snapshot(
             df, table, f"w-{uuid.uuid4().hex[:12]}", partition_by, stats_for
@@ -247,6 +254,11 @@ class TableCatalog:
         last: CommitConflictError | None = None
         for _ in range(6):
             parent = self.current_snapshot(table)
+            if require_parent is not None and parent != require_parent:
+                raise CommitConflictError(
+                    f"{table}: planned against snapshot {require_parent}, "
+                    f"but current is {parent} — re-plan required"
+                )
             snap = (parent or 0) + 1
             prev_files = []
             if mode == "append" and parent is not None:
@@ -363,7 +375,10 @@ class TableCatalog:
         (Iceberg's rewrite_data_files): readers are never blocked (the commit
         point is still the atomic ``current`` rename), prior snapshots stay
         time-travelable until ``expire``. Partition spec and stats columns
-        are carried over from the current manifest."""
+        are carried over from the current manifest. A concurrent commit
+        raises :class:`CommitConflictError` (the rewrite plan is stale —
+        a retried overwrite would silently drop the concurrent rows);
+        compaction is a maintenance job, so the caller just re-runs it."""
         man = self.manifest(table)
         sizes = [
             (self._tdir(table) / f["path"]).stat().st_size for f in man["files"]
@@ -381,6 +396,7 @@ class TableCatalog:
             partition_by=spec or None,
             mode="overwrite",
             stats_for=stats_cols or None,
+            require_parent=man["snapshot_id"],
         )
 
     # -- row-level changes (copy-on-write) ------------------------------------

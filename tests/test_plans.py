@@ -436,3 +436,42 @@ def test_commit_conflict_and_roll_forward(spark, tmp_path):
     # and the rewrite succeeds when re-planned against the fresh snapshot
     cat.delete_range(spark, "t", "v", 0, 1)
     assert sorted(r.v for r in cat.read(spark, "t").collect()) == [2, 3, 4, 100, 101, 102]
+
+
+def test_compact_refuses_stale_plan(spark, tmp_path):
+    """compact() planned its rewrite against snapshot S; if another writer
+    commits first, the overwrite must CONFLICT, not silently drop the
+    concurrent rows (require_parent validation)."""
+    import pytest as _pytest
+
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import (
+        CommitConflictError,
+        TableCatalog,
+    )
+
+    cat = TableCatalog(tmp_path)
+    cat.commit(spark.range(100).select(F.col("id").alias("v")).repartition(8), "t")
+    orig_manifest = cat.manifest
+
+    def manifest_then_race(table, snap=None):
+        man = orig_manifest(table, snap)
+        if snap is None and not getattr(manifest_then_race, "raced", False):
+            manifest_then_race.raced = True
+            cat.commit(  # concurrent append lands mid-compaction
+                spark.range(500, 510).select(F.col("id").alias("v")),
+                table,
+                mode="append",
+            )
+        return man
+
+    cat.manifest = manifest_then_race
+    try:
+        with _pytest.raises(CommitConflictError):
+            cat.compact(spark, "t", target_file_bytes=1 << 30)
+    finally:
+        cat.manifest = orig_manifest
+    # nothing lost: the concurrent append's rows are all present
+    assert cat.read(spark, "t").count() == 110
+    # re-run against the fresh snapshot succeeds and keeps every row
+    cat.compact(spark, "t", target_file_bytes=1 << 30)
+    assert cat.read(spark, "t").count() == 110
