@@ -109,6 +109,12 @@ def _file_column_stats(path: Path, cols: list[str]) -> dict:
     return out
 
 
+def _file_row_count(path: Path) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(str(path)).metadata.num_rows
+
+
 class TableCatalog:
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -173,6 +179,7 @@ class TableCatalog:
                     k, v = seg.split("=", 1)
                     parts[k] = v
             rec = {"path": str(rel), "partition": parts}
+            rec["rows"] = _file_row_count(f)  # footer-only, no data scan
             if stats_for:
                 rec["stats"] = _file_column_stats(f, stats_for)
             files.append(rec)
@@ -573,3 +580,85 @@ class TableCatalog:
                         p.unlink()
             self._manifest_path(table, s).unlink()
         return drop
+
+    def remove_orphans(self, table: str) -> list[str]:
+        """Delete data files referenced by NO retained manifest — the debris
+        of crashed or conflict-losing writers, whose write-unique ``w-…``
+        dirs were fully written but never won a metadata commit (Iceberg's
+        ``remove_orphan_files``). Snapshot-referenced data is never touched,
+        so this is safe to run alongside readers; run it after ``expire`` as
+        the second half of the standing maintenance pair."""
+        live = set()
+        for s in self.snapshots(table):
+            live.update(f["path"] for f in self.manifest(table, s)["files"])
+        removed = []
+        droot = self._tdir(table) / "data"
+        if droot.exists():
+            for p in droot.rglob("*.parquet"):
+                rel = str(p.relative_to(self._tdir(table)))
+                if rel not in live:
+                    p.unlink()
+                    removed.append(rel)
+        return removed
+
+    # -- consumption helpers ---------------------------------------------------
+    def row_count(self, table: str, snapshot: int | None = None) -> int:
+        """Exact ``count(*)`` from manifest metadata alone — zero data IO
+        (every snapshot-producing path records per-file footer row counts).
+        At 100 TB this is the difference between a catalog lookup and a
+        full-table scan job."""
+        return sum(f["rows"] for f in self.manifest(table, snapshot)["files"])
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Incremental (CDC-append) scan: exactly the rows ADDED after
+        ``from_snapshot`` up to ``to_snapshot`` (default current) — the
+        Iceberg incremental read that lets a downstream job consume a table
+        in snapshot-sized increments without reprocessing. Every snapshot in
+        the range must be an append (streaming ingest's shape); an
+        overwrite/delete/merge/rollback boundary raises ``ValueError`` —
+        rewritten history has no well-defined row-level delta here, so the
+        consumer must fall back to a full recompute (same contract as
+        Iceberg's ``incremental read`` on non-append snapshots)."""
+        to_snapshot = (
+            to_snapshot if to_snapshot is not None else self.current_snapshot(table)
+        )
+        if to_snapshot is None or to_snapshot < from_snapshot:
+            raise ValueError(f"invalid snapshot range {from_snapshot}..{to_snapshot}")
+        for s in range(from_snapshot + 1, to_snapshot + 1):
+            mode = self.manifest(table, s)["mode"]
+            if mode != "append":
+                raise ValueError(
+                    f"snapshot {s} is '{mode}', not append — no incremental "
+                    "delta; re-read the full table"
+                )
+        man_to = self.manifest(table, to_snapshot)
+        base = {f["path"] for f in self.manifest(table, from_snapshot)["files"]}
+        added = [f for f in man_to["files"] if f["path"] not in base]
+        return self._scan(spark, table, added, man_to["schema"])
+
+    def rollback(self, table: str, snapshot: int) -> int:
+        """Restore the table to an earlier snapshot's state by committing a
+        NEW snapshot that references that snapshot's exact files (metadata
+        only, no data IO; history is preserved — ``current`` still only
+        moves forward, so concurrent commits keep their ordering
+        guarantees)."""
+        target = self.manifest(table, snapshot)
+        cur = self.manifest(table)
+        return self._commit_manifest(
+            table,
+            {
+                "snapshot_id": cur["snapshot_id"] + 1,
+                "parent": cur["snapshot_id"],
+                "mode": "rollback",
+                "rolled_back_to": snapshot,
+                "partition_spec": target["partition_spec"],
+                "schema": target["schema"],
+                "files": target["files"],
+            },
+        )

@@ -475,3 +475,51 @@ def test_compact_refuses_stale_plan(spark, tmp_path):
     # re-run against the fresh snapshot succeeds and keeps every row
     cat.compact(spark, "t", target_file_bytes=1 << 30)
     assert cat.read(spark, "t").count() == 110
+
+
+def test_row_count_metadata_only_and_read_changes(spark, tmp_path):
+    """row_count: exact count(*) from manifest footer metadata (no scan);
+    read_changes: exactly the rows appended in (from, to], refusing
+    rewritten history."""
+    import pytest as _pytest
+
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import TableCatalog
+
+    cat = TableCatalog(tmp_path)
+    s1 = cat.commit(spark.range(10).select(F.col("id").alias("v")), "t")
+    s2 = cat.commit(spark.range(100, 105).select(F.col("id").alias("v")), "t", mode="append")
+    s3 = cat.commit(spark.range(200, 202).select(F.col("id").alias("v")), "t", mode="append")
+    assert cat.row_count("t") == 17
+    assert cat.row_count("t", s1) == 10
+    got = sorted(r.v for r in cat.read_changes(spark, "t", s1).collect())
+    assert got == [100, 101, 102, 103, 104, 200, 201]
+    assert sorted(r.v for r in cat.read_changes(spark, "t", s2, s3).collect()) == [200, 201]
+    assert cat.read_changes(spark, "t", s3).count() == 0
+    cat.delete_range(spark, "t", "v", 0, 0)  # rewrite boundary
+    with _pytest.raises(ValueError, match="not append"):
+        cat.read_changes(spark, "t", s2)
+
+
+def test_rollback_and_remove_orphans(spark, tmp_path):
+    """rollback restores an earlier snapshot's files as a NEW snapshot
+    (history preserved); remove_orphans deletes only data referenced by no
+    retained manifest (crashed/losing writers' debris)."""
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import TableCatalog
+
+    cat = TableCatalog(tmp_path)
+    s1 = cat.commit(spark.range(8).select(F.col("id").alias("v")), "t")
+    cat.commit(spark.range(100, 103).select(F.col("id").alias("v")), "t", mode="append")
+    s3 = cat.rollback("t", s1)
+    assert cat.manifest("t", s3)["mode"] == "rollback"
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == list(range(8))
+    assert cat.read(spark, "t", snapshot=s3 - 1).count() == 11  # history intact
+
+    # a writer that wrote data but never won a metadata commit
+    cat._write_snapshot(
+        spark.range(999).select(F.col("id").alias("v")), "t", "w-orphan", None, None
+    )
+    removed = cat.remove_orphans("t")
+    assert removed and all(r.startswith("data/w-orphan") for r in removed)
+    assert cat.row_count("t") == 8  # live data untouched
+    assert cat.read(spark, "t").count() == 8
+    assert cat.remove_orphans("t") == []  # idempotent
