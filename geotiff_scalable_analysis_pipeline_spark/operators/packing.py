@@ -71,9 +71,13 @@ def prefix_offsets(
             )
             run += int(counts.sum())
 
+    # order_col keeps its source type (string doc ids, dates, int32 — the
+    # docstring requires only uniqueness); hardcoding long here would make
+    # Arrow fail the cast at runtime for any non-bigint id column
+    order_dt = df.schema[order_col].dataType.simpleString()
     scanned = narrow.mapInPandas(
         local_scan,
-        f"{order_col} long, {count_col} long, _pid int, _local_before long",
+        f"`{order_col}` {order_dt}, `{count_col}` long, _pid int, _local_before long",
     )
     # materialize the scan once — the totals aggregate and the final join
     # both consume it. Eager localCheckpoint, not persist(): no SQL-cache

@@ -115,6 +115,22 @@ def _file_row_count(path: Path) -> int:
     return pq.ParquetFile(str(path)).metadata.num_rows
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_partition(v: str | None) -> str | None:
+    """Decode a Hive-escaped partition path value back to the writer's
+    string form: ``%XX`` percent-sequences (Spark's ``escapePathName``) and
+    the ``__HIVE_DEFAULT_PARTITION__`` sentinel, which stands for BOTH null
+    and the empty string (→ ``None`` here; the matching side maps '' the
+    same way)."""
+    if v is None or v == _HIVE_NULL:
+        return None
+    from urllib.parse import unquote
+
+    return unquote(v)
+
+
 class TableCatalog:
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -193,6 +209,27 @@ class TableCatalog:
         go backwards: a writer can only win snapshot N+1 after observing
         current = N, i.e. after the previous winner's flip completed."""
         snap = man["snapshot_id"]
+        # Propagate the streaming high-water mark from the parent so the
+        # CURRENT manifest always carries it: without this, expire() could
+        # drop the ancestor manifest holding the newest stream_batch_id and
+        # a replayed epoch (crash between catalog commit and checkpoint
+        # commit) would be re-committed — duplicate rows. max() because a
+        # rollback restores old FILES but must not forget committed epochs.
+        if "stream_high_water" not in man:
+            hw = man.get("stream_batch_id", -1)
+            parent = man.get("parent")
+            if parent is not None:
+                try:
+                    pman = json.loads(
+                        self._manifest_path(table, parent).read_text()
+                    )
+                    hw = max(hw, pman.get(
+                        "stream_high_water", pman.get("stream_batch_id", -1)
+                    ))
+                except FileNotFoundError:
+                    pass  # pre-propagation history; walk fallback in readers
+            if hw >= 0:
+                man["stream_high_water"] = hw
         mpath = self._manifest_path(table, snap)
         mpath.parent.mkdir(parents=True, exist_ok=True)
         tmp = mpath.with_suffix(f".tmp-{uuid.uuid4().hex}")
@@ -250,6 +287,17 @@ class TableCatalog:
         snapshot (compaction): a retried overwrite would silently discard
         the concurrent commit's rows.
         """
+        if require_parent is not None:
+            # fast-fail BEFORE the data write: a stale compaction plan must
+            # not pay a full table rewrite (hours at 100 TB) only to lose
+            # the metadata race it could already see it had lost. The loop
+            # below re-checks authoritatively after the write.
+            cur = self.current_snapshot(table)
+            if cur != require_parent:
+                raise CommitConflictError(
+                    f"{table}: planned against snapshot {require_parent}, "
+                    f"but current is {cur} — re-plan required"
+                )
         files = self._write_snapshot(
             df, table, f"w-{uuid.uuid4().hex[:12]}", partition_by, stats_for
         )
@@ -487,7 +535,12 @@ class TableCatalog:
             (untouched if disjoint else rewrite).append(f)
         if not rewrite:
             return man["snapshot_id"]  # nothing can match — no-op
-        new_data = self._scan(spark, table, rewrite, man["schema"]).filter(~cond)
+        # SQL DELETE semantics: remove rows where the predicate is TRUE; a
+        # NULL predicate KEEPS the row. Bare ~cond would drop NULL rows
+        # (filter keeps only TRUE), silently deleting rows that never
+        # matched — e.g. every NULL-valued row in a rewritten file.
+        keep = ~F.coalesce(cond, F.lit(False))
+        new_data = self._scan(spark, table, rewrite, man["schema"]).filter(keep)
         return self._commit_rewrite(
             spark, table, man, untouched, new_data, "delete",
             extra={"rewritten_files": len(rewrite)},
@@ -520,7 +573,11 @@ class TableCatalog:
         new_data = None
         if rewrite:
             cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-            new_data = self._scan(spark, table, rewrite, man["schema"]).filter(~cond)
+            # NULL col never matches a range DELETE — keep those rows
+            # (coalesce: ~NULL is NULL and filter would drop it)
+            new_data = self._scan(spark, table, rewrite, man["schema"]).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
         return self._commit_rewrite(
             spark, table, man, untouched, new_data, "delete",
             extra={"rewritten_files": len(rewrite), "dropped_files": len(dropped)},
@@ -543,14 +600,29 @@ class TableCatalog:
         schema = StructType.fromJson(json.loads(man["schema"]))
         src = source.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         if spec and set(spec) <= set(keys):
+            # Match touched partitions in the VALUE domain Spark's writer
+            # uses: source values via Spark's own cast-to-string (the exact
+            # conversion dynamic-partition paths apply before escaping; a
+            # Python str() would diverge for bools/floats/timestamps),
+            # manifest strings percent-UNescaped (paths Hive-escape ':',
+            # ' ', '%', …). A mismatch here is silent duplicate-key
+            # corruption: the matched file would be carried "untouched"
+            # while the new row is still inserted. NULL and '' both write
+            # __HIVE_DEFAULT_PARTITION__ (Hive semantics) — both map to
+            # None on each side.
             touched = {
-                tuple(str(r[c]) for c in spec)
-                for r in src.select(*spec).distinct().collect()
+                tuple(r[c] if r[c] not in (None, "") else None for c in spec)
+                for r in src.select(
+                    *[F.col(c).cast("string").alias(c) for c in spec]
+                ).distinct().collect()
             }
             affected = [
                 f
                 for f in man["files"]
-                if tuple(f["partition"].get(c) for c in spec) in touched
+                if tuple(
+                    _unescape_partition(f["partition"].get(c)) for c in spec
+                )
+                in touched
             ]
             aff_paths = {f["path"] for f in affected}
             untouched = [f for f in man["files"] if f["path"] not in aff_paths]
@@ -581,13 +653,25 @@ class TableCatalog:
             self._manifest_path(table, s).unlink()
         return drop
 
-    def remove_orphans(self, table: str) -> list[str]:
+    def remove_orphans(
+        self, table: str, *, older_than_s: float = 6 * 3600.0
+    ) -> list[str]:
         """Delete data files referenced by NO retained manifest — the debris
         of crashed or conflict-losing writers, whose write-unique ``w-…``
         dirs were fully written but never won a metadata commit (Iceberg's
-        ``remove_orphan_files``). Snapshot-referenced data is never touched,
-        so this is safe to run alongside readers; run it after ``expire`` as
+        ``remove_orphan_files``). Snapshot-referenced data is never touched.
+
+        ``older_than_s`` is the safety against IN-FLIGHT commits (the same
+        reason Iceberg's action requires an older-than threshold): a writer
+        that has finished its data write but not yet linked its manifest is
+        indistinguishable from a crashed one — deleting its files would
+        corrupt the snapshot it is about to commit. Only files whose mtime
+        predates now − older_than_s are removed; size the threshold above
+        the longest plausible write→commit window. Run after ``expire`` as
         the second half of the standing maintenance pair."""
+        import time
+
+        cutoff = time.time() - older_than_s
         live = set()
         for s in self.snapshots(table):
             live.update(f["path"] for f in self.manifest(table, s)["files"])
@@ -596,7 +680,7 @@ class TableCatalog:
         if droot.exists():
             for p in droot.rglob("*.parquet"):
                 rel = str(p.relative_to(self._tdir(table)))
-                if rel not in live:
+                if rel not in live and p.stat().st_mtime < cutoff:
                     p.unlink()
                     removed.append(rel)
         return removed

@@ -36,6 +36,29 @@ from pyspark.sql import DataFrame, SparkSession
 _D = "decimal(30, 10)"  # matches queries_relational._D (exact event sums)
 
 
+def _stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """File-source ``readStream`` over one parquet table.
+
+    The file source needs an explicit schema; pin it from the batch reader
+    (one driver-side footer read — no data scan). The file stream source
+    also requires a directory (or glob) — a bare file path is rejected as
+    basePath — so glob-wrap the last character: the parent directory
+    becomes the base and exactly this table matches."""
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    path = f"{sf_dir}/{glob}"
+    if "*" not in glob and "[" not in glob:
+        path = f"{sf_dir}/{glob[:-1]}[{glob[-1]}]"
+    return reader.parquet(path)
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
@@ -43,21 +66,8 @@ def stream_events(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source ``readStream`` over the events table.
-
-    The file source needs an explicit schema; pin it from the batch reader
-    (one driver-side footer read — no data scan)."""
-    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # The file stream source requires a directory (or glob) — a bare file
-    # path is rejected as basePath. Glob-wrap the last character so the
-    # parent directory becomes the base and exactly this table matches.
-    path = f"{sf_dir}/{glob}"
-    if "*" not in glob and "[" not in glob:
-        path = f"{sf_dir}/{glob[:-1]}[{glob[-1]}]"
-    return reader.parquet(path)
+    """File-source ``readStream`` over the events table."""
+    return _stream_table(spark, sf_dir, glob, max_files_per_trigger)
 
 
 def hourly_windowed_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -134,16 +144,8 @@ def stream_documents(
     glob: str = "documents.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source ``readStream`` over the documents table (same schema-pin +
-    glob-wrap mechanics as :func:`stream_events`)."""
-    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    path = f"{sf_dir}/{glob}"
-    if "*" not in glob and "[" not in glob:
-        path = f"{sf_dir}/{glob[:-1]}[{glob[-1]}]"
-    return reader.parquet(path)
+    """File-source ``readStream`` over the documents table."""
+    return _stream_table(spark, sf_dir, glob, max_files_per_trigger)
 
 
 def streaming_dedup_exact(
@@ -225,14 +227,20 @@ def stream_to_catalog(
     :func:`incremental_parquet_ingest`."""
 
     def _last_stream_batch() -> int:
-        # walk the parent chain: a maintenance commit (compact) between
-        # stream batches must not erase the epoch marker
+        # The catalog propagates ``stream_high_water`` into EVERY manifest
+        # (max of parent's mark and the commit's own stream_batch_id), so
+        # the current manifest alone answers this — expire() dropping the
+        # ancestor that carried the newest stream_batch_id cannot reset the
+        # guard to -1 and re-admit a replayed epoch. The parent-chain walk
+        # remains only as a fallback for tables written before propagation.
         snap = catalog.current_snapshot(table)
         while snap is not None:
             try:
                 man = catalog.manifest(table, snap)
             except FileNotFoundError:
-                break  # expired ancestor — nothing older can outrank us
+                break  # pre-propagation history expired — best effort
+            if "stream_high_water" in man:
+                return man["stream_high_water"]
             if "stream_batch_id" in man:
                 return man["stream_batch_id"]
             snap = man.get("parent")

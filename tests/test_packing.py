@@ -67,3 +67,19 @@ def test_pack_total_conservation(spark):
     last = out.orderBy(F.desc("doc_id")).first()
     total = df.agg(F.sum("n")).first()[0]
     assert last.start_off + last.n == total
+
+
+def test_prefix_offsets_non_bigint_order_col(spark):
+    """The order column keeps its source type — string doc ids are the
+    common corpus shape (regression: the mapInPandas schema hardcoded
+    'long', so any non-bigint id crashed the Arrow cast at runtime)."""
+    df = spark.range(200).select(
+        F.format_string("doc-%04d", F.col("id")).alias("doc_id"),
+        (F.pmod(F.col("id") * 13, F.lit(9))).alias("n_tokens"),
+    )
+    got = prefix_offsets(df, "doc_id", "n_tokens", n_partitions=4)
+    exp = _naive_offsets(df, "doc_id", "n_tokens")
+    assert got.schema["doc_id"].dataType.simpleString() == "string"
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    packed = pack_sequences(df, "doc_id", "n_tokens", 64)
+    assert packed.count() == 200

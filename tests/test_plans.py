@@ -518,8 +518,103 @@ def test_rollback_and_remove_orphans(spark, tmp_path):
     cat._write_snapshot(
         spark.range(999).select(F.col("id").alias("v")), "t", "w-orphan", None, None
     )
-    removed = cat.remove_orphans("t")
+    # default grace period protects an IN-FLIGHT writer's fresh files
+    # (written-but-not-yet-committed is indistinguishable from crashed)
+    assert cat.remove_orphans("t") == []
+    removed = cat.remove_orphans("t", older_than_s=-1.0)  # force-expire for test
     assert removed and all(r.startswith("data/w-orphan") for r in removed)
     assert cat.row_count("t") == 8  # live data untouched
     assert cat.read(spark, "t").count() == 8
-    assert cat.remove_orphans("t") == []  # idempotent
+    assert cat.remove_orphans("t", older_than_s=-1.0) == []  # idempotent
+
+
+def test_delete_null_predicate_keeps_null_rows(spark, tmp_path):
+    """SQL DELETE semantics: only rows where the predicate is TRUE are
+    removed — a NULL-evaluating predicate (NULL column value) KEEPS the row.
+    Regression: filter(~cond) silently deleted every NULL-valued row in a
+    rewritten file (~NULL is NULL, and filter drops NULL)."""
+    cat = TableCatalog(tmp_path)
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 150), (4, None), (5, 500)], "k int, v int"
+    )
+    cat.commit(df.coalesce(1), "t", stats_for=["v"])
+    cat.delete_range(spark, "t", "v", 100, 200)
+    got = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
+    assert got == {(1, 10), (2, None), (4, None), (5, 500)}
+    cat.delete_where(spark, "t", "v >= 500")
+    got = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
+    assert got == {(1, 10), (2, None), (4, None)}
+
+
+def test_merge_upsert_escaped_partition_values(spark, tmp_path):
+    """Partition values that Hive-escape in paths (spaces, colons, '%') must
+    still classify their files as touched: matched rows are REPLACED, never
+    duplicated. Regression: str(value) was compared against the ESCAPED path
+    string ('a%b' vs 'a%25b'), so the file was carried 'untouched' while the
+    source row was inserted anyway — silent duplicate keys."""
+    import datetime
+
+    cat = TableCatalog(tmp_path)
+    df = spark.createDataFrame(
+        [("with space", 1, 0), ("a%b:c", 2, 0), ("plain", 3, 0)],
+        "p string, k int, val int",
+    )
+    s1 = cat.commit(df, "t", partition_by=["p"])
+    src = spark.createDataFrame(
+        [("with space", 1, 99), ("a%b:c", 2, 99)], "p string, k int, val int"
+    )
+    s2 = cat.merge_upsert(spark, "t", src, keys=["p", "k"])
+    cur = cat.read(spark, "t").collect()
+    assert len(cur) == 3  # replaced, NOT duplicated
+    vals = {(r.p, r.k): r.val for r in cur}
+    assert vals[("with space", 1)] == 99
+    assert vals[("a%b:c", 2)] == 99
+    assert vals[("plain", 3)] == 0
+    # the untouched partition is carried by reference, the touched ones not
+    old = {f["path"]: f["partition"]["p"] for f in cat.manifest("t", s1)["files"]}
+    new_paths = {f["path"] for f in cat.manifest("t", s2)["files"]}
+    assert {p for p, pv in old.items() if pv == "plain"} <= new_paths
+    assert not {p for p, pv in old.items() if pv != "plain"} & new_paths
+
+    # typed partitions whose cast-to-string differs from Python str():
+    # timestamps (path form '2024-01-01 00%3A00%3A00')
+    tdf = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 1, 1, 0, 0, 0), 1, 0),
+            (datetime.datetime(2024, 1, 2, 12, 30, 0), 2, 0),
+        ],
+        "ts timestamp, k int, val int",
+    )
+    cat.commit(tdf, "t2", partition_by=["ts"])
+    src2 = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 0), 1, 99)],
+        "ts timestamp, k int, val int",
+    )
+    s4 = cat.merge_upsert(spark, "t2", src2, keys=["ts", "k"])
+    cur2 = {(r.k, r.val) for r in cat.read(spark, "t2").collect()}
+    assert cur2 == {(1, 99), (2, 0)}
+    assert cat.manifest("t2", s4)["rewritten_files"] == 1  # day-2 untouched
+
+
+def test_commit_stale_require_parent_fails_before_write(spark, tmp_path):
+    """A commit whose require_parent is ALREADY stale fails fast without
+    paying the data write (at 100 TB a stale compaction otherwise rewrites
+    the whole table only to lose the metadata race it could see it had
+    lost)."""
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import (
+        CommitConflictError,
+    )
+
+    cat = TableCatalog(tmp_path)
+    s1 = cat.commit(spark.range(5).select(F.col("id").alias("v")), "t")
+    cat.commit(spark.range(5, 8).select(F.col("id").alias("v")), "t")
+    droot = tmp_path / "t" / "data"
+    n_before = len(list(droot.rglob("*.parquet")))
+    with pytest.raises(CommitConflictError, match="re-plan"):
+        cat.commit(
+            spark.range(3).select(F.col("id").alias("v")),
+            "t",
+            mode="overwrite",
+            require_parent=s1,
+        )
+    assert len(list(droot.rglob("*.parquet"))) == n_before  # no write paid

@@ -404,6 +404,15 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
     # own manifest) must not erase the epoch marker for the replay guard
     cat.compact(spark, "ev", target_file_bytes=1 << 30)
     assert "stream_batch_id" not in cat.manifest("ev")
+    # the high-water mark is propagated onto EVERY descendant manifest
+    assert cat.manifest("ev")["stream_high_water"] == 1
+
+    # expire the ancestor manifests that carried the stream_batch_id: the
+    # replay guard must still hold (regression: the parent-chain walk hit
+    # the expired manifest, returned -1, and re-committed replayed epochs
+    # -> duplicate rows)
+    cat.expire("ev", keep_last=1)
+    assert cat.snapshots("ev") == [cat.current_snapshot("ev")]
 
     # replay: fresh checkpoint re-delivers batches 0..1 -> both skipped
     run(str(tmp_path / "ckpt2"))
