@@ -1009,8 +1009,203 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) <
        ELSE '{STRATA_DEFAULT}' END"""
 
 
+# ---------------------------------------------------------------------------
+# repetition filter / grouped exact percentiles / composite cleaning pipeline
+# ---------------------------------------------------------------------------
+
+
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-filter signals (Rae et al. 2021, appendix
+    A1.1 — public): per document, the fraction of n-gram occurrences that
+    are duplicates and the most-frequent n-gram's count, for n ∈ {2, 3}.
+    This corpus has no line structure (single-line docs), so the n-gram
+    family carries the whole repetition signal.
+
+    Scale shape: the lead() windows partition BY DOCUMENT (state bounded by
+    doc length, never by corpus), the n-gram counts are hash aggregates on
+    (doc_id, gram), and the final per-doc rollup is a second map-combined
+    aggregate — no global sort, no corpus-wide window. Counts are integers;
+    each fraction is one exact-operand double division."""
+    toks = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = toks.select(
+        "doc_id",
+        F.col("token").alias("t0"),
+        F.lead("token", 1).over(w).alias("t1"),
+        F.lead("token", 2).over(w).alias("t2"),
+    )
+    bg = g.filter(F.col("t1").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "t0", "t1").alias("gram")
+    )
+    tg = g.filter(F.col("t2").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "t0", "t1", "t2").alias("gram")
+    )
+
+    def _stats(grams: DataFrame, n: str) -> DataFrame:
+        c = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        return c.groupBy("doc_id").agg(
+            F.sum("c").alias(f"n{n}"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                f"dup{n}"
+            ),
+            F.max("c").alias(f"top{n}"),
+        )
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    out = base.join(_stats(bg, "2"), "doc_id", "left").join(
+        _stats(tg, "3"), "doc_id", "left"
+    )
+    cols = ["doc_id"]
+    for n in ("2", "3"):
+        nn = F.coalesce(F.col(f"n{n}"), F.lit(0).cast("long"))
+        dd = F.coalesce(F.col(f"dup{n}"), F.lit(0).cast("long"))
+        cols += [
+            nn.alias(f"n{n}"),
+            dd.alias(f"dup{n}"),
+            F.coalesce(F.col(f"top{n}"), F.lit(0).cast("long")).alias(f"top{n}"),
+            (dd.cast("double") / F.greatest(nn, F.lit(1)).cast("double")).alias(
+                f"dup{n}_frac"
+            ),
+        ]
+    return out.select(*cols)
+
+
+SQL_DOC_REPETITION = f"""
+WITH {_TOKENS_CTE},
+g AS (
+  SELECT doc_id, token AS t0,
+         lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM tokens),
+bgc AS (SELECT doc_id, t0 || ' ' || t1 AS gram, count(*) AS c
+        FROM g WHERE t1 IS NOT NULL GROUP BY 1, 2),
+tgc AS (SELECT doc_id, t0 || ' ' || t1 || ' ' || t2 AS gram, count(*) AS c
+        FROM g WHERE t2 IS NOT NULL GROUP BY 1, 2),
+bgs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2,
+               max(c) AS top2 FROM bgc GROUP BY doc_id),
+tgs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+               max(c) AS top3 FROM tgc GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(n2, 0) AS n2, coalesce(dup2, 0) AS dup2, coalesce(top2, 0) AS top2,
+  CAST(coalesce(dup2, 0) AS DOUBLE) / CAST(greatest(coalesce(n2, 0), 1) AS DOUBLE) AS dup2_frac,
+  coalesce(n3, 0) AS n3, coalesce(dup3, 0) AS dup3, coalesce(top3, 0) AS top3,
+  CAST(coalesce(dup3, 0) AS DOUBLE) / CAST(greatest(coalesce(n3, 0), 1) AS DOUBLE) AS dup3_frac
+FROM documents d LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)"""
+
+
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language p25/p50/p90 of document length, at UNBOUNDED group
+    size: the value-histogram method. A sort- or collect-based grouped
+    percentile puts a whole language (33 TB of a 100 TB corpus) in one
+    partition; here the only window runs over each language's DISTINCT
+    values (cardinality-bounded — thousands of rows however big the corpus),
+    after a map-combined (lang, value) count. Selection rule: smallest value
+    whose cumulative count reaches ceil(q·n) — discrete percentiles, integer
+    outputs, so both engines agree exactly."""
+    d = _docs(spark, sf_dir).select("lang", F.col("n_chars").alias("v"))
+    c = d.groupBy("lang", "v").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = c.withColumn("cum", F.sum("c").over(w)).join(
+        c.groupBy("lang").agg(F.sum("c").alias("n")), "lang"
+    )
+
+    def pick(q: float, name: str):
+        tgt = F.ceil(F.lit(q) * F.col("n"))
+        return F.min(F.when(F.col("cum") >= tgt, F.col("v"))).alias(name)
+
+    return j.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        pick(0.25, "p25"),
+        pick(0.5, "p50"),
+        pick(0.9, "p90"),
+    )
+
+
+SQL_QUALITY_PERCENTILES = """
+WITH c AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+cum AS (SELECT lang, v, c,
+               CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum
+        FROM c),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY lang)
+SELECT lang, max(n) AS n_docs,
+  min(CASE WHEN cum >= ceil(0.25 * n) THEN v END) AS p25,
+  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+  min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90
+FROM cum JOIN tot USING (lang)
+GROUP BY lang"""
+
+
+# composite cleaning-pipeline thresholds (shared by Spark and the oracle)
+FILTER_MIN_TOKENS, FILTER_MAX_TOKENS = 25, 90
+FILTER_MIN_STOPWORD_RATIO = 0.03
+
+
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite corpus-cleaning pass a training pipeline runs
+    end-to-end: length filter → quality (stopword-ratio) filter → exact-dup
+    drop (keep the min doc_id of each duplicate group), with per-language
+    drop ATTRIBUTION in that priority order. One narrow projection computes
+    every signal; the dup side is the same hash-groupBy as ``dedup_exact``
+    joined back broadcast-style on the md5 — no sort, two shuffles total
+    (md5 groupBy + final lang rollup). Counts are integers → exact pair."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    swr = F.size(F.filter(toks, lambda t: t.isin(*STOP_EN))).cast(
+        "double"
+    ) / F.greatest(n_tok, F.lit(1)).cast("double")
+    sig = d.select(
+        "doc_id", "lang", F.md5("text").alias("h"),
+        n_tok.alias("n_tok"), swr.alias("swr"),
+    )
+    keepers = sig.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    j = sig.join(keepers, "h")
+    verdict = (
+        F.when(
+            (F.col("n_tok") < FILTER_MIN_TOKENS)
+            | (F.col("n_tok") > FILTER_MAX_TOKENS),
+            "drop_length",
+        )
+        .when(F.col("swr") < FILTER_MIN_STOPWORD_RATIO, "drop_quality")
+        .when(F.col("doc_id") != F.col("keep_id"), "drop_duplicate")
+        .otherwise("keep")
+    )
+    return (
+        j.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_CORPUS_FILTER = f"""
+WITH sig AS (
+  SELECT doc_id, lang, md5(text) AS h,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_LIST}))) AS DOUBLE)
+           / CAST(greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS DOUBLE) AS swr
+  FROM documents),
+keepers AS (SELECT h, min(doc_id) AS keep_id FROM sig GROUP BY h)
+SELECT lang,
+  CASE WHEN n_tok < {FILTER_MIN_TOKENS} OR n_tok > {FILTER_MAX_TOKENS} THEN 'drop_length'
+       WHEN swr < {FILTER_MIN_STOPWORD_RATIO} THEN 'drop_quality'
+       WHEN doc_id <> keep_id THEN 'drop_duplicate'
+       ELSE 'keep' END AS verdict,
+  count(*) AS n_docs
+FROM sig JOIN keepers USING (h)
+GROUP BY 1, 2"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION),
+    "quality_percentiles": (q_quality_percentiles, SQL_QUALITY_PERCENTILES),
+    "corpus_filter_pipeline": (q_corpus_filter_pipeline, SQL_CORPUS_FILTER),
     "benchmark_decontaminate": (q_benchmark_decontaminate, SQL_DECONTAMINATE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
