@@ -426,8 +426,141 @@ def q_streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_DEDUP_BOUNDED = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+# --- KMV bottom-k distinct sketch + funnel conversion -----------------------
+
+KMV_K = 64
+_M31_SQL = 2147483648  # 2^31 — the rolling-hash modulus (queries_text.M31)
+
+# Portable uniform hash of user_id: char-roll the md5 hex (md5 is identical
+# in Spark and DuckDB; the fold is the engine's standard portable hash). The
+# md5 pre-scramble matters: rolling the raw decimal digits would map
+# consecutive ids to consecutive hash values, wrecking the order statistics
+# a KMV estimator relies on.
+_KMV_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_filter(string_split(md5(CAST(user_id AS VARCHAR)), ''), "
+    "c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a, b) -> (a * 131 + b) % {_M31_SQL})"
+)
+
+
+def _kmv_hash_col():
+    return F.aggregate(
+        F.filter(F.split(F.md5(F.col("user_id").cast("string")), ""), lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 131 + F.ascii(c).cast("long")) % _M31_SQL,
+    )
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch: estimated distinct users per
+    event type from the K smallest hash values — the mergeable cardinality
+    sketch a 100 TB pipeline uses where exact count-distinct would shuffle
+    every key (Bar-Yossef et al. 2002, public). est = (K−1)·2³¹ / h_K; when
+    fewer than K distinct hashes exist the sketch IS the exact answer.
+
+    Deterministic by construction (hash order statistics, no RNG), so the
+    DuckDB oracle computes the identical estimate — an exactness-testable
+    approximation. The exact count-distinct column rides along as the
+    accuracy reference.
+
+    Scale shape: dedup of (type, h) is one map-combined aggregate; bottom-K
+    is two-phase like the heavy-hitters query (per-bucket row_number, then
+    a ≤ 8·K-row final window per type) so no task ever sorts a whole type's
+    distinct-hash set; the exact reference is its own hash aggregate. At
+    production scale the exact column drops and only the sketch runs."""
+    ev = _t(spark, sf_dir, "events")
+    hashes = ev.select("event_type", _kmv_hash_col().alias("h")).distinct()
+    w1 = Window.partitionBy("event_type", F.pmod("h", F.lit(8))).orderBy("h")
+    part = hashes.withColumn("prn", F.row_number().over(w1)).filter(
+        F.col("prn") <= KMV_K
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    bottom = part.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= KMV_K
+    )
+    sk = bottom.groupBy("event_type").agg(
+        F.max("h").alias("kth_hash"), F.count("*").alias("k_found")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_distinct_exact"),
+    )
+    est = F.when(F.col("k_found") < KMV_K, F.col("k_found").cast("double")).otherwise(
+        ((KMV_K - 1) * F.lit(_M31_SQL)).cast("double")
+        / F.col("kth_hash").cast("double")
+    )
+    return exact.join(sk, "event_type").select(
+        "event_type", "n_events", "n_distinct_exact", "kth_hash",
+        est.alias("est_distinct"),
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH h AS (SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS h FROM events),
+bottom AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h),
+sk AS (SELECT event_type, max(h) AS kth_hash, count(*) AS k_found
+       FROM bottom WHERE rn <= {KMV_K} GROUP BY 1),
+exact AS (SELECT event_type, count(*) AS n_events,
+                 count(DISTINCT user_id) AS n_distinct_exact
+          FROM events GROUP BY 1)
+SELECT event_type, n_events, n_distinct_exact, kth_hash,
+  CASE WHEN k_found < {KMV_K} THEN CAST(k_found AS DOUBLE)
+       ELSE CAST({(KMV_K - 1) * _M31_SQL} AS DOUBLE) / CAST(kth_hash AS DOUBLE)
+  END AS est_distinct
+FROM exact JOIN sk USING (event_type)"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: per user, first signup and the first purchase
+    at-or-after it, with the conversion lag (NULL = never converted).
+
+    Scale shape: two map-combined min-aggregates on user_id plus one
+    user_id equi-join — no windows, no sorts; the "first purchase AFTER
+    signup" condition is a post-join filter feeding the second aggregate,
+    so per-user state is two timestamps however many events a hot user
+    has."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    su = F.unix_micros(F.col("signup_ts").cast("timestamp"))
+    pu = F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        su.alias("signup_us"),
+        pu.alias("purchase_us"),
+        (pu - su).alias("lag_us"),
+    )
+
+
+SQL_FUNNEL = """
+WITH s AS (SELECT user_id, min(ts) AS st FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.st GROUP BY 1)
+SELECT user_id, epoch_us(st) AS signup_us, epoch_us(pt) AS purchase_us,
+       epoch_us(pt) - epoch_us(st) AS lag_us
+FROM s LEFT JOIN p USING (user_id)"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
     "streaming_click_attribution": (
         q_streaming_click_attribution,
         SQL_CLICK_ATTRIBUTION,

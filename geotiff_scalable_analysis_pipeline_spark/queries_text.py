@@ -1201,8 +1201,96 @@ FROM sig JOIN keepers USING (h)
 GROUP BY 1, 2"""
 
 
+# ---------------------------------------------------------------------------
+# vocabulary heavy-hitters / distinctive keywords (tf-idf, integer-ranked)
+# ---------------------------------------------------------------------------
+
+HH_TOP_K = 10
+KEYWORDS_TOP_K = 3
+
+
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-``HH_TOP_K`` tokens by frequency (corpus vocabulary
+    heavy-hitters — the profiling pass a tokenizer-training pipeline runs).
+
+    Scale shape: token counts are ONE map-combined hash aggregate on
+    (lang, token). The top-k is two-phase: a first row_number() windows over
+    (lang, hash-bucket) — 16 buckets, so no single task ever sees more than
+    ~vocab/16 of a language's distinct tokens (a web corpus vocabulary is
+    ~10⁸; one partition per language would be a scale-killer) — then the
+    survivors (≤ 16·k rows per language) go through the tiny final window.
+    Bucketing cannot change the answer: any token in the true top-k is in
+    the top-k of its own bucket. Tie order (cnt DESC, token ASC) is total,
+    so both engines agree exactly."""
+    toks = _tokens(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    c = toks.join(langs, "doc_id").groupBy("lang", "token").agg(
+        F.count("*").alias("cnt")
+    )
+    w1 = Window.partitionBy("lang", F.pmod(F.hash("token"), F.lit(16))).orderBy(
+        F.desc("cnt"), "token"
+    )
+    part = c.withColumn("prn", F.row_number().over(w1)).filter(
+        F.col("prn") <= HH_TOP_K
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    return (
+        part.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= HH_TOP_K)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "token", "cnt")
+    )
+
+
+SQL_VOCAB_HEAVY_HITTERS = f"""
+WITH {_TOKENS_CTE},
+c AS (SELECT lang, token, count(*) AS cnt
+      FROM tokens t JOIN documents d USING (doc_id) GROUP BY 1, 2)
+SELECT lang, rank, token, cnt FROM (
+  SELECT lang, token, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+  FROM c)
+WHERE rank <= {HH_TOP_K}"""
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``KEYWORDS_TOP_K`` distinctive tokens: tf-idf ranked
+    WITHOUT libm — order by (tf DESC, df ASC, token ASC). For fixed tf,
+    tf·log(N/df) is strictly decreasing in df, so this integer ordering is
+    the exact tf-idf order within equal-tf groups and keeps the oracle pair
+    bit-exact (no floating log whose last ulp could differ across engines).
+
+    Scale shape: tf is a map-combined aggregate on (doc_id, token); df is a
+    second aggregate over tf's (token) — both shuffle once on keys that
+    cannot be skewed worse than the corpus itself. The tf×df equi-join
+    shuffles on token, and the final window partitions BY DOCUMENT (state
+    bounded by a doc's distinct tokens, never by corpus size)."""
+    toks = _tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "df", "token")
+    return (
+        tf.join(df, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYWORDS_TOP_K)
+        .select("doc_id", F.col("rank").cast("long").alias("rank"), "token", "tf", "df")
+    )
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, rank, token, tf, df FROM (
+  SELECT doc_id, token, tf, df,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, token) AS rank
+  FROM tf JOIN df USING (token))
+WHERE rank <= {KEYWORDS_TOP_K}"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "vocab_heavy_hitters": (q_vocab_heavy_hitters, SQL_VOCAB_HEAVY_HITTERS),
+    "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION),
     "quality_percentiles": (q_quality_percentiles, SQL_QUALITY_PERCENTILES),
     "corpus_filter_pipeline": (q_corpus_filter_pipeline, SQL_CORPUS_FILTER),
