@@ -170,6 +170,33 @@ def fused_histogram(fused: DataFrame) -> DataFrame:
     )
 
 
+def band_normalized_difference(
+    stats: DataFrame, b_plus: int, b_minus: int
+) -> DataFrame:
+    """Normalized-difference band index per tile (NDVI-family band math,
+    reference's band-arithmetic surface): ``(Σcal_b+ − Σcal_b−) / (Σcal_b+ +
+    Σcal_b−)`` over the tile's calibrated DNs.
+
+    Computed from the per-band *integer* sums of :func:`tile_pixel_stats`
+    (one tiny conditional aggregate over the band rows — the decoded pixels
+    are never re-read), so the index is one exact-operand double division
+    and both engines agree bit-for-bit. Denominator 0 → NULL (both engines
+    share the rule).
+    """
+    piv = stats.groupBy("media_ref").agg(
+        F.sum(F.when(F.col("band") == b_plus, F.col("sum_cal"))).alias("s_plus"),
+        F.sum(F.when(F.col("band") == b_minus, F.col("sum_cal"))).alias("s_minus"),
+    )
+    num = F.col("s_plus") - F.col("s_minus")
+    den = F.col("s_plus") + F.col("s_minus")
+    return piv.select(
+        "media_ref",
+        F.col("s_plus").alias("sum_cal_plus"),
+        F.col("s_minus").alias("sum_cal_minus"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("ndi"),
+    )
+
+
 def tile_footprints(media_meta: DataFrame, level: int) -> DataFrame:
     """Cell cover of each tile footprint (bbox → covering cells, pure Catalyst).
 

@@ -205,6 +205,27 @@ SELECT media_ref, CAST(band AS INTEGER) AS band,
 FROM px GROUP BY media_ref, band, bin"""
 
 
+def q_tile_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-difference band math (band 3 vs band 0) from the integer
+    per-band calibrated sums — the oracle recomputes the same sums from the
+    DN formula, proving decode + calibration + band algebra end-to-end."""
+    stats = raster.tile_pixel_stats(dg.media_df(spark, CFG))
+    return raster.band_normalized_difference(stats, b_plus=3, b_minus=0)
+
+
+SQL_TILE_BAND_INDEX = f"""WITH {dg.tiles_sql(CFG)}, {_PX_CTE},
+s AS (
+  SELECT media_ref,
+         CAST(sum(CASE WHEN band = 3 THEN cal END) AS BIGINT) AS sum_cal_plus,
+         CAST(sum(CASE WHEN band = 0 THEN cal END) AS BIGINT) AS sum_cal_minus
+  FROM px GROUP BY media_ref)
+SELECT media_ref, sum_cal_plus, sum_cal_minus,
+       CASE WHEN sum_cal_plus + sum_cal_minus <> 0
+            THEN CAST(sum_cal_plus - sum_cal_minus AS DOUBLE)
+                 / CAST(sum_cal_plus + sum_cal_minus AS DOUBLE) END AS ndi
+FROM s"""
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = dg.tiles_df(spark, CFG).select("media_ref", "cx", "cy")
     pairs = pip_join.pip_join_rect(t, dg.rect_zones_df(spark, CFG), x="cx", y="cy", level=PIP_LEVEL)
@@ -905,6 +926,7 @@ QUERIES = {
     "tile_footprint_cells": (q_tile_cells, SQL_TILE_CELLS),
     "pyramid_rollup": (q_pyramid_rollup, SQL_PYRAMID),
     "tile_pixel_stats": (q_tile_pixel_stats, SQL_TILE_PIXEL_STATS),
+    "tile_band_index": (q_tile_band_index, SQL_TILE_BAND_INDEX),
     "tile_histogram": (q_tile_histogram, SQL_TILE_HISTOGRAM),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "span_fingerprints": (q_span_fingerprints, SQL_SPAN_FINGERPRINTS),
