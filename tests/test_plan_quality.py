@@ -157,3 +157,39 @@ def test_stratified_sample_is_map_only(spark):
     p = _plan(q_stratified_sample(spark, "/root/testdata/sf0.01"))
     assert "Exchange" not in p
     assert "Python" not in p
+
+
+def test_heavy_hitters_topk_is_partial_limited(spark):
+    """Per-language top-k must pre-filter map-side: Spark's WindowGroupLimit
+    Partial (rank pushdown) + the explicit hash-bucket phase together mean no
+    task ever sorts a whole language's vocabulary."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_text import (
+        q_vocab_heavy_hitters,
+    )
+
+    p = _plan(q_vocab_heavy_hitters(spark, "/root/testdata/sf0.01"))
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert "CartesianProduct" not in p and "Python" not in p
+
+
+def test_kmv_sketch_bottom_k_is_partial_limited(spark):
+    from geotiff_scalable_analysis_pipeline_spark.queries_relational import (
+        q_kmv_distinct_users,
+    )
+
+    p = _plan(q_kmv_distinct_users(spark, "/root/testdata/sf0.01"))
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p and "Python" not in p
+
+
+def test_funnel_is_window_free_aggregate_join(spark):
+    """Funnel conversion: two min-aggregates + one user_id equi-join — no
+    window/sort state per user however hot the user."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_relational import (
+        q_funnel_conversion,
+    )
+
+    p = _plan(q_funnel_conversion(spark, "/root/testdata/sf0.01"))
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final for both min-aggs
+    assert "CartesianProduct" not in p and "Python" not in p
