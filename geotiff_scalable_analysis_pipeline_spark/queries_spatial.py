@@ -466,6 +466,82 @@ FROM tiles_geo t JOIN cells c USING (media_ref)
 WINDOW w AS (PARTITION BY c.cell ORDER BY CAST(t.tile_k AS BIGINT), t.media_ref)"""
 
 
+def q_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal change detection: per cell, consecutive acquisitions are
+    paired (the as-of lag) and the per-band calibrated-DN delta between the
+    tile and its predecessor is computed from the *integer* sums of the
+    decode-backed pixel stats (reference's multi-temporal surface, S4/J6,
+    applied to band values instead of timestamps).
+
+    Scale shape: the pairing window partitions BY CELL (state bounded by
+    acquisitions-per-cell, never corpus size); the two stats lookups are
+    media_ref equi-joins against the same map-combined aggregate; the delta
+    is integer subtraction + one exact-operand division."""
+    from pyspark.sql import Window
+
+    t = dg.tiles_df(spark, CFG).filter(F.col("tile_k") < CFG.n_media_tiles)
+    cells = raster.tile_footprints(t, LEVEL).select("media_ref", "cell")
+    acq = t.select("media_ref", F.col("tile_k").cast("long").alias("ts_h")).join(
+        cells, "media_ref"
+    )
+    w = Window.partitionBy("cell").orderBy("ts_h", "media_ref")
+    pairs = acq.select(
+        "cell",
+        "media_ref",
+        "ts_h",
+        F.lag("media_ref", 1).over(w).alias("prev_ref"),
+        F.lag("ts_h", 1).over(w).alias("prev_ts_h"),
+    ).filter(F.col("prev_ref").isNotNull())
+    s = raster.tile_pixel_stats(dg.media_df(spark, CFG)).select(
+        "media_ref", "band", "sum_cal", "cnt"
+    )
+    cur = s.alias("cur")
+    prev = s.alias("prev")
+    d = F.col("cur.sum_cal") - F.col("prev.sum_cal")
+    return (
+        pairs.join(cur, pairs.media_ref == F.col("cur.media_ref"))
+        .join(
+            prev,
+            (pairs.prev_ref == F.col("prev.media_ref"))
+            & (F.col("cur.band") == F.col("prev.band")),
+        )
+        .select(
+            "cell",
+            pairs.media_ref.alias("media_ref"),
+            "prev_ref",
+            "ts_h",
+            "prev_ts_h",
+            F.col("cur.band").cast("int").alias("band"),
+            d.alias("d_sum_cal"),
+            (d.cast("double") / F.col("cur.cnt").cast("double")).alias("d_mean_cal"),
+        )
+    )
+
+
+def _sql_change_detection() -> str:
+    return f"""WITH {dg.tiles_sql(CFG)}, {_sql_cells_cte(LEVEL)}, {_PX_CTE},
+s AS (SELECT media_ref, band, CAST(sum(cal) AS BIGINT) AS sum_cal, count(*) AS cnt
+      FROM px GROUP BY 1, 2),
+pairs AS (
+  SELECT c.cell, t.media_ref, CAST(t.tile_k AS BIGINT) AS ts_h,
+         lag(t.media_ref) OVER w AS prev_ref,
+         lag(CAST(t.tile_k AS BIGINT)) OVER w AS prev_ts_h
+  FROM tiles_geo t JOIN cells c USING (media_ref)
+  WHERE t.tile_k < {CFG.n_media_tiles}
+  WINDOW w AS (PARTITION BY c.cell ORDER BY CAST(t.tile_k AS BIGINT), t.media_ref))
+SELECT p.cell, p.media_ref, p.prev_ref, p.ts_h, p.prev_ts_h,
+       CAST(a.band AS INTEGER) AS band,
+       a.sum_cal - b.sum_cal AS d_sum_cal,
+       CAST(a.sum_cal - b.sum_cal AS DOUBLE) / CAST(a.cnt AS DOUBLE) AS d_mean_cal
+FROM pairs p
+JOIN s a ON a.media_ref = p.media_ref
+JOIN s b ON b.media_ref = p.prev_ref AND b.band = a.band
+WHERE p.prev_ref IS NOT NULL"""
+
+
+SQL_CHANGE_DETECTION = _sql_change_detection()
+
+
 def q_series_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-temporal series scan (S4): time-ordered acquisition list per
     cell — ``sort_array(collect_list(...))`` per SURVEY §2.1."""
@@ -933,6 +1009,7 @@ QUERIES = {
     "media_span_zones": (q_media_span_zones, SQL_MEDIA_SPAN_ZONES),
     "chunk_grid": (q_chunk_grid, SQL_CHUNK_GRID),
     "asof_acquisitions": (q_asof_acquisitions, SQL_ASOF),
+    "change_detection": (q_change_detection, SQL_CHANGE_DETECTION),
     "series_per_cell": (q_series_per_cell, SQL_SERIES),
     "cell_mosaic_max": (q_cell_mosaic_max, SQL_CELL_MOSAIC_MAX),
     "tile_class_topk": (q_tile_class_topk, SQL_TILE_CLASS_TOPK),
