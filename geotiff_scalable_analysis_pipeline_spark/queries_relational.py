@@ -429,27 +429,20 @@ SQL_STREAMING_DEDUP_BOUNDED = "SELECT DISTINCT user_id, event_type FROM events"
 # --- KMV bottom-k distinct sketch + funnel conversion -----------------------
 
 KMV_K = 64
-_M31_SQL = 2147483648  # 2^31 — the rolling-hash modulus (queries_text.M31)
 
-# Portable uniform hash of user_id: char-roll the md5 hex (md5 is identical
-# in Spark and DuckDB; the fold is the engine's standard portable hash). The
-# md5 pre-scramble matters: rolling the raw decimal digits would map
-# consecutive ids to consecutive hash values, wrecking the order statistics
-# a KMV estimator relies on.
-_KMV_HASH_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(list_filter(string_split(md5(CAST(user_id AS VARCHAR)), ''), "
-    "c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), "
-    f"(a, b) -> (a * 131 + b) % {_M31_SQL})"
-)
+# Portable uniform hash of user_id: char-roll the md5 hex with the engine's
+# standard portable fold (queries_text._tid_col / _tid_sql — ONE definition,
+# both call sites). The md5 pre-scramble matters: rolling the raw decimal
+# digits would map consecutive ids to consecutive hash values, wrecking the
+# order statistics a KMV estimator relies on.
+from .queries_text import M31 as _M31_SQL  # noqa: E402
+from .queries_text import _tid_col, _tid_sql  # noqa: E402
+
+_KMV_HASH_SQL = _tid_sql("md5(CAST(user_id AS VARCHAR))")
 
 
 def _kmv_hash_col():
-    return F.aggregate(
-        F.filter(F.split(F.md5(F.col("user_id").cast("string")), ""), lambda c: c != ""),
-        F.lit(0).cast("long"),
-        lambda a, c: (a * 131 + F.ascii(c).cast("long")) % _M31_SQL,
-    )
+    return _tid_col(F.md5(F.col("user_id").cast("string")))
 
 
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

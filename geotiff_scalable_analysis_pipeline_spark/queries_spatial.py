@@ -474,9 +474,14 @@ def q_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to band values instead of timestamps).
 
     Scale shape: the pairing window partitions BY CELL (state bounded by
-    acquisitions-per-cell, never corpus size); the two stats lookups are
-    media_ref equi-joins against the same map-combined aggregate; the delta
-    is integer subtraction + one exact-operand division."""
+    acquisitions-per-cell, never corpus size). The stats side appears ONCE
+    in the plan — each pair explodes into its two (ref, role) rows which
+    equi-join the single decode pass, then a pivot-back aggregate reunites
+    the pair (a naive cur/prev self-join of tile_pixel_stats would run the
+    whole TIFF decode twice — the exact cost the fused raster operator
+    exists to avoid). d_mean_cal = mean(cur) − mean(prev), each mean its
+    own exact-operand division (correct even if tile pixel counts ever
+    differ between the two acquisitions)."""
     from pyspark.sql import Window
 
     t = dg.tiles_df(spark, CFG).filter(F.col("tile_k") < CFG.n_media_tiles)
@@ -492,29 +497,33 @@ def q_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("media_ref", 1).over(w).alias("prev_ref"),
         F.lag("ts_h", 1).over(w).alias("prev_ts_h"),
     ).filter(F.col("prev_ref").isNotNull())
+    sides = pairs.select(
+        "cell", "media_ref", "prev_ref", "ts_h", "prev_ts_h",
+        F.explode(
+            F.array(
+                F.struct(F.col("media_ref").alias("ref"), F.lit(1).alias("is_cur")),
+                F.struct(F.col("prev_ref").alias("ref"), F.lit(0).alias("is_cur")),
+            )
+        ).alias("side"),
+    ).select("cell", "media_ref", "prev_ref", "ts_h", "prev_ts_h", "side.*")
     s = raster.tile_pixel_stats(dg.media_df(spark, CFG)).select(
-        "media_ref", "band", "sum_cal", "cnt"
+        F.col("media_ref").alias("ref"), "band", "sum_cal", "cnt"
     )
-    cur = s.alias("cur")
-    prev = s.alias("prev")
-    d = F.col("cur.sum_cal") - F.col("prev.sum_cal")
-    return (
-        pairs.join(cur, pairs.media_ref == F.col("cur.media_ref"))
-        .join(
-            prev,
-            (pairs.prev_ref == F.col("prev.media_ref"))
-            & (F.col("cur.band") == F.col("prev.band")),
-        )
-        .select(
-            "cell",
-            pairs.media_ref.alias("media_ref"),
-            "prev_ref",
-            "ts_h",
-            "prev_ts_h",
-            F.col("cur.band").cast("int").alias("band"),
-            d.alias("d_sum_cal"),
-            (d.cast("double") / F.col("cur.cnt").cast("double")).alias("d_mean_cal"),
-        )
+    j = sides.join(s, "ref")
+    piv = j.groupBy("cell", "media_ref", "prev_ref", "ts_h", "prev_ts_h", "band").agg(
+        F.sum(F.when(F.col("is_cur") == 1, F.col("sum_cal"))).alias("s_cur"),
+        F.sum(F.when(F.col("is_cur") == 0, F.col("sum_cal"))).alias("s_prev"),
+        F.sum(F.when(F.col("is_cur") == 1, F.col("cnt"))).alias("c_cur"),
+        F.sum(F.when(F.col("is_cur") == 0, F.col("cnt"))).alias("c_prev"),
+    )
+    return piv.select(
+        "cell", "media_ref", "prev_ref", "ts_h", "prev_ts_h",
+        F.col("band").cast("int").alias("band"),
+        (F.col("s_cur") - F.col("s_prev")).alias("d_sum_cal"),
+        (
+            F.col("s_cur").cast("double") / F.col("c_cur").cast("double")
+            - F.col("s_prev").cast("double") / F.col("c_prev").cast("double")
+        ).alias("d_mean_cal"),
     )
 
 
@@ -532,7 +541,8 @@ pairs AS (
 SELECT p.cell, p.media_ref, p.prev_ref, p.ts_h, p.prev_ts_h,
        CAST(a.band AS INTEGER) AS band,
        a.sum_cal - b.sum_cal AS d_sum_cal,
-       CAST(a.sum_cal - b.sum_cal AS DOUBLE) / CAST(a.cnt AS DOUBLE) AS d_mean_cal
+       CAST(a.sum_cal AS DOUBLE) / CAST(a.cnt AS DOUBLE)
+         - CAST(b.sum_cal AS DOUBLE) / CAST(b.cnt AS DOUBLE) AS d_mean_cal
 FROM pairs p
 JOIN s a ON a.media_ref = p.media_ref
 JOIN s b ON b.media_ref = p.prev_ref AND b.band = a.band

@@ -202,7 +202,9 @@ HMUL = 1000003  # shingle-combine multiplier (fits int64: 2^31 * 1e6 < 2^62)
 
 
 def _tid_col(token):
-    """Portable token hash: fold chars as (acc·131 + codepoint) mod 2³¹."""
+    """Portable string hash: fold chars as (acc·131 + codepoint) mod 2³¹.
+    ``token`` is any string Column expression (tokens here; md5 hex digests
+    in the KMV sketch, queries_relational.py)."""
     return F.aggregate(
         F.filter(F.split(token, ""), lambda c: c != ""),
         F.lit(0).cast("long"),
@@ -210,11 +212,16 @@ def _tid_col(token):
     )
 
 
-_TID_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(list_filter(string_split(token, ''), c -> c <> ''), "
-    f"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % {M31})"
-)
+def _tid_sql(expr: str = "token") -> str:
+    """DuckDB twin of :func:`_tid_col` over an arbitrary string SQL expr."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split({expr}, ''), c -> c <> ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % {M31})"
+    )
+
+
+_TID_SQL = _tid_sql()
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,26 +1153,37 @@ FILTER_MIN_TOKENS, FILTER_MAX_TOKENS = 25, 90
 FILTER_MIN_STOPWORD_RATIO = 0.03
 
 
-def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composite corpus-cleaning pass a training pipeline runs
-    end-to-end: length filter → quality (stopword-ratio) filter → exact-dup
-    drop (keep the min doc_id of each duplicate group), with per-language
-    drop ATTRIBUTION in that priority order. One narrow projection computes
-    every signal; the dup side is the same hash-groupBy as ``dedup_exact``
-    joined back broadcast-style on the md5 — no sort, two shuffles total
-    (md5 groupBy + final lang rollup). Counts are integers → exact pair."""
-    d = _docs(spark, sf_dir)
+def corpus_filter_verdicts(docs: DataFrame) -> DataFrame:
+    """Core of the composite cleaning pass over a ``documents``-shaped frame:
+    length filter → quality (stopword-ratio) filter → exact-dup drop, with
+    per-language drop ATTRIBUTION in that priority order. Sequential-pipeline
+    semantics: the dedup keeper is the min doc_id AMONG FILTER SURVIVORS
+    (a duplicate group whose min-id copy was dropped for length must still
+    keep its surviving copy — dedup runs after the filters, exactly as the
+    real pipeline executes them).
+
+    One narrow projection computes every signal; the dup side is the same
+    hash-groupBy as ``dedup_exact`` over survivors only, left-joined back on
+    the md5 — no sort, two shuffles total (md5 groupBy + final lang rollup).
+    Counts are integers → exact pair."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     n_tok = F.size(toks)
     swr = F.size(F.filter(toks, lambda t: t.isin(*STOP_EN))).cast(
         "double"
     ) / F.greatest(n_tok, F.lit(1)).cast("double")
-    sig = d.select(
-        "doc_id", "lang", F.md5("text").alias("h"),
-        n_tok.alias("n_tok"), swr.alias("swr"),
+    passes = (
+        (n_tok >= FILTER_MIN_TOKENS)
+        & (n_tok <= FILTER_MAX_TOKENS)
+        & (swr >= FILTER_MIN_STOPWORD_RATIO)
     )
-    keepers = sig.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    j = sig.join(keepers, "h")
+    sig = docs.select(
+        "doc_id", "lang", F.md5("text").alias("h"),
+        n_tok.alias("n_tok"), swr.alias("swr"), passes.alias("passes"),
+    )
+    keepers = (
+        sig.filter("passes").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    )
+    j = sig.join(keepers, "h", "left")
     verdict = (
         F.when(
             (F.col("n_tok") < FILTER_MIN_TOKENS)
@@ -1183,6 +1201,15 @@ def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface of :func:`corpus_filter_verdicts` over the sf corpus.
+    (The sf corpora contain no exact-duplicate texts, so the dedup branch is
+    exercised by ``tests/test_text_queries.py`` on a synthetic corpus with
+    duplicate groups — including one whose min-id copy fails the length
+    filter, pinning the survivor-keeper rule in BOTH engines.)"""
+    return corpus_filter_verdicts(_docs(spark, sf_dir))
+
+
 SQL_CORPUS_FILTER = f"""
 WITH sig AS (
   SELECT doc_id, lang, md5(text) AS h,
@@ -1190,14 +1217,18 @@ WITH sig AS (
          CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_LIST}))) AS DOUBLE)
            / CAST(greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS DOUBLE) AS swr
   FROM documents),
-keepers AS (SELECT h, min(doc_id) AS keep_id FROM sig GROUP BY h)
+flagged AS (
+  SELECT *, (n_tok >= {FILTER_MIN_TOKENS} AND n_tok <= {FILTER_MAX_TOKENS}
+             AND swr >= {FILTER_MIN_STOPWORD_RATIO}) AS passes
+  FROM sig),
+keepers AS (SELECT h, min(doc_id) AS keep_id FROM flagged WHERE passes GROUP BY h)
 SELECT lang,
   CASE WHEN n_tok < {FILTER_MIN_TOKENS} OR n_tok > {FILTER_MAX_TOKENS} THEN 'drop_length'
        WHEN swr < {FILTER_MIN_STOPWORD_RATIO} THEN 'drop_quality'
        WHEN doc_id <> keep_id THEN 'drop_duplicate'
        ELSE 'keep' END AS verdict,
   count(*) AS n_docs
-FROM sig JOIN keepers USING (h)
+FROM flagged LEFT JOIN keepers USING (h)
 GROUP BY 1, 2"""
 
 

@@ -193,3 +193,16 @@ def test_funnel_is_window_free_aggregate_join(spark):
     assert "Window" not in p
     assert p.count("HashAggregate") >= 4  # partial+final for both min-aggs
     assert "CartesianProduct" not in p and "Python" not in p
+
+
+def test_change_detection_decodes_once(spark):
+    """The cur/prev stats lookup must NOT self-join two decode pipelines:
+    pairs explode into (ref, role) rows against ONE tile_pixel_stats pass.
+    Plan carries exactly 2 MapInPandas (payload build + decode), not 4."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_spatial import (
+        q_change_detection,
+    )
+
+    p = _plan(q_change_detection(spark, "/root/testdata/sf0.01"))
+    assert p.count("MapInPandas") <= 2
+    assert "CartesianProduct" not in p

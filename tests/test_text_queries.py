@@ -1,0 +1,87 @@
+"""Text-pipeline query semantics the sf corpora cannot exercise.
+
+The driver corpora contain no exact-duplicate texts (500/500 distinct md5 at
+sf0.01), so ``corpus_filter_pipeline``'s dedup branch — and in particular the
+sequential-pipeline KEEPER rule (dedup runs AFTER the length/quality filters,
+so the keeper is the min doc_id among filter SURVIVORS) — is pinned here on a
+synthetic corpus with duplicate groups, against the same DuckDB oracle SQL.
+"""
+
+import pandas as pd
+
+from geotiff_scalable_analysis_pipeline_spark.queries_text import (
+    FILTER_MIN_STOPWORD_RATIO,
+    FILTER_MIN_TOKENS,
+    SQL_CORPUS_FILTER,
+    corpus_filter_verdicts,
+)
+
+
+def _mk_text(n_tokens: int, stopwordy: bool = True) -> str:
+    # 1-in-5 "the" keeps the stopword ratio comfortably above the threshold
+    base = ["the" if stopwordy and i % 5 == 0 else f"w{i}" for i in range(n_tokens)]
+    return " ".join(base)
+
+
+def _corpus() -> pd.DataFrame:
+    good_dup = _mk_text(40)  # passes both filters
+    short_dup = _mk_text(45)  # distinct text from good_dup, also passing
+    rows = [
+        # group A: three identical passing docs -> keeper = min id (10)
+        (10, good_dup, "en"),
+        (11, good_dup, "en"),
+        (12, good_dup, "en"),
+        # group B: min-id copy FAILS the length filter; the two surviving
+        # copies must still keep exactly one (doc 21), not zero
+        (20, _mk_text(FILTER_MIN_TOKENS - 5), "en"),  # drop_length (unique text)
+        (21, short_dup, "de"),
+        (22, short_dup, "de"),
+        # group C: duplicate pair where both fail quality -> both drop_quality,
+        # no drop_duplicate attribution
+        (30, " ".join(f"q{i}" for i in range(40)), "fr"),
+        (31, " ".join(f"q{i}" for i in range(40)), "fr"),
+        # unique passing doc
+        (40, _mk_text(60), "en"),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+
+
+def test_corpus_filter_dedup_keeps_survivor_copy(spark, duck):
+    pdf = _corpus()
+    got = {
+        (r["lang"], r["verdict"]): r["n_docs"]
+        for r in corpus_filter_verdicts(spark.createDataFrame(pdf)).collect()
+    }
+    # group A: 10 keeps, 11/12 drop_duplicate; group B: 21 keeps (its min-id
+    # sibling 20 has DIFFERENT text; 21 < 22 among survivors), 22 dups;
+    # group C: both drop_quality; doc 40 keeps; doc 20 drop_length.
+    assert got == {
+        ("en", "keep"): 2,  # 10, 40
+        ("en", "drop_duplicate"): 2,  # 11, 12
+        ("en", "drop_length"): 1,  # 20
+        ("de", "keep"): 1,  # 21
+        ("de", "drop_duplicate"): 1,  # 22
+        ("fr", "drop_quality"): 2,  # 30, 31
+    }
+    # sanity on the fixture: group C really does fail quality only
+    assert all(
+        len([t for t in txt.split() if t == "the"]) / len(txt.split())
+        < FILTER_MIN_STOPWORD_RATIO
+        for txt in pdf[pdf.doc_id.isin([30, 31])].text
+    )
+
+
+def test_corpus_filter_oracle_agrees_on_duplicates(spark, duck):
+    pdf = _corpus()
+    spark_rows = sorted(
+        tuple(r) for r in corpus_filter_verdicts(spark.createDataFrame(pdf)).collect()
+    )
+    duck.register("documents", pdf)
+    try:
+        res = duck.execute(SQL_CORPUS_FILTER)
+        cols = [d[0] for d in res.description]
+        idx = [cols.index(c) for c in ("lang", "verdict", "n_docs")]
+        duck_rows = sorted(tuple(r[i] for i in idx) for r in res.fetchall())
+    finally:
+        duck.unregister("documents")
+    assert spark_rows == duck_rows
