@@ -101,3 +101,41 @@ def two_stage_zonal(
             ),
         )
     )
+
+
+def zonal_stats_weighted(pairs_w: DataFrame, pixel_stats: DataFrame) -> DataFrame:
+    """Area-weighted zonal statistics: ``pairs_w`` carries (media_ref,
+    zone_id, w) with an INTEGER weight per pair (the tile∩zone overlap area
+    in map units² — exact, no float fractions). Weighted mean is
+    ``Σ(w·sum) / Σ(w·cnt)`` — a single division of two int64 partials, so
+    the cross-tile combine stays order-free exact like :func:`zonal_stats`.
+
+    This is the partial-coverage form of A5: a tile straddling a zone edge
+    contributes proportionally to its overlap instead of all-or-nothing by
+    centroid."""
+    joined = pairs_w.select("media_ref", "zone_id", "w").join(
+        pixel_stats, "media_ref"
+    )
+    w = F.col("w")
+    agg = joined.groupBy("zone_id", "band").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(w).alias("w_total"),
+        F.sum(w * F.col("sum_dn")).alias("wsum_dn"),
+        F.sum(w * F.col("cnt")).alias("wpx_cnt"),
+        F.sum(w * F.col("sum_cal")).alias("wsum_cal"),
+    )
+    return agg.select(
+        "zone_id",
+        "band",
+        "n_tiles",
+        "w_total",
+        "wsum_dn",
+        "wpx_cnt",
+        "wsum_cal",
+        (F.col("wsum_dn").cast("double") / F.col("wpx_cnt").cast("double")).alias(
+            "wmean_dn"
+        ),
+        (F.col("wsum_cal").cast("double") / F.col("wpx_cnt").cast("double")).alias(
+            "wmean_cal"
+        ),
+    )

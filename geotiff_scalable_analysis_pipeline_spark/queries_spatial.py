@@ -258,6 +258,67 @@ FROM prs p JOIN tstats s USING (media_ref)
 GROUP BY p.zone_id, s.band"""
 
 
+def q_zonal_stats_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted zonal statistics (partial-coverage A5): tiles weighted
+    by their exact tile∩zone overlap area instead of all-or-nothing centroid
+    membership. Candidates come from the same cell-bucketed broadcast
+    equi-join as the PIP path (zones exploded to covering cells, tiles to
+    footprint cells — overlapping rectangles always share a covering cell),
+    then the exact integer overlap predicate filters and weights. Zone boxes
+    are closed [minx, maxx] ≡ half-open [minx, maxx+1) against the tiles'
+    half-open [x0, x1) pixel footprints."""
+    t = (
+        dg.tiles_df(spark, CFG)
+        .filter(F.col("tile_k") < CFG.n_media_tiles)
+        .select("media_ref", "x0", "y0", "x1", "y1")
+    )
+    tc = raster.tile_footprints(t, PIP_LEVEL).select("media_ref", "cell")
+    z = dg.rect_zones_df(spark, CFG)
+    zc = F.broadcast(
+        pip_join.cover_cells_rect(z, PIP_LEVEL).select(
+            "zone_id", "minx", "miny", "maxx", "maxy", "cell"
+        )
+    )
+    ox = F.least(F.col("x1"), F.col("maxx") + 1) - F.greatest(F.col("x0"), F.col("minx"))
+    oy = F.least(F.col("y1"), F.col("maxy") + 1) - F.greatest(F.col("y0"), F.col("miny"))
+    pairs = (
+        t.join(tc, "media_ref")
+        .join(zc, "cell")
+        .filter((ox > 0) & (oy > 0))
+        .groupBy("media_ref", "zone_id")  # dedup multi-cell matches; w is
+        .agg(F.max(ox * oy).alias("w"))  # identical across a pair's cells
+    )
+    stats = raster.tile_pixel_stats(dg.media_df(spark, CFG))
+    out = zonal.zonal_stats_weighted(pairs, stats)
+    return out.select(
+        "zone_id", F.col("band").cast("int").alias("band"), "n_tiles",
+        "w_total", "wsum_dn", "wpx_cnt", "wsum_cal", "wmean_dn", "wmean_cal",
+    )
+
+
+SQL_ZONAL_WEIGHTED = f"""WITH {dg.tiles_sql(CFG)}, {dg.rect_zones_sql(CFG)}, {_PX_CTE},
+tstats AS (
+  SELECT media_ref, band, count(*) AS cnt, sum(dn) AS sum_dn, sum(cal) AS sum_cal
+  FROM px GROUP BY media_ref, band),
+prs AS (
+  SELECT t.media_ref, z.zone_id,
+         (least(t.x1, z.maxx + 1) - greatest(t.x0, z.minx))
+         * (least(t.y1, z.maxy + 1) - greatest(t.y0, z.miny)) AS w
+  FROM tiles_geo t JOIN rzones z
+    ON t.x0 <= z.maxx AND t.x1 - 1 >= z.minx
+   AND t.y0 <= z.maxy AND t.y1 - 1 >= z.miny
+  WHERE t.tile_k < {CFG.n_media_tiles})
+SELECT p.zone_id, CAST(s.band AS INTEGER) AS band, count(*) AS n_tiles,
+       CAST(sum(p.w) AS BIGINT) AS w_total,
+       CAST(sum(p.w * s.sum_dn) AS BIGINT) AS wsum_dn,
+       CAST(sum(p.w * s.cnt) AS BIGINT) AS wpx_cnt,
+       CAST(sum(p.w * s.sum_cal) AS BIGINT) AS wsum_cal,
+       CAST(sum(p.w * s.sum_dn) AS DOUBLE) / CAST(sum(p.w * s.cnt) AS DOUBLE) AS wmean_dn,
+       CAST(sum(p.w * s.sum_cal) AS DOUBLE) / CAST(sum(p.w * s.cnt) AS DOUBLE) AS wmean_cal
+FROM prs p JOIN tstats s USING (media_ref)
+GROUP BY p.zone_id, s.band"""
+
+
 # ---------------------------------------------------------------------------
 # interleaved corpus (input_hint invariant + media resolution)
 # ---------------------------------------------------------------------------
@@ -1015,6 +1076,7 @@ QUERIES = {
     "tile_band_index": (q_tile_band_index, SQL_TILE_BAND_INDEX),
     "tile_histogram": (q_tile_histogram, SQL_TILE_HISTOGRAM),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
+    "zonal_stats_weighted": (q_zonal_stats_weighted, SQL_ZONAL_WEIGHTED),
     "span_fingerprints": (q_span_fingerprints, SQL_SPAN_FINGERPRINTS),
     "media_span_zones": (q_media_span_zones, SQL_MEDIA_SPAN_ZONES),
     "chunk_grid": (q_chunk_grid, SQL_CHUNK_GRID),
