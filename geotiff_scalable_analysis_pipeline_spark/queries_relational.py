@@ -507,6 +507,31 @@ SELECT event_type, n_events, n_distinct_exact, kth_hash,
 FROM exact JOIN sk USING (event_type)"""
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type cross-tab via the explicit relational PIVOT
+    (``groupBy().pivot(values=...)``). The pivot domain is passed explicitly
+    — at 100 TB an unspecified domain costs an extra distinct-collect job
+    over the fact table before the real aggregate can even be planned; with
+    the domain given it is ONE map-combined hash aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.select("event_type", F.hour(F.col("ts").cast("timestamp")).alias("hh"))
+        .groupBy("event_type")
+        .pivot("hh", list(range(24)))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "event_type",
+        *[F.coalesce(F.col(str(h)), F.lit(0)).cast("long").alias(f"h{h}") for h in range(24)],
+    )
+
+
+SQL_EVENTS_PIVOT = "SELECT event_type, " + ", ".join(
+    f"count(CASE WHEN extract(hour FROM ts) = {h} THEN 1 END) AS h{h}"
+    for h in range(24)
+) + " FROM events GROUP BY event_type"
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase funnel: per user, first signup and the first purchase
     at-or-after it, with the conversion lag (NULL = never converted).
@@ -554,6 +579,7 @@ QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "streaming_click_attribution": (
         q_streaming_click_attribution,
         SQL_CLICK_ATTRIBUTION,
