@@ -75,6 +75,7 @@ BENCH_TABLES = {
     "zonal_stats": {"tiles", "rect_zones", "media"},
     "dedup_suite": set(),
     "dedup_text": {"dedup_docs"},
+    "text_profile": set(),
     "relational_suite": set(),
 }
 
@@ -289,6 +290,22 @@ def bench_relational(spark):
     return 0
 
 
+def bench_text_profile(spark):
+    """Text-analytics profiling pass (round-4 additions): Gopher repetition
+    stats, vocabulary heavy-hitters, tf-idf keywords, and the composite
+    cleaning pipeline over the sf documents table."""
+    from geotiff_scalable_analysis_pipeline_spark import queries_text as qt
+
+    for name in (
+        "doc_repetition_stats",
+        "vocab_heavy_hitters",
+        "doc_keywords",
+        "corpus_filter_pipeline",
+    ):
+        _force(qt.QUERIES[name][0](spark, SF_DIR))
+    return 0
+
+
 BENCHES = {
     "pip_zonal": bench_pip_zonal,
     "knn": bench_knn,
@@ -297,6 +314,7 @@ BENCHES = {
     "chunk_pipeline": bench_chunk_pipeline,
     "zonal_stats": bench_zonal_stats,
     "dedup_suite": bench_dedup,
+    "text_profile": bench_text_profile,
     "relational_suite": bench_relational,
 }
 
