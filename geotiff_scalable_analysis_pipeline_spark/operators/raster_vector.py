@@ -158,7 +158,7 @@ def rasterize_ring(
 
 POLYGONIZE_SCHEMA = (
     "media_ref string, class int, component int, ring int, area_px long, "
-    "n_vertices int, wkt string"
+    "signed_area_px2 long, n_vertices int, wkt string"
 )
 
 
@@ -168,6 +168,13 @@ def polygonize(media: DataFrame, class_of_dn) -> DataFrame:
     ``class_of_dn``: numpy fn (bands,H,W)->(H,W) int class map. Output rings
     are world-coordinate rectilinear polygons serialized as WKT (ring 0 =
     outer by construction of the edge walk; holes have reversed orientation).
+
+    ``signed_area_px2`` is 2× the ring's signed shoelace area over the
+    integer pixel-corner coordinates (exact int64): because holes are traced
+    with opposite orientation, ``|Σ signed_area_px2| / 2`` over a
+    component's rings equals its pixel count — a topological invariant the
+    driver query ``polygonize_class_areas`` checks against a pure SQL pixel
+    count (the oracle never sees the rings).
     """
     import pandas as pd
 
@@ -176,7 +183,8 @@ def polygonize(media: DataFrame, class_of_dn) -> DataFrame:
 
         for pdf in batches:
             out = {k: [] for k in (
-                "media_ref", "class", "component", "ring", "area_px", "n_vertices", "wkt"
+                "media_ref", "class", "component", "ring", "area_px",
+                "signed_area_px2", "n_vertices", "wkt"
             )}
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 buf = bytes(payload)
@@ -191,6 +199,10 @@ def polygonize(media: DataFrame, class_of_dn) -> DataFrame:
                         m = labels == comp
                         rings = trace_rings(m)
                         for ri, ring in enumerate(rings):
+                            xs, ys = ring[:, 0], ring[:, 1]
+                            a2 = int(
+                                (xs * np.roll(ys, -1) - np.roll(xs, -1) * ys).sum()
+                            )
                             wx = x0 + ring[:, 0] * sx
                             wy = y1 + ring[:, 1] * sy  # sy negative: y down
                             pts = ", ".join(f"{x:.1f} {y:.1f}" for x, y in zip(wx, wy))
@@ -200,6 +212,7 @@ def polygonize(media: DataFrame, class_of_dn) -> DataFrame:
                             out["component"].append(comp)
                             out["ring"].append(ri)
                             out["area_px"].append(int(m.sum()))
+                            out["signed_area_px2"].append(a2)
                             out["n_vertices"].append(len(ring))
                             out["wkt"].append(f"POLYGON (({pts}, {first}))")
             yield pd.DataFrame(out)

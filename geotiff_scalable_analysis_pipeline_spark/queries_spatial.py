@@ -737,6 +737,47 @@ SELECT media_ref, chunk_r, chunk_c,
 FROM grid"""
 
 
+_POLY_CFG = dg.GoldenConfig(n_tiles=60, tile_px=16, n_media_tiles=60)
+
+
+def q_polygonize_class_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster→vector polygonization (north_star), SQL-checked through a
+    topological invariant: the signed shoelace areas of the traced boundary
+    rings (holes opposite orientation) must sum, per class, to the class's
+    pixel count — which the oracle computes directly from the DN formula
+    with zero knowledge of rings, components, or the tracer. A bad edge
+    walk, dropped hole, or mis-merged collinear run breaks the equality."""
+    from .operators import raster_vector as rv
+
+    import numpy as np
+
+    media = dg.media_df(spark, _POLY_CFG)
+    polys = rv.polygonize(
+        media, lambda arr: (arr[0].astype(np.int64) * 4) // 10001
+    )
+    comp = polys.groupBy("media_ref", "class", "component").agg(
+        F.abs(F.sum("signed_area_px2")).alias("area2")
+    )
+    return (
+        comp.groupBy("media_ref", F.col("class").alias("class"))
+        .agg((F.sum("area2") / F.lit(2)).cast("long").alias("n_px"))
+        .select("media_ref", F.col("class").cast("int").alias("class"), "n_px")
+    )
+
+
+def _sql_polygonize_areas() -> str:
+    cfg = _POLY_CFG
+    dn = dg.dn_sql("t.tile_k", "0", "r.i", "c.i")
+    return f"""WITH {dg.tiles_sql(cfg)}
+SELECT media_ref, CAST(({dn} * 4) // 10001 AS INTEGER) AS class, count(*) AS n_px
+FROM tiles_geo t, range(0, {cfg.tile_px}) r(i), range(0, {cfg.tile_px}) c(i)
+WHERE t.tile_k < {cfg.n_media_tiles}
+GROUP BY 1, 2"""
+
+
+SQL_POLYGONIZE_AREAS = _sql_polygonize_areas()
+
+
 def q_mask_pixel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vector→raster masking (north_star): per (tile, polygon-zone) pair the
     count of pixel centers inside the zone — the Spark side rasterizes real
@@ -1087,6 +1128,7 @@ QUERIES = {
     "tile_class_topk": (q_tile_class_topk, SQL_TILE_CLASS_TOPK),
     "window_intersection": (q_window_intersection, SQL_WINDOW_INTERSECTION),
     "mask_pixel_counts": (q_mask_pixel_counts, SQL_MASK_COUNTS),
+    "polygonize_class_areas": (q_polygonize_class_areas, SQL_POLYGONIZE_AREAS),
     "warp_mosaic_nearest": (q_warp_mosaic_nearest, SQL_WARP_NEAREST),
     "warp_mosaic_bilinear": (q_warp_mosaic_bilinear, SQL_WARP_BILINEAR),
     "warp_mosaic_gcp": (q_warp_mosaic_gcp, SQL_WARP_GCP),
