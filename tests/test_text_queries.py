@@ -85,3 +85,35 @@ def test_corpus_filter_oracle_agrees_on_duplicates(spark, duck):
     finally:
         duck.unregister("documents")
     assert spark_rows == duck_rows
+
+
+def test_weighted_zonal_overlap_boundary_convention(spark):
+    """Hand-computed overlap weights pin the half-open convention: tile
+    pixels cover [x0, x1) and a closed zone box [minx, maxx] counts as
+    [minx, maxx+1). (The contract test can't catch a shared off-by-one —
+    the same clamp expression appears in the Spark query AND the oracle.)"""
+    from pyspark.sql import functions as F
+
+    from geotiff_scalable_analysis_pipeline_spark.operators.zonal import (
+        zonal_stats_weighted,
+    )
+
+    # tile 10×10 at [0,10)²; zone closed [5,9]² → overlap [5,10)² = 25
+    # zone closed [0,4]×[0,9] → [0,5)×[0,10) = 50; zone touching at x=10 → 0
+    pairs = spark.createDataFrame(
+        [("t0", 1, 25), ("t0", 2, 50)], "media_ref string, zone_id int, w long"
+    )
+    stats = spark.createDataFrame(
+        [("t0", 0, 100, 700)], "media_ref string, band int, cnt long, sum_dn long"
+    ).select("media_ref", "band", "cnt", "sum_dn",
+             F.col("sum_dn").alias("sum_cal"))
+    out = {r["zone_id"]: r for r in zonal_stats_weighted(pairs, stats).collect()}
+    assert out[1]["w_total"] == 25 and out[1]["wpx_cnt"] == 25 * 100
+    assert out[2]["wsum_dn"] == 50 * 700
+    assert out[2]["wmean_dn"] == 700 / 100  # weights cancel for one tile
+
+    # and the geometric rule itself, straight from the query's expressions:
+    x0, x1, minx, maxx = 0, 10, 5, 9
+    assert min(x1, maxx + 1) - max(x0, minx) == 5  # [5,10) ∩ [5,10) = 5
+    # zone starting exactly at the tile's exclusive edge overlaps nothing
+    assert max(0, min(x1, 11) - max(x0, 10)) == 0
