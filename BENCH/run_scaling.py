@@ -14,7 +14,8 @@ Methodology (round 2 — each point hard-won against this VM's noise):
   (pip_zonal at BENCH_SCALE=400 = 48 M interleaved units, knn at 400,
   zonal_stats at 80, raster_stats at 40, dedup_text at 120 = 600 k synthetic
   text docs; dedup moved 60 -> 120 in round 4 after the corpus re-layout
-  dropped its 2-core wall to ~38 s with ~3 s of fixed overhead left). A measurement whose 2-core wall
+  dropped its 2-core wall to ~38 s with ~3 s of fixed overhead left;
+  text_profile_scaled at 120 = 600 k docs, 2-core wall ~128 s). A measurement whose 2-core wall
   is under ~30 s is floor-dominated and is NOT valid efficiency evidence.
   pip_zonal moved 200 → 400 in round 3: at 200 its measured ~8.6 s of
   serial driver time (Amdahl fit of the 91.6 s / 29.4 s pair) still costs

@@ -76,6 +76,7 @@ BENCH_TABLES = {
     "dedup_suite": set(),
     "dedup_text": {"dedup_docs"},
     "text_profile": set(),
+    "text_profile_scaled": {"dedup_docs"},
     "relational_suite": set(),
 }
 
@@ -290,6 +291,21 @@ def bench_relational(spark):
     return 0
 
 
+def bench_text_profile_scaled(spark):
+    """Scaling-evidence surface for the text-profiling family: Gopher
+    repetition stats + vocabulary heavy-hitters + tf-idf keywords over the
+    BENCH_SCALE-scaled synthetic corpus (same corpus layout as dedup_text —
+    the sf-table variant below cannot provide an N→4N datum at a ≥30 s
+    2-core wall)."""
+    from geotiff_scalable_analysis_pipeline_spark import queries_text as qt
+
+    ded_dir = str(CORPUS / "dedup")
+    _force(qt.q_doc_repetition_stats(spark, ded_dir))
+    _force(qt.q_vocab_heavy_hitters(spark, ded_dir))
+    _force(qt.q_doc_keywords(spark, ded_dir))
+    return N_TEXT_DOCS
+
+
 def bench_text_profile(spark):
     """Text-analytics profiling pass (round-4 additions): Gopher repetition
     stats, vocabulary heavy-hitters, tf-idf keywords, and the composite
@@ -320,7 +336,10 @@ BENCHES = {
 
 # scaling-evidence-only surface: not part of the default suite (it measures
 # the same minhash/simhash code paths dedup_suite already times at sf scale)
-EXTRA_BENCHES = {"dedup_text": bench_dedup_text}
+EXTRA_BENCHES = {
+    "dedup_text": bench_dedup_text,
+    "text_profile_scaled": bench_text_profile_scaled,
+}
 BENCHES_ALL = {**BENCHES, **EXTRA_BENCHES}
 
 

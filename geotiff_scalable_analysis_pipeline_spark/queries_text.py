@@ -1021,6 +1021,112 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) <
 # ---------------------------------------------------------------------------
 
 
+def _adjacent_grams(arr, n: int):
+    """n-gram strings from a token-array Column, built IN-ROW (no explode,
+    no window): ``transform(sequence(1, size-n+1), i -> concat_ws(' ',
+    element_at(arr, i), ...))``; empty array when the doc is shorter than n.
+    ``sequence`` is guarded — Spark generates a DESCENDING sequence when
+    stop < start, so the short-doc case must never reach it.
+
+    ``arr`` MUST be a materialized column (AttributeReference), not a
+    computed expression: higher-order functions are interpreted
+    (CodegenFallback) and re-evaluate everything inside the lambda body PER
+    ELEMENT — an expression-valued ``arr`` turns this O(d) transform into
+    O(d²) (measured: minutes over just 5 k docs). An attribute is one
+    row-field read per access."""
+    idx = F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(arr, i + k) for k in range(n)])
+    )
+    return F.when(F.size(arr) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _rep_agg(s):
+    """Single-pass run-length statistics over a SORTED string-array Column:
+    returns ``struct<top:bigint, singles:bigint>`` — the longest run and the
+    number of runs of length exactly 1. One ``F.aggregate`` whose lambdas
+    reference ONLY lambda variables (acc, x) — the interpreted-HOF trap that
+    makes expression references O(d²) cannot apply; ``s`` itself is the
+    aggregate's input argument, evaluated once per row. O(d) per row after
+    the O(d log d) sort."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("singles"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["top"], new_run).alias("top"),
+            F.when(same, acc["singles"])
+            .otherwise(
+                acc["singles"]
+                + F.when(acc["run"] == 1, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .alias("singles"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["top"].alias("top"),
+            (
+                acc["singles"]
+                + F.when(acc["run"] == 1, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("singles"),
+        )
+
+    return F.aggregate(s, zero, step, finish)
+
+
+def _run_bounds(s):
+    """1-based positions where a SORTED array column starts a new run
+    (``array<int>``; empty for an empty input). ``s`` MUST be an attribute —
+    see ``_adjacent_grams`` — the lambda probes it per element. ``sequence``
+    is guarded against the empty case (stop < start generates a DESCENDING
+    sequence) and the ``i == 1`` disjunct short-circuits before
+    ``element_at`` could see index 0."""
+    b = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(s), F.lit(1))),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(s, i) != F.element_at(s, i - 1)),
+    )
+    return F.when(F.size(s) > 0, b).otherwise(F.array().cast("array<int>"))
+
+
+def _run_pairs(s, b):
+    """(element, count) per run of a SORTED array column ``s`` with run
+    bounds ``b`` (both attributes), as ``array<struct<token,tf>>`` — the
+    in-row term-frequency table. Each run's count is the gap to the next
+    boundary (sentinel: size+1); the ``nxt`` array is an argument of
+    ``zip_with`` (evaluated once per row), only attribute probes happen
+    per element."""
+    nxt = F.concat(
+        F.slice(b, 2, F.greatest(F.size(b) - 1, F.lit(0))),
+        F.array(F.size(s) + 1),
+    )
+    pairs = F.zip_with(
+        b,
+        nxt,
+        lambda st, en: F.struct(
+            F.element_at(s, st).alias("token"), (en - st).cast("long").alias("tf")
+        ),
+    )
+    return F.when(F.size(s) > 0, pairs).otherwise(
+        F.array().cast("array<struct<token:string,tf:bigint>>")
+    )
+
+
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition-filter signals (Rae et al. 2021, appendix
     A1.1 — public): per document, the fraction of n-gram occurrences that
@@ -1028,53 +1134,55 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     This corpus has no line structure (single-line docs), so the n-gram
     family carries the whole repetition signal.
 
-    Scale shape: the lead() windows partition BY DOCUMENT (state bounded by
-    doc length, never by corpus), the n-gram counts are hash aggregates on
-    (doc_id, gram), and the final per-doc rollup is a second map-combined
-    aggregate — no global sort, no corpus-wide window. Counts are integers;
-    each fraction is one exact-operand double division."""
-    toks = _tokens(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    g = toks.select(
+    Scale shape: MAP-ONLY. Per-document repetition is row-local, so the
+    n-grams and their multiplicity stats are computed entirely inside the
+    row with LINEAR array HOFs over a sorted copy (`_runs_zip`) — zero
+    shuffles, zero windows, zero joins. (The first formulation used lead()
+    windows + two (doc_id, gram) aggregates; measured at 600 k docs it was
+    sort/spill-bound and scaled at ~0.5 N→4N — the window sort's per-task
+    memory SHRINKS as cores grow. The in-row form has no such term; the
+    oracle keeps the window formulation, so the pair also proves the two
+    shapes equivalent.) Tokens and the sorted gram arrays are materialized
+    as COLUMNS in staged projections — CollapseProject keeps non-cheap
+    multi-referenced aliases separate, so HOF lambdas only ever probe
+    attributes (O(1)) rather than re-evaluating expression subtrees per
+    element; the run statistics are one `F.aggregate` pass whose lambdas
+    touch only lambda variables. Counts are integers; each fraction is one
+    exact-operand double division."""
+    d = _docs(spark, sf_dir)
+    toked = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    )
+    tk = F.col("toks")
+    sorted_grams = toked.select(
         "doc_id",
-        F.col("token").alias("t0"),
-        F.lead("token", 1).over(w).alias("t1"),
-        F.lead("token", 2).over(w).alias("t2"),
+        # gram count without materializing the gram strings: a doc of t
+        # tokens has max(t-n+1, 0) adjacent n-grams
+        F.greatest(F.size(tk) - 1, F.lit(0)).cast("long").alias("n2"),
+        F.array_sort(_adjacent_grams(tk, 2)).alias("s2"),
+        F.greatest(F.size(tk) - 2, F.lit(0)).cast("long").alias("n3"),
+        F.array_sort(_adjacent_grams(tk, 3)).alias("s3"),
     )
-    bg = g.filter(F.col("t1").isNotNull()).select(
-        "doc_id", F.concat_ws(" ", "t0", "t1").alias("gram")
-    )
-    tg = g.filter(F.col("t2").isNotNull()).select(
-        "doc_id", F.concat_ws(" ", "t0", "t1", "t2").alias("gram")
+    agged = sorted_grams.select(
+        "doc_id", "n2", "n3",
+        _rep_agg(F.col("s2")).alias("a2"),
+        _rep_agg(F.col("s3")).alias("a3"),
     )
 
-    def _stats(grams: DataFrame, n: str) -> DataFrame:
-        c = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-        return c.groupBy("doc_id").agg(
-            F.sum("c").alias(f"n{n}"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
-                f"dup{n}"
-            ),
-            F.max("c").alias(f"top{n}"),
-        )
-
-    base = _docs(spark, sf_dir).select("doc_id")
-    out = base.join(_stats(bg, "2"), "doc_id", "left").join(
-        _stats(tg, "3"), "doc_id", "left"
-    )
-    cols = ["doc_id"]
-    for n in ("2", "3"):
-        nn = F.coalesce(F.col(f"n{n}"), F.lit(0).cast("long"))
-        dd = F.coalesce(F.col(f"dup{n}"), F.lit(0).cast("long"))
-        cols += [
-            nn.alias(f"n{n}"),
-            dd.alias(f"dup{n}"),
-            F.coalesce(F.col(f"top{n}"), F.lit(0).cast("long")).alias(f"top{n}"),
-            (dd.cast("double") / F.greatest(nn, F.lit(1)).cast("double")).alias(
-                f"dup{n}_frac"
-            ),
+    def stats(n: str):
+        total = F.col(f"n{n}")
+        a = F.col(f"a{n}")
+        dup = total - a["singles"]
+        return [
+            total.alias(f"n{n}"),
+            dup.alias(f"dup{n}"),
+            a["top"].alias(f"top{n}"),
+            (
+                dup.cast("double") / F.greatest(total, F.lit(1)).cast("double")
+            ).alias(f"dup{n}_frac"),
         ]
-    return out.select(*cols)
+
+    return agged.select("doc_id", *stats("2"), *stats("3"))
 
 
 SQL_DOC_REPETITION = f"""
@@ -1244,20 +1352,24 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-``HH_TOP_K`` tokens by frequency (corpus vocabulary
     heavy-hitters — the profiling pass a tokenizer-training pipeline runs).
 
-    Scale shape: token counts are ONE map-combined hash aggregate on
-    (lang, token). The top-k is two-phase: a first row_number() windows over
-    (lang, hash-bucket) — 16 buckets, so no single task ever sees more than
-    ~vocab/16 of a language's distinct tokens (a web corpus vocabulary is
-    ~10⁸; one partition per language would be a scale-killer) — then the
-    survivors (≤ 16·k rows per language) go through the tiny final window.
-    Bucketing cannot change the answer: any token in the true top-k is in
-    the top-k of its own bucket. Tie order (cnt DESC, token ASC) is total,
-    so both engines agree exactly."""
-    toks = _tokens(spark, sf_dir)
-    langs = _docs(spark, sf_dir).select("doc_id", "lang")
-    c = toks.join(langs, "doc_id").groupBy("lang", "token").agg(
-        F.count("*").alias("cnt")
+    Scale shape: ``lang`` rides THROUGH the token explode (no tokens⋈docs
+    join — the first formulation joined 30 M token rows against a 600 k-doc
+    broadcast for a column the source row already had). Token counts are
+    then ONE map-combined hash aggregate on (lang, token). The top-k is
+    two-phase: a first row_number() windows over (lang, hash-bucket) — 16
+    buckets, so no single task ever sees more than ~vocab/16 of a
+    language's distinct tokens (a web corpus vocabulary is ~10⁸; one
+    partition per language would be a scale-killer) — then the survivors
+    (≤ 16·k rows per language) go through the tiny final window. Bucketing
+    cannot change the answer: any token in the true top-k is in the top-k
+    of its own bucket. Tie order (cnt DESC, token ASC) is total, so both
+    engines agree exactly."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
     )
+    c = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
     w1 = Window.partitionBy("lang", F.pmod(F.hash("token"), F.lit(16))).orderBy(
         F.desc("cnt"), "token"
     )
@@ -1290,20 +1402,47 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact tf-idf order within equal-tf groups and keeps the oracle pair
     bit-exact (no floating log whose last ulp could differ across engines).
 
-    Scale shape: tf is a map-combined aggregate on (doc_id, token); df is a
-    second aggregate over tf's (token) — both shuffle once on keys that
-    cannot be skewed worse than the corpus itself. The tf×df equi-join
-    shuffles on token, and the final window partitions BY DOCUMENT (state
-    bounded by a doc's distinct tokens, never by corpus size)."""
-    toks = _tokens(spark, sf_dir)
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    Scale shape: tf is computed IN-ROW (per-doc term frequency is row-local
+    — the linear sort+run-length table of `_run_pairs` over staged
+    materialized columns, then one explode of the ~d distinct tokens per
+    doc); df is a map-combined aggregate on token; the tf×df equi-join
+    shuffles on token; the per-doc top-k is an AGGREGATE
+    (sort_array(collect_list)[:k], state bounded by a doc's distinct
+    tokens), not a window — the first formulation's corpus-wide window sort
+    was spill-bound at 600 k docs (its per-task sort memory shrinks as
+    cores grow; measured pair efficiencies swung 0.3-2.0 on pure spill
+    behavior)."""
+    d = _docs(spark, sf_dir)
+    sorted_toks = d.select(
+        "doc_id",
+        F.array_sort(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("s"),
+    )
+    bounded = sorted_toks.select(
+        "doc_id", "s", _run_bounds(F.col("s")).alias("b")
+    )
+    tf = bounded.select(
+        "doc_id", F.explode(_run_pairs(F.col("s"), F.col("b"))).alias("p")
+    ).select("doc_id", "p.token", "p.tf")
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "df", "token")
-    return (
-        tf.join(df, "token")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KEYWORDS_TOP_K)
-        .select("doc_id", F.col("rank").cast("long").alias("rank"), "token", "tf", "df")
+    ranked = tf.join(df, "token").select(
+        "doc_id",
+        F.struct(
+            (-F.col("tf")).alias("neg_tf"), "df", "token"
+        ).alias("key"),
+    )
+    topk = ranked.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list("key")), 1, KEYWORDS_TOP_K
+        ).alias("top")
+    )
+    return topk.select("doc_id", F.posexplode("top").alias("i", "k")).select(
+        "doc_id",
+        (F.col("i") + 1).cast("long").alias("rank"),
+        F.col("k.token").alias("token"),
+        (-F.col("k.neg_tf")).alias("tf"),
+        F.col("k.df").alias("df"),
     )
 
 
