@@ -42,7 +42,7 @@ WITH px AS (
        range(0, {dg.MM_C}) ch(ch)
   WHERE k % 3 = 0)
 SELECT {_REF} AS media_ref, CAST(ch AS INTEGER) AS ch,
-       count(*) AS cnt, sum(px) AS sum_px,
+       count(*) AS cnt, CAST(sum(px) AS BIGINT) AS sum_px,
        CAST(min(px) AS INTEGER) AS min_px, CAST(max(px) AS INTEGER) AS max_px
 FROM px GROUP BY k, ch"""
 
@@ -56,7 +56,7 @@ WITH s AS (
   SELECT k, {dg.mm_sample_sql("k", "n.n")} AS pcm
   FROM range(0, {N_MM}) ks(k), range(0, {dg.MM_RATE}) n(n)
   WHERE k % 3 = 1)
-SELECT {_REF} AS media_ref, count(*) AS n_samples, sum(pcm) AS sum_pcm,
+SELECT {_REF} AS media_ref, count(*) AS n_samples, CAST(sum(pcm) AS BIGINT) AS sum_pcm,
        CAST(min(pcm) AS INTEGER) AS min_pcm, CAST(max(pcm) AS INTEGER) AS max_pcm
 FROM s GROUP BY k"""
 
@@ -72,7 +72,7 @@ WITH px AS (
        range(0, {dg.MM_H}) r(r), range(0, {dg.MM_W}) c(c),
        range(0, {dg.MM_C}) ch(ch)
   WHERE k % 3 = 2)
-SELECT {_REF} AS media_ref, CAST(f AS INTEGER) AS frame, sum(px) AS sum_px
+SELECT {_REF} AS media_ref, CAST(f AS INTEGER) AS frame, CAST(sum(px) AS BIGINT) AS sum_px
 FROM px GROUP BY k, f"""
 
 

@@ -934,10 +934,10 @@ c AS (
          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
   FROM t)
-SELECT doc_id, n_tokens, start_off,
-       start_off // 2048 AS seq_first,
-       CASE WHEN n_tokens = 0 THEN start_off // 2048
-            ELSE (start_off + n_tokens - 1) // 2048 END AS seq_last
+SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 2048 AS BIGINT) AS seq_first,
+       CAST(CASE WHEN n_tokens = 0 THEN start_off // 2048
+            ELSE (start_off + n_tokens - 1) // 2048 END AS BIGINT) AS seq_last
 FROM c"""
 
 
