@@ -1,0 +1,173 @@
+"""Focal (neighborhood) raster convolution with perimeter-only halo exchange.
+
+The reference processes each scene tile independently, reflection-padding its
+own borders (src/eo_core/data.py:241-245) because its chunk grid lives inside
+one rasterio dataset. A *distributed* focal filter across tile boundaries is
+the missing classic: pixel windows that straddle two tiles need data held by
+another executor. The Spark-first answer is a halo exchange:
+
+1. ONE decode pass (``mapInPandas``) over the media blobs. Per tile it emits
+   the decoded core as raw uint16 bytes plus up to eight *perimeter strips*
+   (``radius`` pixels deep) addressed to the grid neighbors that need them.
+   A strip is O(radius·px) — for a production 512 px tile with radius 1 the
+   halo traffic is < 2 % of the raster volume.
+2. ONE ``groupBy(grid_row, grid_col).applyInPandas`` co-locates each tile's
+   core with the strips mailed to it, assembles the (bands, px+2r, px+2r)
+   padded array, and computes the focal mean via an integer summed-area
+   table. Missing neighbors (mosaic edge, sparse grids) truncate the window
+   — the count comes from a presence mask, never an assumed 9.
+
+So the whole operator is a single shuffle whose payload is the decoded
+rasters plus a ~2 % halo overhead; per-pixel data never reaches the driver
+and no tile is decoded twice. (For genuinely compressed sources you would
+instead ship the *encoded* core and pay a second decode — noted here because
+this codec is uncompressed, making decoded-core shipping strictly cheaper.)
+
+Semantics (integer-exact, oracle-friendly): DNs are non-negative uint16, so
+``focal_mean = window_sum // window_count`` is identical under floor and
+truncation in every engine. Output is one row per (media_ref, band) with the
+count / sum / min / max of the focal means over the tile's own pixels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FOCAL_STATS_SCHEMA = (
+    "media_ref string, band int, n_px long, sum_fm long, min_fm int, max_fm int"
+)
+
+# exchange rows: kind 0 = decoded core, kind 1 = halo strip from the neighbor
+# at (-dr, -dc) relative to the target tile
+_EXCHANGE_SCHEMA = (
+    "tgt_row int, tgt_col int, kind int, dr int, dc int, "
+    "media_ref string, blob binary"
+)
+
+
+def _strip_bounds(d: int, px: int, radius: int) -> tuple[int, int]:
+    """Rows/cols of THIS tile that the neighbor in direction ``d`` needs."""
+    if d == -1:  # neighbor above/left touches this tile's leading edge
+        return 0, radius
+    if d == 1:  # neighbor below/right touches this tile's trailing edge
+        return px - radius, px
+    return 0, px
+
+
+def focal_stats(
+    media: DataFrame,
+    grid_cols: int,
+    grid_rows: int,
+    tile_px: int,
+    radius: int = 1,
+) -> DataFrame:
+    """3×3 (or (2r+1)²) focal-mean statistics across tile boundaries.
+
+    ``media`` is (media_ref, tile_k, payload BINARY); tile_k indexes a dense
+    scene mosaic row-major: grid position = (tile_k // grid_cols,
+    tile_k % grid_cols). Tiles absent from ``media`` simply truncate their
+    neighbors' windows (sparse mosaics are legal).
+    """
+    import pandas as pd
+
+    px, r = tile_px, radius
+    if not (1 <= r < px):
+        raise ValueError(f"radius must be in [1, tile_px); got {r}")
+
+    def exchange(it):
+        from ..formats import tiff
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "tgt_row", "tgt_col", "kind", "dr", "dc", "media_ref", "blob",
+            )}
+            for ref, tile_k, payload in zip(
+                pdf["media_ref"], pdf["tile_k"], pdf["payload"]
+            ):
+                arr, _ = tiff.decode(bytes(payload))
+                a = np.ascontiguousarray(arr.astype(np.uint16))
+                grow, gcol = int(tile_k) // grid_cols, int(tile_k) % grid_cols
+                out["tgt_row"].append(grow)
+                out["tgt_col"].append(gcol)
+                out["kind"].append(0)
+                out["dr"].append(0)
+                out["dc"].append(0)
+                out["media_ref"].append(ref)
+                out["blob"].append(a.tobytes())
+                for dr in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        if dr == 0 and dc == 0:
+                            continue
+                        tr, tc = grow + dr, gcol + dc
+                        if not (0 <= tr < grid_rows and 0 <= tc < grid_cols):
+                            continue
+                        r0, r1 = _strip_bounds(dr, px, r)
+                        c0, c1 = _strip_bounds(dc, px, r)
+                        strip = np.ascontiguousarray(a[:, r0:r1, c0:c1])
+                        out["tgt_row"].append(tr)
+                        out["tgt_col"].append(tc)
+                        out["kind"].append(1)
+                        out["dr"].append(dr)
+                        out["dc"].append(dc)
+                        out["media_ref"].append(ref)
+                        out["blob"].append(strip.tobytes())
+            yield pd.DataFrame(out)
+
+    def assemble(pdf):
+        cores = pdf[pdf["kind"] == 0]
+        if len(cores) == 0:  # strips mailed to an absent tile — nothing to do
+            return pd.DataFrame(
+                {k: [] for k in (
+                    "media_ref", "band", "n_px", "sum_fm", "min_fm", "max_fm",
+                )}
+            )
+        core = np.frombuffer(cores["blob"].iloc[0], dtype=np.uint16)
+        nb = core.size // (px * px)
+        padded = np.zeros((nb, px + 2 * r, px + 2 * r), dtype=np.int64)
+        mask = np.zeros((px + 2 * r, px + 2 * r), dtype=np.int64)
+        padded[:, r : r + px, r : r + px] = core.reshape(nb, px, px)
+        mask[r : r + px, r : r + px] = 1
+        for _, row in pdf[pdf["kind"] == 1].iterrows():
+            dr, dc = int(row["dr"]), int(row["dc"])
+            h = r if dr else px
+            w = r if dc else px
+            strip = np.frombuffer(row["blob"], dtype=np.uint16).reshape(nb, h, w)
+            # the strip's first pixel sits at source-local (r0, c0); relative
+            # to the target tile's origin that is (r0 - dr·px, c0 - dc·px)
+            pr = _strip_bounds(dr, px, r)[0] - dr * px + r
+            pc = _strip_bounds(dc, px, r)[0] - dc * px + r
+            padded[:, pr : pr + h, pc : pc + w] = strip
+            mask[pr : pr + h, pc : pc + w] = 1
+        side = 2 * r + 1
+
+        def winsum(a2d: np.ndarray) -> np.ndarray:
+            s = np.zeros((a2d.shape[0] + 1, a2d.shape[1] + 1), dtype=np.int64)
+            np.cumsum(np.cumsum(a2d, axis=0), axis=1, out=s[1:, 1:])
+            return (
+                s[side:, side:] - s[:-side, side:] - s[side:, :-side]
+                + s[:-side, :-side]
+            )
+
+        cnt = winsum(mask)  # ≥ 1: the window always contains its core pixel
+        ref = cores["media_ref"].iloc[0]
+        rows = {k: [] for k in (
+            "media_ref", "band", "n_px", "sum_fm", "min_fm", "max_fm",
+        )}
+        for b in range(nb):
+            fm = winsum(padded[b]) // cnt
+            rows["media_ref"].append(ref)
+            rows["band"].append(b)
+            rows["n_px"].append(fm.size)
+            rows["sum_fm"].append(int(fm.sum()))
+            rows["min_fm"].append(int(fm.min()))
+            rows["max_fm"].append(int(fm.max()))
+        return pd.DataFrame(rows)
+
+    exchanged = media.select("media_ref", "tile_k", "payload").mapInPandas(
+        exchange, _EXCHANGE_SCHEMA
+    )
+    return exchanged.groupBy("tgt_row", "tgt_col").applyInPandas(
+        assemble, FOCAL_STATS_SCHEMA
+    )

@@ -1106,6 +1106,55 @@ SELECT cell, CAST(band AS INTEGER) AS band, n_acq, CAST(ft.t AS INTEGER) AS t,
 FROM ser, range(0, {N_FRAMES}) ft(t)"""
 
 
+FOCAL_GC, FOCAL_GR = 20, 10  # 200 media tiles as a dense 20×10 scene mosaic
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 3×3 focal mean across tile seams (perimeter-only halo
+    exchange, operators/focal.py). The reference pads each tile with its OWN
+    reflected border (src/eo_core/data.py:241-245) because its windows never
+    leave one rasterio dataset; here the windows genuinely cross executor
+    boundaries and the halos are shuffled strips."""
+    from .operators import focal
+
+    media = dg.media_df(spark, CFG)
+    out = focal.focal_stats(media, FOCAL_GC, FOCAL_GR, CFG.tile_px, radius=1)
+    return out.orderBy("media_ref", "band")
+
+
+def _sql_focal_stats() -> str:
+    """Oracle: the focal mean recomputed per mosaic pixel straight from the
+    DN formula — nine guarded inline terms, no joins, no halos. Any seam or
+    truncation error in the distributed exchange diverges from this."""
+    px, gc, gr, nb = CFG.tile_px, FOCAL_GC, FOCAL_GR, CFG.n_bands
+    H, W = gr * px, gc * px
+
+    def dn_at(r_expr: str, c_expr: str) -> str:
+        tk = f"((({r_expr})//{px})*{gc} + (({c_expr})//{px}))"
+        return dg.dn_sql(tk, "b", f"(({r_expr})%{px})", f"(({c_expr})%{px})")
+
+    terms, cnts = [], []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            g = f"R+({dr}) BETWEEN 0 AND {H - 1} AND C+({dc}) BETWEEN 0 AND {W - 1}"
+            terms.append(
+                f"CASE WHEN {g} THEN {dn_at(f'R+({dr})', f'C+({dc})')} ELSE 0 END"
+            )
+            cnts.append(f"CASE WHEN {g} THEN 1 ELSE 0 END")
+    return f"""
+WITH px AS (
+  SELECT R, C, b,
+         ({' + '.join(terms)}) AS wsum,
+         ({' + '.join(cnts)}) AS wcnt
+  FROM range(0, {H}) rr(R), range(0, {W}) cc(C), range(0, {nb}) bb(b)),
+fm AS (SELECT (R//{px})*{gc} + (C//{px}) AS tk, b, wsum // wcnt AS fm FROM px)
+SELECT 'tile' || lpad(CAST(tk AS VARCHAR), 8, '0') AS media_ref,
+       CAST(b AS INTEGER) AS band, count(*) AS n_px,
+       CAST(sum(fm) AS BIGINT) AS sum_fm,
+       CAST(min(fm) AS INTEGER) AS min_fm, CAST(max(fm) AS INTEGER) AS max_fm
+FROM fm GROUP BY tk, b"""
+
+
 QUERIES = {
     "pip_join_rect": (q_pip_rect, SQL_PIP_RECT),
     "pip_join_poly": (q_pip_poly, SQL_PIP_POLY),
@@ -1136,4 +1185,5 @@ QUERIES = {
     "temporal_stack_frames": (q_temporal_stack, SQL_TEMPORAL_STACK),
     "global_class_probs": (q_global_class_probs, _sql_global_class_probs()),
     "class_metrics": (q_class_metrics, _sql_class_metrics()),
+    "focal_mean_stats": (q_focal_stats, _sql_focal_stats()),
 }

@@ -866,6 +866,151 @@ SELECT r.vec_id, r.rep_id, s.csize FROM rep r JOIN sizes s USING (rep_id)"""
 SQL_EMBEDDING_NEARDUP_COMPONENTS = _sql_embedding_neardup_components()
 
 
+# ---------------------------------------------------------------------------
+# distributed Lloyd's k-means + SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+KM_K, KM_ITERS = 8, 3
+SEMDEDUP_TAU = 0.35
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/kmeans.py): 3 exact-integer
+    iterations from deterministic stride seeds; output is every vector's
+    final cluster + exact squared distance. The oracle re-runs the identical
+    iterations as unrolled SQL CTEs — assignment parity is bit-for-bit."""
+    from .operators import kmeans
+
+    qv = _quantized(spark, sf_dir).select("vec_id", "q")
+    out, _ = kmeans.lloyd_kmeans(qv, KM_K, KM_ITERS, dim=64)
+    return out
+
+
+def _sql_kmeans_ctes() -> str:
+    """The k-means iteration chain as DuckDB CTEs, ending at ``km_final``
+    (vec_id, cl, d2) — shared by the assignment and SemDeDup oracles.
+
+    Centroid update uses floor(CAST(sum AS DOUBLE)/count): exact while
+    |sum| < 2⁵² and the true quotient is ≥ 1/count away from the nearest
+    integer unless exactly integral — both hold by construction here
+    (|coord| ≤ 10⁶ · 0.5, count ≤ corpus), matching numpy floor_divide."""
+    head = f"""q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS q
+  FROM embeddings),
+flat AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) - 1 AS i FROM q),
+meta AS (SELECT count(*) // {KM_K} AS stride FROM q),
+c0 AS (
+  SELECT CAST(f.vec_id // m.stride AS INT) AS cl, f.i, f.v
+  FROM flat f, meta m
+  WHERE f.vec_id % m.stride = 0 AND f.vec_id < m.stride * {KM_K})"""
+    steps = []
+    for t in range(1, KM_ITERS + 1):
+        steps.append(f"""d{t} AS (
+  SELECT f.vec_id, c.cl, CAST(sum((f.v - c.v) * (f.v - c.v)) AS BIGINT) AS d2
+  FROM flat f JOIN c{t - 1} c USING (i) GROUP BY f.vec_id, c.cl),
+a{t} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+    FROM d{t}) WHERE rn = 1),
+u{t} AS (
+  SELECT a.cl, f.i,
+         CAST(floor(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+  FROM flat f JOIN a{t} a USING (vec_id) GROUP BY a.cl, f.i),
+c{t} AS (
+  SELECT * FROM u{t}
+  UNION ALL
+  SELECT p.* FROM c{t - 1} p
+  WHERE p.cl NOT IN (SELECT DISTINCT cl FROM u{t}))""")
+    final = f"""dF AS (
+  SELECT f.vec_id, c.cl, CAST(sum((f.v - c.v) * (f.v - c.v)) AS BIGINT) AS d2
+  FROM flat f JOIN c{KM_ITERS} c USING (i) GROUP BY f.vec_id, c.cl),
+km_final AS (
+  SELECT vec_id, cl, d2 FROM (
+    SELECT vec_id, cl, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+    FROM dF) WHERE rn = 1)"""
+    return ",\n".join([head, *steps, final])
+
+
+SQL_KMEANS_ASSIGN = f"""WITH {_sql_kmeans_ctes()}
+SELECT vec_id, CAST(cl AS INTEGER) AS cluster, d2 AS dist_sq FROM km_final"""
+
+
+def q_semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) re-expressed Spark-first: k-means
+    clusters bound the candidate space, pairwise exact int64 cosine runs
+    only WITHIN each cluster (shuffle key = cluster id, never all-pairs),
+    and duplicate groups collapse via the existing O(log n) large/small-star
+    connected components. Output mirrors ``embedding_neardup_components``:
+    per-vector duplicate-cluster representative + component size."""
+    from .operators import kmeans
+    from .operators.dedup_cc import connected_components
+
+    qv = _quantized(spark, sf_dir).select("vec_id", "q")
+    asg, _ = kmeans.lloyd_kmeans(qv, KM_K, KM_ITERS, dim=64)
+    n2 = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    a = qv.join(asg.select("vec_id", "cluster"), "vec_id").select(
+        "cluster", "vec_id", "q", n2.alias("n2")
+    )
+    b = a.select(
+        "cluster",
+        F.col("vec_id").alias("other_id"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("n2b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    cos = dot.cast("double") / F.sqrt(F.col("n2").cast("double") * F.col("n2b").cast("double"))
+    edges = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_id") < F.col("other_id"))
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(F.col("vec_id").alias("u"), F.col("other_id").alias("v"))
+    )
+    nodes = qv.select(F.col("vec_id").alias("node"))
+    reps = connected_components(edges, nodes)
+    sizes = reps.groupBy("rep").agg(F.count("*").alias("csize"))
+    return reps.join(sizes, "rep").select(
+        F.col("node").alias("vec_id"), F.col("rep").alias("rep_id"), "csize"
+    )
+
+
+# MATERIALIZED: inside a WITH RECURSIVE, DuckDB would otherwise inline the
+# whole k-means chain into each consumer (measured 68 s → 1 s at n=500)
+SQL_SEMANTIC_DEDUP = f"""WITH RECURSIVE {_sql_kmeans_ctes().replace("flat AS (", "flat AS MATERIALIZED (").replace("km_final AS (", "km_final AS MATERIALIZED (")},
+nrm AS (
+  SELECT vec_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(q, x -> x * x)), (a,b) -> a+b) AS BIGINT) AS n2
+  FROM q),
+pair_dots AS MATERIALIZED (
+  SELECT ka.vec_id, kb.vec_id AS other_id, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+  FROM km_final ka
+  JOIN km_final kb ON ka.cl = kb.cl AND ka.vec_id < kb.vec_id
+  JOIN flat fa ON fa.vec_id = ka.vec_id
+  JOIN flat fb ON fb.vec_id = kb.vec_id AND fb.i = fa.i
+  GROUP BY ka.vec_id, kb.vec_id),
+edges AS MATERIALIZED (
+  SELECT p.vec_id AS u, p.other_id AS v
+  FROM pair_dots p
+  JOIN nrm na ON na.vec_id = p.vec_id
+  JOIN nrm nb ON nb.vec_id = p.other_id
+  WHERE CAST(p.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+        >= {SEMDEDUP_TAU}),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node),
+rep AS (SELECT node AS vec_id, min(lab) AS rep_id FROM reach GROUP BY node),
+sizes AS (SELECT rep_id, count(*) AS csize FROM rep GROUP BY rep_id)
+SELECT r.vec_id, r.rep_id, s.csize FROM rep r JOIN sizes s USING (rep_id)"""
+
+
 def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as a REAL Structured Streaming query: file-source
     readStream over documents → state-store ``dropDuplicates`` on
@@ -1474,6 +1619,8 @@ QUERIES = {
         q_embedding_neardup_components,
         SQL_EMBEDDING_NEARDUP_COMPONENTS,
     ),
+    "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "semantic_dedup_components": (q_semantic_dedup_components, SQL_SEMANTIC_DEDUP),
     "embedding_ann_lsh": (q_embedding_ann_lsh, SQL_ANN_LSH),
     "embedding_ann_ivf": (q_embedding_ann_ivf, SQL_ANN_IVF),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
