@@ -263,6 +263,76 @@ def chunk_prob_payloads(
     )
 
 
+CHUNK_METRIC_SCHEMA = (
+    "media_ref string, chunk_r int, chunk_c int, h int, w int, "
+    "class_payload binary, conf_payload binary, entr_payload binary, "
+    "gap_payload binary"
+)
+
+
+def pixel_metrics_np(probs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-PIXEL metric planes from a (C, h, w) float32 probability cube —
+    the reference GeoTIFF reporter's on_chunk math, verbatim semantics
+    (reference: src/eo_core/reporters/geotiff.py:72-93): uint8 argmax class,
+    float32 max-prob confidence, float32 Shannon entropy
+    −Σ p·log(clip(p, 1e-6, 1)), float32 top1−top2 gap (zeros when C < 2).
+    All arithmetic stays in float32, as the reference's cubes are."""
+    dom = np.argmax(probs, axis=0).astype(np.uint8)
+    conf = np.max(probs, axis=0).astype(np.float32)
+    entr = -np.sum(probs * np.log(np.clip(probs, 1e-6, 1.0)), axis=0).astype(np.float32)
+    if probs.shape[0] >= 2:
+        top2 = np.partition(probs, -2, axis=0)[-2:]
+        gap = (top2[1] - top2[0]).astype(np.float32)
+    else:
+        gap = np.zeros(probs.shape[1:], dtype=np.float32)
+    return dom, conf, entr, gap
+
+
+def chunk_metric_payloads(prob_chunks: DataFrame) -> DataFrame:
+    """Distributed per-pixel metric rasters: one row per chunk carrying the
+    four metric planes over its ZoR window, computed from the K2 probability
+    payloads (``chunk_prob_payloads`` rows, possibly read back through the
+    table catalog).
+
+    This is the reference's GeoTIFF reporter loop re-expressed as a
+    map-only stage: the reference computes each chunk's metrics on the
+    writer process and ``dst.write(..., window=window)``s them into four
+    open rasters (geotiff.py:67-102); here every chunk is independent
+    (ZoR windows are disjoint), so the metric computation needs no shuffle
+    at any scale — ``sources.sinks.export_metric_geotiffs`` does the
+    windowed placement driver-side at export time."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_ref", "chunk_r", "chunk_c", "h", "w",
+                "class_payload", "conf_payload", "entr_payload", "gap_payload",
+            )}
+            for ref, r0, c0, nc, h, w, payload in zip(
+                pdf["media_ref"], pdf["chunk_r"], pdf["chunk_c"],
+                pdf["n_classes"], pdf["h"], pdf["w"], pdf["payload"],
+            ):
+                probs = np.frombuffer(bytes(payload), dtype=np.float32).reshape(
+                    int(nc), int(h), int(w)
+                )
+                dom, conf, entr, gap = pixel_metrics_np(probs)
+                out["media_ref"].append(ref)
+                out["chunk_r"].append(int(r0))
+                out["chunk_c"].append(int(c0))
+                out["h"].append(int(h))
+                out["w"].append(int(w))
+                out["class_payload"].append(dom.tobytes())
+                out["conf_payload"].append(conf.tobytes())
+                out["entr_payload"].append(entr.tobytes())
+                out["gap_payload"].append(gap.tobytes())
+            yield pd.DataFrame(out)
+
+    return prob_chunks.select(
+        "media_ref", "chunk_r", "chunk_c", "n_classes", "h", "w", "payload"
+    ).mapInPandas(run, CHUNK_METRIC_SCHEMA)
+
+
 def class_metrics(global_probs: DataFrame) -> DataFrame:
     """Per-tile class metrics from the pooled probability vector
     (reference reporters/geotiff.py:68-102): argmax class (P9), max-prob

@@ -81,6 +81,53 @@ def export_probability_geotiffs(
     return written
 
 
+def export_metric_geotiffs(
+    metric_chunks: DataFrame,
+    tile_meta: dict[str, tuple[int, int, float, float, float]],
+    out_dir: str | Path,
+) -> dict[str, dict[str, str]]:
+    """K1 per-pixel metric rasters: reassemble ``chunking.chunk_metric_payloads``
+    rows into the reference GeoTIFF reporter's four per-tile rasters —
+    ``{tile}_class.tif`` (argmax class; uint16 here, the codec's narrowest
+    integer type — the reference writes uint8, geotiff.py:55),
+    ``{tile}_maxprob.tif`` / ``{tile}_entropy.tif`` / ``{tile}_gap.tif``
+    (float32, geotiff.py:57). Chunk ZoR windows are disjoint, so placement
+    is pure assignment — the driver-side analog of the reference's
+    ``dst.write(..., window=window)`` (geotiff.py:74-92). Small-scale
+    export sink, same contract as the K2 exporter above. Returns
+    {media_ref: {metric: path}}; the previews sink
+    (``sources.preview.export_previews_from_rasters``) reads these back
+    exactly as the reference's PreviewReporter does."""
+    from ..formats import tiff
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pdf = metric_chunks.toPandas()
+    planes = (
+        ("class", "class_payload", np.uint8, np.uint16),
+        ("maxprob", "conf_payload", np.float32, np.float32),
+        ("entropy", "entr_payload", np.float32, np.float32),
+        ("gap", "gap_payload", np.float32, np.float32),
+    )
+    written: dict[str, dict[str, str]] = {}
+    for ref, grp in pdf.groupby("media_ref"):
+        H, W, px, x0, y1 = tile_meta[ref]
+        rasters = {m: np.zeros((H, W), dtype=enc) for m, _, _, enc in planes}
+        for _, row in grp.iterrows():
+            h, w = int(row["h"]), int(row["w"])
+            r0, c0 = int(row["chunk_r"]), int(row["chunk_c"])
+            for m, col, wire, _ in planes:
+                block = np.frombuffer(bytes(row[col]), dtype=wire).reshape(h, w)
+                rasters[m][r0 : r0 + h, c0 : c0 + w] = block
+        written[ref] = {}
+        for m, _, _, _ in planes:
+            buf = tiff.encode(rasters[m][None], pixel_scale=(px, px), tiepoint=(x0, y1))
+            p = out / f"{ref}_{m}.tif"
+            p.write_bytes(buf)
+            written[ref][m] = str(p)
+    return written
+
+
 def export_global_probs_json(global_probs: DataFrame, out_path: str | Path) -> str:
     """K3: per-tile class probability vectors as JSON (float64-accumulated,
     reference reporters/aggregated.py:45-63)."""

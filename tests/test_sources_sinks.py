@@ -108,6 +108,60 @@ def test_probability_sink_round_trip(spark, tmp_path):
         assert (arr == want).all()  # bit-for-bit float32
 
 
+def test_metric_geotiffs_round_trip(spark, tmp_path):
+    """K1 per-pixel metric rasters: chunked prob payloads → distributed
+    per-chunk metrics (mapInPandas) → reassembled class/maxprob/entropy/gap
+    GeoTIFFs, bit-identical to the single-process numpy oracle — and the
+    K4 preview sink reads them back like the reference's PreviewReporter."""
+    from tests.oracle import oracle_chunk_prob_cube
+
+    from geotiff_scalable_analysis_pipeline_spark.formats import png
+    from geotiff_scalable_analysis_pipeline_spark.sources import preview as pv
+
+    cfg = dg.GoldenConfig(n_tiles=4, tile_px=64, n_media_tiles=4)
+    zor, halo, patch, stride = 32, 8, 16, 8
+    media = dg.media_df(spark, cfg)
+    payloads = chunking.chunk_prob_payloads(media, zor=zor, halo=halo, patch=patch, stride=stride)
+    metrics = chunking.chunk_metric_payloads(payloads)
+
+    tiles = dg.tiles_np(cfg)
+    meta = {
+        str(tiles["media_ref"][k]): (cfg.tile_px, cfg.tile_px, float(cfg.px_size),
+                                     float(tiles["x0"][k]), float(tiles["y1"][k]))
+        for k in range(cfg.n_media_tiles)
+    }
+    written = sinks.export_metric_geotiffs(metrics, meta, tmp_path)
+    assert len(written) == 4
+
+    band, r, c = np.meshgrid(
+        np.arange(cfg.n_bands), np.arange(cfg.tile_px), np.arange(cfg.tile_px), indexing="ij"
+    )
+    nc = None
+    for k in range(4):
+        ref = str(tiles["media_ref"][k])
+        dn = dg.dn_np(np.int64(k), band, r, c)
+        cube = oracle_chunk_prob_cube(dn, 300 if k % 2 == 0 else 500, zor, halo, patch, stride)
+        nc = cube.shape[0]
+        dom, conf, entr, gap = chunking.pixel_metrics_np(cube)
+        for m, want in (("class", dom.astype(np.uint16)), ("maxprob", conf),
+                        ("entropy", entr), ("gap", gap)):
+            arr, prof = tiff.decode(open(written[ref][m], "rb").read())
+            assert arr.dtype == want.dtype and (arr[0] == want).all(), (ref, m)
+            assert prof.tiepoint == (float(tiles["x0"][k]), float(tiles["y1"][k]))
+
+    # reference read-back flow: previews straight from the written rasters
+    ref0 = str(tiles["media_ref"][0])
+    colors = np.arange(nc * 3, dtype=np.uint8).reshape(nc, 3) * 7
+    out = pv.export_previews_from_rasters(tmp_path, ref0, colors, n_classes=nc, downscale=8)
+    assert set(out) == {"class", "maxprob", "maxprob_colorbar",
+                        "entropy", "entropy_colorbar", "gap", "gap_colorbar"}
+    cls_tif, _ = tiff.decode(open(written[ref0]["class"], "rb").read())
+    assert np.array_equal(
+        png.decode((tmp_path / "preview_class.png").read_bytes()),
+        pv.render_class_preview(cls_tif[0], colors, downscale=8),
+    )
+
+
 # ---------------------------------------------------------------------------
 # K4 preview PNGs + K6 viewer (round 4 — real artifacts via formats/png.py)
 # ---------------------------------------------------------------------------
