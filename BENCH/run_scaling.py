@@ -59,7 +59,8 @@ REPS = int(os.environ.get("SCALING_REPS", "3"))
 QUERY_SCALES = json.loads(
     os.environ.get(
         "SCALING_QUERY_SCALES",
-        '{"pip_zonal": 400, "knn": 400, "raster_stats": 40, "zonal_stats": 80, "dedup_text": 120}',
+        '{"pip_zonal": 400, "knn": 800, "raster_stats": 40, "zonal_stats": 240, '
+        '"dedup_text": 240, "text_profile_scaled": 360}',
     )
 )
 DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "12g")  # see module docstring
@@ -80,13 +81,21 @@ def canary() -> float:
 
 
 def hardware_ceiling() -> dict:
-    """Per-process throughput at each level (weak scaling of pure CPU work)."""
+    """Per-process throughput at each level (weak scaling of pure CPU work).
+
+    Best-of-3 per level: the ceiling is a CAPABILITY bound, so each level
+    takes its fastest window — one slow 1-proc draw otherwise inverts the
+    whole table (observed: a noisy single run printed 2-proc throughput
+    1.36× the 1-proc baseline, an impossibility)."""
     times = {}
     for n in (1, LO, HI, 32):
-        t0 = time.perf_counter()
-        with mp.Pool(n) as p:
-            p.map(_pywork, range(n))
-        times[n] = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with mp.Pool(n) as p:
+                p.map(_pywork, range(n))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
     thr = {n: times[1] / times[n] for n in times}
     return {
         "per_proc_throughput": {str(n): round(v, 3) for n, v in thr.items()},

@@ -103,3 +103,27 @@ def salted_two_stage_count(df: DataFrame, key: str, plan: DataFrame, seed_col: s
     salted = apply_salts(df, key, plan, seed_col)
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("c"))
     return partial.groupBy(key).agg(F.sum("c").alias("cnt"))
+
+
+def cpu_dense_repartition(df: DataFrame, *cols: str, waves: int = 4) -> DataFrame:
+    """Pin a CPU-dense shuffle's width to ``waves × defaultParallelism``.
+
+    AQE's partition coalescing is BYTE-based (advisoryPartitionSizeInBytes):
+    a stage whose shuffle blocks are small but whose per-row CPU is large —
+    per-group ``collect_list`` + ``array_sort``, interpreted HOF folds —
+    gets coalesced to a handful of tasks, serializing the job (measured:
+    the per-doc top-k aggregate in ``q_doc_keywords`` at 600 k docs ran as
+    a 2-task stage at local[8]; 119 s → 47 s once widened). An EXPLICIT
+    ``repartition(n, cols)`` is exempt from AQE coalescing, and ``waves``
+    rounds per core amortize stragglers/skew the way a one-wave
+    shuffle-partitions=cores layout cannot (same lesson as the knn block
+    pass, BENCH/BASELINE.md round-4 provenance).
+
+    Use on the input of a grouped aggregate whose per-group work is CPU-
+    bound; the aggregate reuses the hash partitioning, so no second
+    exchange appears. On a 1000-executor cluster ``defaultParallelism``
+    scales with the cluster, so the width stays proportional everywhere.
+    """
+    spark = df.sparkSession
+    n = max(1, waves * spark.sparkContext.defaultParallelism)
+    return df.repartition(n, *[F.col(c) for c in cols])

@@ -1571,13 +1571,28 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_run_pairs(F.col("s"), F.col("b"))).alias("p")
     ).select("doc_id", "p.token", "p.tf")
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    ranked = tf.join(df, "token").select(
+    # EXPLICIT broadcast of the (token, df) dim: letting AQE discover it
+    # materializes BOTH join-side shuffles first (25 M tf rows exchanged,
+    # plus a byte-coalesced 2-task df stage) before converting — measured
+    # 3× the wall at 600 k docs (66.6 s → 22.0 s at local[8]). The
+    # broadcast is VOCABULARY-bounded (natural-language token sets, not
+    # corpus-bounded); for an unbounded vocabulary flip to the
+    # co-partitioned shuffle form: tfE = tf.repartition(n, "token");
+    # df = tfE.groupBy(...); tfE.join(df.hint("shuffle_hash"), "token") —
+    # both consumers share one exchange, no driver collect.
+    ranked = tf.join(F.broadcast(df), "token").select(
         "doc_id",
         F.struct(
             (-F.col("tf")).alias("neg_tf"), "df", "token"
         ).alias("key"),
     )
-    topk = ranked.groupBy("doc_id").agg(
+    # The per-doc top-k aggregate is CPU-dense per group but byte-light —
+    # AQE's byte-based coalescing serialized it to a 2-task stage at 600 k
+    # docs (pair efficiency 0.325 N→4N); an explicit wave-amortized width
+    # is exempt from coalescing and restores scaling (plans/skew.py).
+    from .plans.skew import cpu_dense_repartition
+
+    topk = cpu_dense_repartition(ranked, "doc_id").groupBy("doc_id").agg(
         F.slice(
             F.array_sort(F.collect_list("key")), 1, KEYWORDS_TOP_K
         ).alias("top")

@@ -172,6 +172,23 @@ def test_heavy_hitters_topk_is_partial_limited(spark):
     assert "CartesianProduct" not in p and "Python" not in p
 
 
+def test_doc_keywords_topk_aggregate_is_wave_amortized(spark):
+    """The per-doc top-k aggregate is CPU-dense but byte-light: AQE's
+    byte-based coalescing serialized it to a 2-task stage at 600 k docs
+    (measured pair efficiency 0.325 N→4N). The fix pins an EXPLICIT
+    repartition width (waves × defaultParallelism) on the aggregate input —
+    exempt from AQE coalescing — so the plan must carry a user-specified
+    REPARTITION_BY_NUM exchange on doc_id."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_text import q_doc_keywords
+
+    p = _plan(q_doc_keywords(spark, "/root/testdata/sf0.01"))
+    assert "REPARTITION_BY_NUM" in p
+    # the (token, df) dim is explicitly broadcast — AQE discovering it
+    # materializes both join-side shuffles first (measured 3× the wall)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "Python" not in p
+
+
 def test_kmv_sketch_bottom_k_is_partial_limited(spark):
     from geotiff_scalable_analysis_pipeline_spark.queries_relational import (
         q_kmv_distinct_users,
