@@ -171,11 +171,15 @@ def export_previews_from_rasters(
     colors: np.ndarray,
     n_classes: int,
     downscale: int = 10,
+    preview_dir: str | Path | None = None,
 ) -> dict[str, str]:
     """The reference reporter's exact read-back flow: decode whichever of
     ``{tile}_class.tif`` / ``{tile}_{maxprob,entropy,gap}.tif`` exist in
     ``tile_dir`` (written by the K1/K2 sinks) and preview them; missing
-    rasters are skipped, as the reference logs-and-continues."""
+    rasters are skipped, as the reference logs-and-continues. Preview PNG
+    names are fixed (``preview_class.png``, …) as in the reference, so
+    multi-tile exports into one flat directory must pass a per-tile
+    ``preview_dir`` (the reference keeps one directory per tile)."""
     from ..formats import tiff
 
     d = Path(tile_dir)
@@ -188,7 +192,10 @@ def export_previews_from_rasters(
         p = d / f"{tile_name}_{m}.tif"
         if p.exists():
             metrics[m] = tiff.decode(p.read_bytes())[0][0]
-    return export_tile_previews(d, tile_name, cls, colors, metrics, n_classes, downscale)
+    return export_tile_previews(
+        preview_dir if preview_dir is not None else d,
+        tile_name, cls, colors, metrics, n_classes, downscale,
+    )
 
 
 def _esc(v) -> str:
