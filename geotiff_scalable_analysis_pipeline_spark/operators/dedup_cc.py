@@ -126,11 +126,23 @@ def connected_components(
                 ).alias("h"),
             ).first()
         )
-        _free_checkpoint(e)  # superseded round — nxt is already materialized
-        e = nxt
         if sig == prev_sig:
-            converged = True
-            break
+            # The signature is a fast filter, not the decision: two DIFFERENT
+            # edge sets can collide (≈2⁻³¹ per round-pair, and xxhash64 is
+            # not cryptographic). Convergence of a correctness-critical dedup
+            # primitive must be exact — confirm with a multiset containment
+            # check (equal counts are already implied by the signature, so
+            # one-sided exceptAll-empty ⟺ set equality). This runs ONCE, at
+            # the fixpoint, on two already-checkpointed frames.
+            exact = nxt.exceptAll(e).isEmpty()
+            _free_checkpoint(e)
+            e = nxt
+            if exact:
+                converged = True
+                break
+        else:
+            _free_checkpoint(e)  # superseded round — nxt is already materialized
+            e = nxt
         prev_sig = sig
     if not converged:
         raise RuntimeError(f"CC did not converge within {max_rounds} rounds")

@@ -86,6 +86,15 @@ def focal_stats(
             for ref, tile_k, payload in zip(
                 pdf["media_ref"], pdf["tile_k"], pdf["payload"]
             ):
+                if not (0 <= int(tile_k) < grid_rows * grid_cols):
+                    # an out-of-mosaic tile would otherwise mail halo strips
+                    # into in-range neighbors (tile_k = R·C has grow == R,
+                    # whose dr=−1 strip PASSES the bounds check) and corrupt
+                    # their focal means silently
+                    raise ValueError(
+                        f"tile_k={int(tile_k)} outside the declared "
+                        f"{grid_rows}×{grid_cols} mosaic"
+                    )
                 arr, _ = tiff.decode(bytes(payload))
                 a = np.ascontiguousarray(arr.astype(np.uint16))
                 grow, gcol = int(tile_k) // grid_cols, int(tile_k) % grid_cols
@@ -122,6 +131,12 @@ def focal_stats(
                 {k: [] for k in (
                     "media_ref", "band", "n_px", "sum_fm", "min_fm", "max_fm",
                 )}
+            )
+        if len(cores) > 1:
+            # a duplicated tile_k would have its second core silently dropped
+            # while BOTH copies' halo strips were summed into the neighbors
+            raise ValueError(
+                f"duplicate tile_k in mosaic: {sorted(set(cores['media_ref']))}"
             )
         core = np.frombuffer(cores["blob"].iloc[0], dtype=np.uint16)
         nb = core.size // (px * px)

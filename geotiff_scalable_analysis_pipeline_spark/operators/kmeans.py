@@ -57,17 +57,28 @@ def lloyd_kmeans(
     """Run ``iters`` Lloyd iterations; return (assignment DF, final centroids).
 
     ``qv`` is (vec_id long, q array<long>) from ``similarity.quantize``-style
-    projection. The assignment DataFrame is (vec_id, cluster, dist_sq) against
-    the FINAL centroids, fully deterministic.
+    projection. ``vec_id`` must be EXACTLY the dense range 0..n−1: the
+    deterministic seed rule (every ``n // k``-th id) and its SQL-oracle
+    mirror both index into that range — validated up front with a clear
+    error rather than a mid-run KeyError. The assignment DataFrame is
+    (vec_id, cluster, dist_sq) against the FINAL centroids, fully
+    deterministic.
     """
     import pandas as pd
 
     if not (1 <= k <= MAX_K):
         raise ValueError(f"k must be in [1, {MAX_K}]; got {k}")
     qv = qv.select("vec_id", "q").persist()
-    n = qv.count()
+    n, mn, mx, nd = qv.agg(
+        F.count("*"), F.min("vec_id"), F.max("vec_id"), F.countDistinct("vec_id")
+    ).first()
     if n < k:
         raise ValueError(f"need at least k={k} vectors; got {n}")
+    if mn != 0 or mx != n - 1 or nd != n:
+        raise ValueError(
+            f"vec_id must be the dense range 0..{n - 1} (seed rule + SQL "
+            f"oracle index into it); got min={mn} max={mx} distinct={nd}"
+        )
     stride = n // k
     seed_ids = [j * stride for j in range(k)]
     seeds = {

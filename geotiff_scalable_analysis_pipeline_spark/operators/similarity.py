@@ -26,6 +26,18 @@ from pyspark.sql import functions as F
 QSCALE = 1_000_000
 
 
+def quantized_cosine(qa: str = "qa", qb: str = "qb", n2a: str = "n2a", n2b: str = "n2b"):
+    """THE quantized-cosine rule, as one Column: exact int64 dot-product
+    fold over the quantized vectors, divided by √(n2a·n2b) in float64.
+    Every scoring site (LSH/IVF top-k, near-dup edges, SemDeDup, the
+    columnar exact baseline) builds this identical expression so the rule —
+    and its DuckDB-oracle mirror — can only ever change in one place."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    return dot.cast("double") / F.sqrt(F.col(n2a).cast("double") * F.col(n2b).cast("double"))
+
+
 def quantize(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """float32 array → exact int64 lattice (round(x·10⁶)) + squared norm."""
     q = F.transform(vec_col, lambda x: F.round(x.cast("double") * QSCALE).cast("long"))
@@ -178,10 +190,7 @@ def lsh_topk(embeddings: DataFrame, k: int = 10, dim: int = 64) -> DataFrame:
         .filter(F.col("vec_id") != F.col("other_id"))
         .dropDuplicates(["vec_id", "other_id"])
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
-    )
-    cos = dot.cast("double") / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double"))
+    cos = quantized_cosine()
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "other_id")
@@ -288,10 +297,7 @@ def ivf_topk(
         F.col("q").alias("qb"), F.col("n2").alias("n2b"),
     )
     pairs = a.join(c, "cell").filter(F.col("vec_id") != F.col("other_id"))
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
-    )
-    cos = dot.cast("double") / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double"))
+    cos = quantized_cosine()
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "other_id")
@@ -329,10 +335,7 @@ def lsh_neardup_pairs(embeddings: DataFrame, tau: float, dim: int = 64) -> DataF
         .filter(F.col("vec_id") < F.col("other_id"))
         .dropDuplicates(["vec_id", "other_id"])
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
-    )
-    cos = dot.cast("double") / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double"))
+    cos = quantized_cosine()
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(float(tau)))

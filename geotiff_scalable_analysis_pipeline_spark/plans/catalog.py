@@ -216,19 +216,30 @@ class TableCatalog:
         # commit) would be re-committed — duplicate rows. max() because a
         # rollback restores old FILES but must not forget committed epochs.
         if "stream_high_water" not in man:
-            hw = man.get("stream_batch_id", -1)
+            # Per-STREAM high-water dict {stream_id: max batch}: two
+            # distinct pipelines writing one table each carry their own
+            # marker, so a fresh pipeline's batch 0 is never mistaken for a
+            # replay of another pipeline's epoch (data loss). Pre-namespace
+            # history wrote a scalar — normalized to {"default": n} on read.
+            hw: dict[str, int] = {}
+            if "stream_batch_id" in man:
+                hw[man.get("stream_id", "default")] = man["stream_batch_id"]
             parent = man.get("parent")
             if parent is not None:
                 try:
                     pman = json.loads(
                         self._manifest_path(table, parent).read_text()
                     )
-                    hw = max(hw, pman.get(
-                        "stream_high_water", pman.get("stream_batch_id", -1)
-                    ))
+                    phw = pman.get("stream_high_water")
+                    if phw is None and "stream_batch_id" in pman:
+                        phw = {pman.get("stream_id", "default"): pman["stream_batch_id"]}
+                    elif isinstance(phw, int):
+                        phw = {"default": phw}
+                    for sid, b in (phw or {}).items():
+                        hw[sid] = max(hw.get(sid, -1), b)
                 except FileNotFoundError:
                     pass  # pre-propagation history; walk fallback in readers
-            if hw >= 0:
+            if hw:
                 man["stream_high_water"] = hw
         mpath = self._manifest_path(table, snap)
         mpath.parent.mkdir(parents=True, exist_ok=True)
@@ -237,6 +248,13 @@ class TableCatalog:
         try:
             os.link(tmp, mpath)  # atomic create-exclusive: the commit race
         except FileExistsError:
+            # The existing manifest may belong to a winner that crashed
+            # between its link and its ``current`` flip. Roll forward HERE,
+            # not just in commit()'s retry loop: the rewrite paths
+            # (delete/merge/compact/rollback) re-plan against ``current``,
+            # and without this a half-committed winner would make every
+            # re-plan read the same stale snapshot — a livelock.
+            self._roll_forward(table)
             raise CommitConflictError(
                 f"{table}: snapshot {snap} was committed by another writer"
             ) from None

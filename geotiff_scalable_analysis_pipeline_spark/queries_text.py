@@ -549,10 +549,9 @@ def q_embedding_topk_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_id") != F.col("other_id"))
-    dot = F.aggregate(
-        F.zip_with("q", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
-    )
-    cos = dot.cast("double") / F.sqrt(F.col("n2").cast("double") * F.col("n2b").cast("double"))
+    from .operators.similarity import quantized_cosine
+
+    cos = quantized_cosine(qa="q", n2a="n2")
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "other_id")
     return (
         pairs.withColumn("cos", cos)
@@ -961,10 +960,9 @@ def q_semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qb"),
         F.col("n2").alias("n2b"),
     )
-    dot = F.aggregate(
-        F.zip_with("q", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
-    )
-    cos = dot.cast("double") / F.sqrt(F.col("n2").cast("double") * F.col("n2b").cast("double"))
+    from .operators.similarity import quantized_cosine
+
+    cos = quantized_cosine(qa="q", n2a="n2")
     edges = (
         a.join(b, "cluster")
         .filter(F.col("vec_id") < F.col("other_id"))

@@ -210,6 +210,7 @@ def stream_to_catalog(
     *,
     partition_by: list[str] | None = None,
     stats_for: list[str] | None = None,
+    stream_id: str = "default",
 ) -> None:
     """Stream → snapshot-catalog sink: each micro-batch commits as one
     catalog APPEND snapshot (``foreachBatch``), so streaming ingest lands in
@@ -220,42 +221,54 @@ def stream_to_catalog(
     Exactly-once: the checkpoint's commit log already guarantees each batch
     is processed once across restarts; the remaining gap is a crash BETWEEN
     the catalog commit and the checkpoint commit, which would replay the
-    epoch. Each manifest records its ``stream_batch_id``; a replayed epoch
-    (batch_id ≤ the current manifest's) is skipped, making the sink
-    idempotent — the foreachBatch analogue of the txn-id dedup a
-    transactional sink performs. One ``availableNow`` pass per call, like
-    :func:`incremental_parquet_ingest`."""
+    epoch. Each manifest records its ``(stream_id, stream_batch_id)``; a
+    replayed epoch (batch_id ≤ this stream's recorded high water) is
+    skipped, making the sink idempotent — the foreachBatch analogue of the
+    (queryId, batchId) dedup a transactional sink performs. One
+    ``availableNow`` pass per call, like :func:`incremental_parquet_ingest`.
+
+    The guard is SOURCE-POSITION idempotence scoped per ``stream_id``:
+    re-running the same logical stream over the same source — even from a
+    brand-new checkpoint — is a no-op for already-committed epochs (the
+    deterministic file-source + availableNow contract this sink targets).
+    A DIFFERENT logical pipeline appending to the same table MUST pass its
+    own ``stream_id``: its batch ids also start at 0, and under the default
+    id they would be mistaken for replays and silently dropped."""
 
     def _last_stream_batch() -> int:
-        # The catalog propagates ``stream_high_water`` into EVERY manifest
-        # (max of parent's mark and the commit's own stream_batch_id), so
-        # the current manifest alone answers this — expire() dropping the
-        # ancestor that carried the newest stream_batch_id cannot reset the
-        # guard to -1 and re-admit a replayed epoch. The parent-chain walk
-        # remains only as a fallback for tables written before propagation.
+        # The catalog propagates the per-stream ``stream_high_water`` dict
+        # into EVERY manifest (per-key max with the parent), so the current
+        # manifest alone answers this — expire() dropping the ancestor that
+        # carried the newest stream_batch_id cannot reset the guard to -1
+        # and re-admit a replayed epoch. The parent-chain walk remains only
+        # as a fallback for tables written before propagation.
         snap = catalog.current_snapshot(table)
         while snap is not None:
             try:
                 man = catalog.manifest(table, snap)
             except FileNotFoundError:
                 break  # pre-propagation history expired — best effort
-            if "stream_high_water" in man:
-                return man["stream_high_water"]
+            hw = man.get("stream_high_water")
+            if isinstance(hw, int):  # pre-namespace scalar history
+                hw = {"default": hw}
+            if hw is not None:
+                return hw.get(stream_id, -1)
             if "stream_batch_id" in man:
-                return man["stream_batch_id"]
+                if man.get("stream_id", "default") == stream_id:
+                    return man["stream_batch_id"]
             snap = man.get("parent")
         return -1
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         if _last_stream_batch() >= batch_id:
-            return  # replayed epoch — already committed
+            return  # replayed epoch of THIS stream — already committed
         catalog.commit(
             batch_df,
             table,
             partition_by=partition_by,
             mode="append",
             stats_for=stats_for,
-            extra={"stream_batch_id": batch_id},
+            extra={"stream_batch_id": batch_id, "stream_id": stream_id},
         )
 
     q = (

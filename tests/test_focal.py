@@ -107,3 +107,18 @@ def test_focal_rejects_bad_radius(spark):
         focal.focal_stats(dg.media_df(spark, cfg), 1, 1, 8, radius=0)
     with pytest.raises(ValueError, match="radius"):
         focal.focal_stats(dg.media_df(spark, cfg), 1, 1, 8, radius=8)
+
+
+def test_focal_rejects_out_of_mosaic_and_duplicate_tiles(spark):
+    """An out-of-mosaic tile_k (= R·C passes the naive neighbor bounds check
+    via its dr=−1 strip) or a duplicated tile_k would silently corrupt
+    neighbors' focal means — both must fail loudly at execution."""
+    cfg = dg.GoldenConfig(n_tiles=6, tile_px=8, n_media_tiles=6)
+    media = dg.media_df(spark, cfg)
+    # 2×2 mosaic declared, but tile_k ∈ {0..5} includes 4, 5 — out of range
+    with pytest.raises(Exception, match="outside the declared"):
+        focal.focal_stats(media, 2, 2, 8, radius=1).collect()
+    ok = media.filter(dg.F.col("tile_k") < 4)
+    dup = ok.unionByName(ok.filter(dg.F.col("tile_k") == 1))
+    with pytest.raises(Exception, match="duplicate tile_k"):
+        focal.focal_stats(dup, 2, 2, 8, radius=1).collect()

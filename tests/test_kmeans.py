@@ -106,3 +106,22 @@ def test_kmeans_rejects_bad_k(spark):
         kmeans.lloyd_kmeans(_spark_qv(spark, q), 0, 1, dim=4)
     with pytest.raises(ValueError, match="at least k"):
         kmeans.lloyd_kmeans(_spark_qv(spark, q), 6, 1, dim=4)
+
+
+def test_kmeans_rejects_non_dense_vec_ids(spark):
+    """The deterministic seed rule (and its SQL-oracle mirror) index into
+    the dense range 0..n−1; offset or gapped ids must fail with a clear
+    error instead of a mid-run KeyError or silent mis-seeding."""
+    q = np.arange(40, dtype=np.int64).reshape(10, 4) * 1000
+    offset = spark.createDataFrame(
+        [(i + 100, [int(x) for x in row]) for i, row in enumerate(q)],
+        "vec_id long, q array<long>",
+    )
+    with pytest.raises(ValueError, match="dense range"):
+        kmeans.lloyd_kmeans(offset, 2, 1, dim=4)
+    dup = spark.createDataFrame(
+        [(min(i, 8), [int(x) for x in row]) for i, row in enumerate(q)],
+        "vec_id long, q array<long>",
+    )
+    with pytest.raises(ValueError, match="dense range"):
+        kmeans.lloyd_kmeans(dup, 2, 1, dim=4)

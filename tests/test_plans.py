@@ -618,3 +618,31 @@ def test_commit_stale_require_parent_fails_before_write(spark, tmp_path):
             require_parent=s1,
         )
     assert len(list(droot.rglob("*.parquet"))) == n_before  # no write paid
+
+
+def test_rewrite_retry_after_crashed_winner_makes_progress(spark, tmp_path):
+    """Livelock regression: a winner that crashed between its manifest link
+    and its current flip must not block row-level rewrites forever. The
+    first delete attempt conflicts (stale plan) AND rolls current forward,
+    so the immediate re-plan succeeds — no unrelated append needed."""
+    import pytest as _pytest
+
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import (
+        CommitConflictError,
+        TableCatalog,
+    )
+
+    cat = TableCatalog(tmp_path)
+    s1 = cat.commit(spark.range(5).select(F.col("id").alias("v")), "t", stats_for=["v"])
+    man2 = dict(cat.manifest("t", s1))
+    man2.update(snapshot_id=2, parent=1)
+    cat._manifest_path("t", 2).write_text(__import__("json").dumps(man2))
+    assert cat.current_snapshot("t") == 1
+
+    with _pytest.raises(CommitConflictError):
+        cat.delete_range(spark, "t", "v", 0, 1)
+    # the failed attempt advanced current to the durable (hence committed)
+    # crashed-winner snapshot — the retry plans against it and lands
+    assert cat.current_snapshot("t") == 2
+    cat.delete_range(spark, "t", "v", 0, 1)
+    assert sorted(r.v for r in cat.read(spark, "t").collect()) == [2, 3, 4]

@@ -404,8 +404,8 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
     # own manifest) must not erase the epoch marker for the replay guard
     cat.compact(spark, "ev", target_file_bytes=1 << 30)
     assert "stream_batch_id" not in cat.manifest("ev")
-    # the high-water mark is propagated onto EVERY descendant manifest
-    assert cat.manifest("ev")["stream_high_water"] == 1
+    # the per-stream high-water dict is propagated onto EVERY descendant
+    assert cat.manifest("ev")["stream_high_water"] == {"default": 1}
 
     # expire the ancestor manifests that carried the stream_batch_id: the
     # replay guard must still hold (regression: the parent-chain walk hit
@@ -479,3 +479,40 @@ def test_streaming_raster_metrics_pipeline(spark, tmp_path):
     # stream_batch_id guard — no duplicate chunks
     run(str(tmp_path / "ckpt2"))
     assert cat.read(spark, "chunk_metrics").count() == 4 * 4
+
+
+def test_two_pipelines_one_table_need_distinct_stream_ids(spark, tmp_path):
+    """The replay guard is namespaced per stream_id: a SECOND logical
+    pipeline (fresh checkpoint, batch ids restarting at 0) appending to the
+    same table must not have its epochs mistaken for replays of the first
+    pipeline's — under a distinct stream_id its rows land; each stream's
+    own replay is still skipped."""
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import TableCatalog
+    from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import stream_to_catalog
+
+    base = spark.read.parquet(f"{SF}/events.parquet")
+    schema = base.schema
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    base.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src_a)
+    base.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src_b)
+    n_a = base.filter(F.col("event_id") % 2 == 0).count()
+
+    cat = TableCatalog(tmp_path / "cat")
+
+    def run(src, ckpt, sid):
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        stream_to_catalog(stream, cat, "ev", str(tmp_path / ckpt), stream_id=sid)
+
+    run(src_a, "ck_a", "pipeline-a")
+    assert cat.read(spark, "ev").count() == n_a
+    # second pipeline, fresh checkpoint, batch ids restart at 0 — its own
+    # stream_id means its epochs commit instead of being dropped as replays
+    run(src_b, "ck_b", "pipeline-b")
+    assert cat.read(spark, "ev").count() == base.count()
+    hw = cat.manifest("ev")["stream_high_water"]
+    assert hw == {"pipeline-a": 0, "pipeline-b": 0}
+    # each stream's OWN replay (fresh checkpoint, same source) is still a no-op
+    run(src_a, "ck_a2", "pipeline-a")
+    run(src_b, "ck_b2", "pipeline-b")
+    assert cat.read(spark, "ev").count() == base.count()
+    assert cat.read(spark, "ev").select("event_id").distinct().count() == base.count()
