@@ -69,16 +69,23 @@ def lloyd_kmeans(
     if not (1 <= k <= MAX_K):
         raise ValueError(f"k must be in [1, {MAX_K}]; got {k}")
     qv = qv.select("vec_id", "q").persist()
-    n, mn, mx, nd = qv.agg(
-        F.count("*"), F.min("vec_id"), F.max("vec_id"), F.countDistinct("vec_id")
-    ).first()
-    if n < k:
-        raise ValueError(f"need at least k={k} vectors; got {n}")
-    if mn != 0 or mx != n - 1 or nd != n:
-        raise ValueError(
-            f"vec_id must be the dense range 0..{n - 1} (seed rule + SQL "
-            f"oracle index into it); got min={mn} max={mx} distinct={nd}"
-        )
+    try:
+        n, mn, mx, nd = qv.agg(
+            F.count("*"), F.min("vec_id"), F.max("vec_id"), F.countDistinct("vec_id")
+        ).first()
+        if n < k:
+            raise ValueError(f"need at least k={k} vectors; got {n}")
+        if mn != 0 or mx != n - 1 or nd != n:
+            raise ValueError(
+                f"vec_id must be the dense range 0..{n - 1} (seed rule + SQL "
+                f"oracle index into it); got min={mn} max={mx} distinct={nd}"
+            )
+    except BaseException:
+        # validation failed AFTER the persist was registered + materialized
+        # by the agg: release the corpus-sized blocks so a caller retrying
+        # with corrected input doesn't leak them for the session's lifetime
+        qv.unpersist()
+        raise
     stride = n // k
     seed_ids = [j * stride for j in range(k)]
     seeds = {

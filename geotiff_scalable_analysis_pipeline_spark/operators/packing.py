@@ -41,8 +41,6 @@ def prefix_offsets(
     Returns ``(order_col, count_col, start_off)`` where ``start_off`` is the
     sum of ``count_col`` over all rows strictly before this one in the
     global ``order_col`` order. ``order_col`` values must be unique."""
-    import pandas as pd  # noqa: F401 — mapInPandas ships this closure
-
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
     narrow = (

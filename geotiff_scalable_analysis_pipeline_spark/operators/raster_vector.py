@@ -95,9 +95,15 @@ def trace_rings(component: np.ndarray) -> list[np.ndarray]:
     Directed-edge walk: each boundary pixel side becomes a unit edge oriented
     with the interior on its left; following edges yields closed rectilinear
     rings (outer ring + holes). Collinear points are merged.
+
+    Saddle vertices (two pixels of the SAME 4-connected component touching
+    only diagonally — e.g. a staircase corner) have TWO outgoing edges; the
+    walk picks the one turning toward the interior (cross(in, out) < 0 in
+    pixel coordinates, y down), which keeps every ring simple and splits the
+    pinch into separate rings instead of a self-touching figure-eight.
     """
     H, W = component.shape
-    edges: dict[tuple[int, int], tuple[int, int]] = {}
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
     inside = component.astype(bool)
     up = np.zeros_like(inside)
     up[1:, :] = inside[:-1, :]
@@ -110,25 +116,42 @@ def trace_rings(component: np.ndarray) -> list[np.ndarray]:
 
     rr, cc = np.nonzero(inside & ~up)
     for r, c in zip(rr.tolist(), cc.tolist()):  # top side: left→right
-        edges[(c, r)] = (c + 1, r)
+        edges.setdefault((c, r), []).append((c + 1, r))
     rr, cc = np.nonzero(inside & ~right)
     for r, c in zip(rr.tolist(), cc.tolist()):  # right side: top→bottom
-        edges[(c + 1, r)] = (c + 1, r + 1)
+        edges.setdefault((c + 1, r), []).append((c + 1, r + 1))
     rr, cc = np.nonzero(inside & ~down)
     for r, c in zip(rr.tolist(), cc.tolist()):  # bottom side: right→left
-        edges[(c + 1, r + 1)] = (c, r + 1)
+        edges.setdefault((c + 1, r + 1), []).append((c, r + 1))
     rr, cc = np.nonzero(inside & ~left)
     for r, c in zip(rr.tolist(), cc.tolist()):  # left side: bottom→top
-        edges[(c, r + 1)] = (c, r)
+        edges.setdefault((c, r + 1), []).append((c, r))
+
+    def pop_out(cur: tuple[int, int], prev: tuple[int, int] | None) -> tuple[int, int]:
+        outs = edges[cur]
+        if len(outs) == 1 or prev is None:
+            nxt = outs.pop()
+        else:
+            # saddle: exactly one candidate turns toward the interior
+            ix, iy = cur[0] - prev[0], cur[1] - prev[1]
+            pick = 0
+            for i, (ox, oy) in enumerate(outs):
+                if ix * (oy - cur[1]) - iy * (ox - cur[0]) < 0:
+                    pick = i
+                    break
+            nxt = outs.pop(pick)
+        if not outs:
+            del edges[cur]
+        return nxt
 
     rings = []
     while edges:
         start = next(iter(edges))
         ring = [start]
-        cur = edges.pop(start)
+        prev, cur = start, pop_out(start, None)
         while cur != start:
             ring.append(cur)
-            cur = edges.pop(cur)
+            prev, cur = cur, pop_out(cur, prev)
         # merge collinear
         merged = []
         n = len(ring)
@@ -248,7 +271,13 @@ def rasterize_zones(media_meta: DataFrame, poly_zones: DataFrame, candidates: Da
                 pdf["media_ref"], pdf["zone_id"], pdf["x0"], pdf["y1"],
                 pdf["width"], pdf["height"], pdf["px"],
             ):
-                m = rasterize_ring(rd[int(zid)], float(x0), float(y1), float(px), int(h), int(w))
+                ring = rd.get(int(zid))
+                if ring is None:
+                    raise ValueError(
+                        f"candidate references zone_id {int(zid)} absent from "
+                        "poly_zones — candidates and poly_zones are out of sync"
+                    )
+                m = rasterize_ring(ring, float(x0), float(y1), float(px), int(h), int(w))
                 out["media_ref"].append(ref)
                 out["zone_id"].append(int(zid))
                 out["n_inside"].append(int(m.sum()))

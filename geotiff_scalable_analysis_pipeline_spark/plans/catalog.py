@@ -209,6 +209,13 @@ class TableCatalog:
         go backwards: a writer can only win snapshot N+1 after observing
         current = N, i.e. after the previous winner's flip completed."""
         snap = man["snapshot_id"]
+        parent = man.get("parent")
+        pman: dict | None = None
+        if parent is not None:
+            try:
+                pman = json.loads(self._manifest_path(table, parent).read_text())
+            except FileNotFoundError:
+                pman = None  # pre-propagation history; walk fallback in readers
         # Propagate the streaming high-water mark from the parent so the
         # CURRENT manifest always carries it: without this, expire() could
         # drop the ancestor manifest holding the newest stream_batch_id and
@@ -224,23 +231,37 @@ class TableCatalog:
             hw: dict[str, int] = {}
             if "stream_batch_id" in man:
                 hw[man.get("stream_id", "default")] = man["stream_batch_id"]
-            parent = man.get("parent")
-            if parent is not None:
-                try:
-                    pman = json.loads(
-                        self._manifest_path(table, parent).read_text()
-                    )
-                    phw = pman.get("stream_high_water")
-                    if phw is None and "stream_batch_id" in pman:
-                        phw = {pman.get("stream_id", "default"): pman["stream_batch_id"]}
-                    elif isinstance(phw, int):
-                        phw = {"default": phw}
-                    for sid, b in (phw or {}).items():
-                        hw[sid] = max(hw.get(sid, -1), b)
-                except FileNotFoundError:
-                    pass  # pre-propagation history; walk fallback in readers
+            if pman is not None:
+                phw = pman.get("stream_high_water")
+                if phw is None and "stream_batch_id" in pman:
+                    phw = {pman.get("stream_id", "default"): pman["stream_batch_id"]}
+                elif isinstance(phw, int):
+                    phw = {"default": phw}
+                for sid, b in (phw or {}).items():
+                    hw[sid] = max(hw.get(sid, -1), b)
             if hw:
                 man["stream_high_water"] = hw
+        # Propagate the cumulative per-stream ingested-source-file set the
+        # same way: the CURRENT manifest always carries the full set, so
+        # expire() cannot erode the file-granularity replay guard
+        # (streaming/ingest.py uses it to make re-ingest from a FRESH
+        # checkpoint exact even when micro-batch decomposition changes).
+        # The set grows with total files ingested — at 100 TB it would live
+        # in a side table / bloom filter; here the manifest is the single
+        # metadata unit and file counts are manifest-sized anyway.
+        if "stream_files_all" not in man:
+            fa: dict[str, set[str]] = {}
+            if man.get("stream_files"):
+                sid = man.get("stream_id", "default")
+                fa[sid] = set(man["stream_files"])
+            if pman is not None:
+                for sid, fl in (pman.get("stream_files_all") or {}).items():
+                    fa[sid] = fa.get(sid, set()) | set(fl)
+                if pman.get("stream_files"):
+                    psid = pman.get("stream_id", "default")
+                    fa[psid] = fa.get(psid, set()) | set(pman["stream_files"])
+            if fa:
+                man["stream_files_all"] = {s: sorted(v) for s, v in fa.items()}
         mpath = self._manifest_path(table, snap)
         mpath.parent.mkdir(parents=True, exist_ok=True)
         tmp = mpath.with_suffix(f".tmp-{uuid.uuid4().hex}")
@@ -457,7 +478,7 @@ class TableCatalog:
             (self._tdir(table) / f["path"]).stat().st_size for f in man["files"]
         ]
         n_out = max(1, round(sum(sizes) / target_file_bytes))
-        stats_cols = sorted({c for f in man["files"] for c in f.get("stats", {})})
+        stats_cols = self._stats_cols(man)
         spec = man["partition_spec"]
         df = self.read(spark, table)
         # partitionBy splits each task's rows across its partition values, so
@@ -655,9 +676,27 @@ class TableCatalog:
         )
 
     def expire(self, table: str, keep_last: int = 2) -> list[int]:
-        """Drop old snapshots' manifests + now-unreachable files."""
+        """Drop old snapshots' manifests + now-unreachable files.
+
+        Retention is anchored at BOTH ends of the commit protocol: the
+        newest ``keep_last`` linked manifests (the durable history) AND the
+        snapshot ``current`` points to are always kept — ``current`` may
+        legitimately lag the newest link (a winner crashed between link and
+        flip; ``_roll_forward`` heals it later), and dropping its manifest
+        would leave every reader resolving through ``current`` with a
+        FileNotFoundError. ``keep_last < 1`` is refused: expiring every
+        snapshot bricks the table."""
+        if keep_last < 1:
+            raise ValueError(
+                "keep_last must be >= 1 — expiring every snapshot would "
+                "leave the table unreadable"
+            )
         snaps = self.snapshots(table)
-        drop = snaps[:-keep_last] if keep_last else snaps
+        keep_set = set(snaps[-keep_last:])
+        cur = self.current_snapshot(table)
+        if cur is not None and cur in snaps:
+            keep_set.add(cur)
+        drop = [s for s in snaps if s not in keep_set]
         keep = [s for s in snaps if s not in drop]
         live = set()
         for s in keep:

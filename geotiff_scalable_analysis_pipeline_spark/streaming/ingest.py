@@ -211,6 +211,7 @@ def stream_to_catalog(
     partition_by: list[str] | None = None,
     stats_for: list[str] | None = None,
     stream_id: str = "default",
+    file_dedup: bool = True,
 ) -> None:
     """Stream → snapshot-catalog sink: each micro-batch commits as one
     catalog APPEND snapshot (``foreachBatch``), so streaming ingest lands in
@@ -227,10 +228,24 @@ def stream_to_catalog(
     (queryId, batchId) dedup a transactional sink performs. One
     ``availableNow`` pass per call, like :func:`incremental_parquet_ingest`.
 
-    The guard is SOURCE-POSITION idempotence scoped per ``stream_id``:
-    re-running the same logical stream over the same source — even from a
-    brand-new checkpoint — is a no-op for already-committed epochs (the
-    deterministic file-source + availableNow contract this sink targets).
+    On top of the batch-id guard sits a FILE-granularity guard
+    (``file_dedup=True``): each commit records the micro-batch's source
+    files (``input_file_name()``), the catalog propagates the cumulative
+    per-stream set onto every descendant manifest (``stream_files_all`` —
+    expire-proof, like the high water), and each new batch is filtered to
+    files not yet committed. This is what makes re-ingest from a BRAND-NEW
+    checkpoint exact even when the micro-batch decomposition differs from
+    the original run's: the batch-id guard alone would either drop
+    never-committed files (a fresh checkpoint packing old+new files into
+    batch 0 ≤ the recorded high water) or duplicate old ones (a smaller
+    ``maxFilesPerTrigger`` pushing old files past the high water). When
+    source-file lineage is unavailable (non-file sources, or transforms
+    that lose ``input_file_name`` — then the probe also costs one extra
+    pass over the batch, so pass ``file_dedup=False`` for expensive
+    pipelines), only the batch-id guard applies, whose fresh-checkpoint
+    idempotence holds only under identical batch decomposition — the
+    standard (queryId, batchId) transactional-sink contract.
+
     A DIFFERENT logical pipeline appending to the same table MUST pass its
     own ``stream_id``: its batch ids also start at 0, and under the default
     id they would be mistaken for replays and silently dropped."""
@@ -259,16 +274,64 @@ def stream_to_catalog(
             snap = man.get("parent")
         return -1
 
+    def _ingested_files() -> set[str] | None:
+        """Cumulative source files already committed by THIS stream, or
+        ``None`` if the table predates file tracking for it (legacy: only
+        the batch-id high water guards replays). The propagated
+        ``stream_files_all`` on the current manifest answers in one read;
+        the chain walk covers mixed-version histories."""
+        snap = catalog.current_snapshot(table)
+        found: set[str] | None = None
+        while snap is not None:
+            try:
+                man = catalog.manifest(table, snap)
+            except FileNotFoundError:
+                break
+            fa = man.get("stream_files_all")
+            if fa is not None and stream_id in fa:
+                return set(fa[stream_id]) | (found or set())
+            if man.get("stream_files") and man.get("stream_id", "default") == stream_id:
+                found = (found or set()) | set(man["stream_files"])
+            snap = man.get("parent")
+        return found
+
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        if _last_stream_batch() >= batch_id:
+        df, fresh_files = batch_df, None
+        if file_dedup:
+            fnames = {
+                r["f"]
+                for r in batch_df.select(
+                    F.input_file_name().alias("f")
+                ).distinct().collect()
+            }
+            if fnames and "" not in fnames:
+                seen = _ingested_files()
+                if seen is not None:
+                    fresh = sorted(fnames - seen)
+                    if not fresh:
+                        return  # every source file already committed
+                    if len(fresh) < len(fnames):
+                        df = batch_df.filter(F.input_file_name().isin(fresh))
+                    fresh_files = fresh
+                else:
+                    # legacy table without file tracking for this stream:
+                    # keep the conservative batch-id guard, start tracking
+                    if _last_stream_batch() >= batch_id:
+                        return
+                    fresh_files = sorted(fnames)
+        if fresh_files is None and _last_stream_batch() >= batch_id:
             return  # replayed epoch of THIS stream — already committed
         catalog.commit(
-            batch_df,
+            df,
             table,
             partition_by=partition_by,
             mode="append",
             stats_for=stats_for,
-            extra={"stream_batch_id": batch_id, "stream_id": stream_id},
+            extra={
+                "stream_batch_id": batch_id,
+                "stream_id": stream_id,
+                **({"stream_files": fresh_files} if fresh_files else {}),
+            },
         )
 
     q = (

@@ -1,5 +1,7 @@
 """Snapshot catalog, lineage resume, metrics, pyramid pruning."""
 
+import json
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -45,6 +47,31 @@ def test_expire_drops_unreachable(spark, tmp_path):
     assert cat.read(spark, "e").count() == 8
     with pytest.raises(FileNotFoundError):
         cat.manifest("e", 1)
+
+
+def test_expire_never_drops_current(spark, tmp_path):
+    """expire() retention is anchored to the ``current`` pointer.
+
+    Regression: a winner that crashed between its manifest link and its
+    ``current`` flip leaves current lagging the newest link; keep_last=1
+    then retained only the unflipped snapshot and unlinked the one current
+    points to — every reader FileNotFoundError'd (table bricked).
+    keep_last=0 (drop everything) is refused outright."""
+    cat = TableCatalog(tmp_path)
+    cat.commit(spark.range(4), "e", mode="overwrite")
+    cat.commit(spark.range(6), "e", mode="overwrite")
+    with pytest.raises(ValueError, match="keep_last"):
+        cat.expire("e", keep_last=0)
+    # simulate the crashed winner: snapshot 3 linked, current still at 2
+    man = dict(cat.manifest("e", 2))
+    man.update(snapshot_id=3, parent=2)
+    cat._manifest_path("e", 3).write_text(json.dumps(man))
+    assert cat.current_snapshot("e") == 2
+    dropped = cat.expire("e", keep_last=1)
+    assert dropped == [1]  # snapshot 2 (current) survives alongside 3
+    assert cat.read(spark, "e").count() == 6  # readable through current
+    cat._roll_forward("e")
+    assert cat.current_snapshot("e") == 3
 
 
 def test_resume_after_kill_is_byte_identical(spark, tmp_path):

@@ -47,6 +47,50 @@ def test_trace_rings_with_hole():
     assert sizes == [4, 4]
 
 
+def _roundtrip(m: np.ndarray) -> np.ndarray:
+    """rasterize(polygonize(m)) with even-odd ring composition."""
+    H, W = m.shape
+    labels, n = rv.connected_components(m)
+    recon = np.zeros_like(m, dtype=np.uint8)
+    for comp in range(1, n + 1):
+        acc = np.zeros_like(m, dtype=np.uint8)
+        for ring in rv.trace_rings(labels == comp):
+            world = np.stack([ring[:, 0].astype(float), -ring[:, 1].astype(float)], axis=1)
+            acc ^= rv.rasterize_ring(world, 0.0, 0.0, 1.0, H, W)
+        recon |= acc
+    return recon.astype(bool)
+
+
+def test_trace_rings_saddle_corner():
+    """Two same-component pixels touching only diagonally (saddle vertex at
+    (2,2)): the walk must split the pinch into simple rings, not crash or
+    emit a figure-eight. Regression: the single-slot edge dict used to lose
+    one of the two outgoing edges and KeyError mid-walk."""
+    m = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 0]], dtype=bool)
+    rings = rv.trace_rings(m)
+    assert len(rings) == 2  # outer (with the (2,2) notch) + hole at (1,1)
+    # each ring is simple: no repeated vertices
+    for r in rings:
+        pts = list(map(tuple, r.tolist()))
+        assert len(pts) == len(set(pts))
+    # signed-area invariant: |Σ 2A| / 2 == pixel count
+    tot = 0
+    for r in rings:
+        xs, ys = r[:, 0], r[:, 1]
+        tot += int((xs * np.roll(ys, -1) - np.roll(xs, -1) * ys).sum())
+    assert abs(tot) // 2 == int(m.sum())
+    assert np.array_equal(_roundtrip(m), m)
+
+
+def test_roundtrip_random_pixel_noise_saddle_dense():
+    """Per-pixel random masks are dense in saddle vertices and irregular
+    holes — the adversarial regime for the ring walk."""
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        m = rng.random((16, 16)) < 0.5
+        assert np.array_equal(_roundtrip(m), m), f"seed {seed}"
+
+
 def test_polygonize_rasterize_roundtrip_kernel():
     """rasterize(polygonize(m)) == m with even-odd ring composition."""
     rng = np.random.default_rng(5)

@@ -420,6 +420,55 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
     assert cat.read(spark, "ev").select("event_id").distinct().count() == base.count()
 
 
+def test_stream_to_catalog_fresh_checkpoint_new_batching(spark, tmp_path):
+    """File-granularity replay guard: a FRESH checkpoint whose micro-batch
+    decomposition differs from the original run's must neither lose
+    never-committed files nor duplicate committed ones.
+
+    Regression: the batch-id-only guard dropped batch 0 of a fresh
+    checkpoint (0 <= recorded high water) even when that batch packed NEW
+    files together with the replayed ones — the new files were then marked
+    processed in the new checkpoint and permanently lost."""
+    from geotiff_scalable_analysis_pipeline_spark.plans.catalog import TableCatalog
+    from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import stream_to_catalog
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = spark.read.parquet(f"{SF}/events.parquet")
+    schema = base.schema
+    cat = TableCatalog(tmp_path / "cat")
+
+    def run(checkpoint, max_files):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src)
+        )
+        stream_to_catalog(stream, cat, "ev", str(tmp_path / checkpoint))
+
+    # run 1: two files, one per batch (high water -> 1)
+    base.filter(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(src, mode="append")
+    base.filter(F.col("event_id") % 3 == 1).coalesce(1).write.parquet(src, mode="append")
+    run("ck1", 1)
+    n01 = base.filter(F.col("event_id") % 3 < 2).count()
+    assert cat.read(spark, "ev").count() == n01
+
+    # checkpoint lost; a NEW file lands; the fresh checkpoint packs ALL
+    # THREE files into batch 0 (0 <= high water 1): only the new file's
+    # rows must commit
+    base.filter(F.col("event_id") % 3 == 2).coalesce(1).write.parquet(src, mode="append")
+    run("ck2", 10)
+    got = cat.read(spark, "ev")
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == base.count()
+
+    # opposite decomposition skew: fresh checkpoint, one file per batch
+    # (batch ids 0..2, the last ABOVE the recorded high water) — no
+    # duplicates either
+    run("ck3", 1)
+    assert cat.read(spark, "ev").count() == base.count()
+
+
 def test_streaming_raster_metrics_pipeline(spark, tmp_path):
     """The raster pipeline runs INCREMENTALLY over streaming media ingest:
     readStream(media parquet) → chunk probability cubes → per-pixel metric
