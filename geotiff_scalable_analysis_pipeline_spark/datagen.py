@@ -247,6 +247,46 @@ def rect_zones_sql(cfg: GoldenConfig = GOLDEN, alias: str = "rzones") -> str:
 )"""
 
 
+def rect_zones_b_np(cfg: GoldenConfig = GOLDEN) -> dict[str, np.ndarray]:
+    """Second rectangle layer (salts 15-18) for layer-vs-layer overlay."""
+    z = np.arange(cfg.n_rect_zones, dtype=np.int64)
+    g1, g2, g3, g4 = (ihash_np(z, s) for s in (15, 16, 17, 18))
+    minx = g1 % 95000
+    miny = g2 % 95000
+    return {
+        "zone_id": z,
+        "minx": minx,
+        "miny": miny,
+        "maxx": minx + 1000 + g3 % 15001,
+        "maxy": miny + 1000 + g4 % 15001,
+    }
+
+
+def rect_zones_b_df(spark: SparkSession, cfg: GoldenConfig = GOLDEN) -> DataFrame:
+    z = F.col("id")
+    g1, g2, g3, g4 = (ihash_col(z, s) for s in (15, 16, 17, 18))
+    return spark.range(cfg.n_rect_zones).select(
+        z.alias("zone_id"),
+        (g1 % 95000).alias("minx"),
+        (g2 % 95000).alias("miny"),
+        (g1 % 95000 + 1000 + g3 % 15001).alias("maxx"),
+        (g2 % 95000 + 1000 + g4 % 15001).alias("maxy"),
+    )
+
+
+def rect_zones_b_sql(cfg: GoldenConfig = GOLDEN, alias: str = "bzones") -> str:
+    g1, g2, g3, g4 = (ihash_sql("z", s) for s in (15, 16, 17, 18))
+    return f"""
+{alias} AS (
+  SELECT z AS zone_id,
+         {g1} % 95000 AS minx,
+         {g2} % 95000 AS miny,
+         {g1} % 95000 + 1000 + {g3} % 15001 AS maxx,
+         {g2} % 95000 + 1000 + {g4} % 15001 AS maxy
+  FROM range(0, {cfg.n_rect_zones}) t(z)
+)"""
+
+
 def poly_zones_np(cfg: GoldenConfig = GOLDEN) -> dict[int, np.ndarray]:
     """{zone_id: (V,2) int ring} for the literal polygon zones."""
     return {cfg.n_rect_zones + i: np.asarray(ring, dtype=np.int64) for i, ring in POLY_ZONES.items()}

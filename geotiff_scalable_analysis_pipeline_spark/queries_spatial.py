@@ -75,6 +75,28 @@ WHERE NOT EXISTS (SELECT 1 FROM rzones z
   WHERE t.cx BETWEEN z.minx AND z.maxx AND t.cy BETWEEN z.miny AND z.maxy)"""
 
 
+def q_overlay_rect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-vs-layer spatial overlay (operators/overlay.py): every
+    positive-area intersection between the two rect-zone layers, emitted
+    exactly once via the reference-point rule — no distinct shuffle."""
+    from .operators import overlay
+
+    return overlay.overlay_rect_join(
+        dg.rect_zones_df(spark, CFG), dg.rect_zones_b_df(spark, CFG), level=PIP_LEVEL
+    )
+
+
+SQL_OVERLAY = f"""WITH {dg.rect_zones_sql(CFG)}, {dg.rect_zones_b_sql(CFG)}
+SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
+       CAST(LEAST(a.maxx, b.maxx) - GREATEST(a.minx, b.minx) AS BIGINT) AS inter_w,
+       CAST(LEAST(a.maxy, b.maxy) - GREATEST(a.miny, b.miny) AS BIGINT) AS inter_h,
+       CAST((LEAST(a.maxx, b.maxx) - GREATEST(a.minx, b.minx))
+          * (LEAST(a.maxy, b.maxy) - GREATEST(a.miny, b.miny)) AS BIGINT) AS inter_area
+FROM rzones a JOIN bzones b
+  ON GREATEST(a.minx, b.minx) < LEAST(a.maxx, b.maxx)
+ AND GREATEST(a.miny, b.miny) < LEAST(a.maxy, b.maxy)"""
+
+
 # ---------------------------------------------------------------------------
 # kNN (J5)
 # ---------------------------------------------------------------------------
@@ -1159,6 +1181,7 @@ QUERIES = {
     "pip_join_rect": (q_pip_rect, SQL_PIP_RECT),
     "pip_join_poly": (q_pip_poly, SQL_PIP_POLY),
     "pip_unmatched_lineage": (q_pip_unmatched, SQL_PIP_UNMATCHED),
+    "overlay_rect_areas": (q_overlay_rect_areas, SQL_OVERLAY),
     "knn_ring_expansion": (q_knn, SQL_KNN),
     "tile_footprint_cells": (q_tile_cells, SQL_TILE_CELLS),
     "pyramid_rollup": (q_pyramid_rollup, SQL_PYRAMID),
