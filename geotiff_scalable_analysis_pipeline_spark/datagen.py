@@ -73,6 +73,7 @@ class GoldenConfig:
     n_docs: int = 10000
     n_media_tiles: int = 200  # tiles that carry an actual TIFF payload in tests
     knn_k: int = 5
+    n_campaigns: int = 40  # observation-campaign time windows (range join)
 
     @property
     def extent(self) -> int:
@@ -315,6 +316,39 @@ def poly_edges_sql(cfg: GoldenConfig = GOLDEN, alias: str = "pedges") -> str:
     return f"""
 {alias}(zone_id, ex1, ey1, ex2, ey2) AS (
   VALUES {', '.join(rows)}
+)"""
+
+
+def campaigns_np(cfg: GoldenConfig = GOLDEN) -> dict[str, np.ndarray]:
+    """Observation-campaign time windows over the acquisition-hour axis
+    (acq time of tile k is k hours, as in the as-of queries)."""
+    c = np.arange(cfg.n_campaigns, dtype=np.int64)
+    lo = ihash_np(c, 31) % cfg.n_tiles
+    return {
+        "campaign_id": c,
+        "lo_h": lo,
+        "hi_h": lo + 1 + ihash_np(c, 32) % 200,
+    }
+
+
+def campaigns_df(spark: SparkSession, cfg: GoldenConfig = GOLDEN) -> DataFrame:
+    c = F.col("id")
+    lo = ihash_col(c, 31) % cfg.n_tiles
+    return spark.range(cfg.n_campaigns).select(
+        c.alias("campaign_id"),
+        lo.alias("lo_h"),
+        (lo + 1 + ihash_col(c, 32) % 200).alias("hi_h"),
+    )
+
+
+def campaigns_sql(cfg: GoldenConfig = GOLDEN, alias: str = "campaigns") -> str:
+    lo = f"{ihash_sql('c', 31)} % {cfg.n_tiles}"
+    return f"""
+{alias} AS (
+  SELECT c AS campaign_id,
+         {lo} AS lo_h,
+         {lo} + 1 + {ihash_sql('c', 32)} % 200 AS hi_h
+  FROM range(0, {cfg.n_campaigns}) t(c)
 )"""
 
 

@@ -530,6 +530,26 @@ def q_asof_acquisitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (operators/range_join.py): each acquisition
+    paired with every observation-campaign window containing its time —
+    a bucketed equi-join, never a BroadcastNestedLoop/Cartesian theta join."""
+    from .operators import range_join
+
+    acq = dg.tiles_df(spark, CFG).select(
+        "media_ref", F.col("tile_k").cast("long").alias("ts_h")
+    )
+    out = range_join.range_join_point_interval(
+        acq, dg.campaigns_df(spark, CFG), v="ts_h", lo="lo_h", hi="hi_h"
+    )
+    return out.select("campaign_id", "media_ref", "ts_h")
+
+
+SQL_RANGE_JOIN = f"""WITH {dg.tiles_sql(CFG)}, {dg.campaigns_sql(CFG)}
+SELECT c.campaign_id, t.media_ref, CAST(t.tile_k AS BIGINT) AS ts_h
+FROM tiles_geo t JOIN campaigns c ON t.tile_k BETWEEN c.lo_h AND c.hi_h"""
+
+
 def _sql_cells_cte(level: int) -> str:
     res = cell_res(level)
     return f"""cells AS (
@@ -1194,6 +1214,7 @@ QUERIES = {
     "media_span_zones": (q_media_span_zones, SQL_MEDIA_SPAN_ZONES),
     "chunk_grid": (q_chunk_grid, SQL_CHUNK_GRID),
     "asof_acquisitions": (q_asof_acquisitions, SQL_ASOF),
+    "range_join_campaigns": (q_range_join_campaigns, SQL_RANGE_JOIN),
     "change_detection": (q_change_detection, SQL_CHANGE_DETECTION),
     "series_per_cell": (q_series_per_cell, SQL_SERIES),
     "cell_mosaic_max": (q_cell_mosaic_max, SQL_CELL_MOSAIC_MAX),
