@@ -56,27 +56,14 @@ def _strip_bounds(d: int, px: int, radius: int) -> tuple[int, int]:
     return 0, px
 
 
-def focal_stats(
-    media: DataFrame,
-    grid_cols: int,
-    grid_rows: int,
-    tile_px: int,
-    radius: int = 1,
-) -> DataFrame:
-    """3×3 (or (2r+1)²) focal-mean statistics across tile boundaries.
-
-    ``media`` is (media_ref, tile_k, payload BINARY); tile_k indexes a dense
-    scene mosaic row-major: grid position = (tile_k // grid_cols,
-    tile_k % grid_cols). Tiles absent from ``media`` simply truncate their
-    neighbors' windows (sparse mosaics are legal).
-    """
-    import pandas as pd
-
-    px, r = tile_px, radius
-    if not (1 <= r < px):
-        raise ValueError(f"radius must be in [1, tile_px); got {r}")
+def _make_exchange(grid_cols: int, grid_rows: int, px: int, r: int):
+    """Build the perimeter-only halo-exchange mapInPandas closure shared by
+    every focal operator (mean, gradient): one decode pass per tile emits
+    its core plus the O(radius·px) strips each in-mosaic neighbor needs."""
 
     def exchange(it):
+        import pandas as pd
+
         from ..formats import tiff
 
         for pdf in it:
@@ -124,37 +111,73 @@ def focal_stats(
                         out["blob"].append(strip.tobytes())
             yield pd.DataFrame(out)
 
+    return exchange
+
+
+def _assemble_padded(pdf, px: int, r: int):
+    """Shared re-assembly of one tile's halo-padded array from its grouped
+    exchange rows: (media_ref, padded (nb, px+2r, px+2r) int64, presence
+    mask) — or None when the group holds no core (strips mailed to an
+    absent tile of a sparse mosaic)."""
+    cores = pdf[pdf["kind"] == 0]
+    if len(cores) == 0:
+        return None
+    if len(cores) > 1:
+        # a duplicated tile_k would have its second core silently dropped
+        # while BOTH copies' halo strips were summed into the neighbors
+        raise ValueError(
+            f"duplicate tile_k in mosaic: {sorted(set(cores['media_ref']))}"
+        )
+    core = np.frombuffer(cores["blob"].iloc[0], dtype=np.uint16)
+    nb = core.size // (px * px)
+    padded = np.zeros((nb, px + 2 * r, px + 2 * r), dtype=np.int64)
+    mask = np.zeros((px + 2 * r, px + 2 * r), dtype=np.int64)
+    padded[:, r : r + px, r : r + px] = core.reshape(nb, px, px)
+    mask[r : r + px, r : r + px] = 1
+    for _, row in pdf[pdf["kind"] == 1].iterrows():
+        dr, dc = int(row["dr"]), int(row["dc"])
+        h = r if dr else px
+        w = r if dc else px
+        strip = np.frombuffer(row["blob"], dtype=np.uint16).reshape(nb, h, w)
+        # the strip's first pixel sits at source-local (r0, c0); relative
+        # to the target tile's origin that is (r0 - dr·px, c0 - dc·px)
+        pr = _strip_bounds(dr, px, r)[0] - dr * px + r
+        pc = _strip_bounds(dc, px, r)[0] - dc * px + r
+        padded[:, pr : pr + h, pc : pc + w] = strip
+        mask[pr : pr + h, pc : pc + w] = 1
+    return cores["media_ref"].iloc[0], padded, mask
+
+
+def focal_stats(
+    media: DataFrame,
+    grid_cols: int,
+    grid_rows: int,
+    tile_px: int,
+    radius: int = 1,
+) -> DataFrame:
+    """3×3 (or (2r+1)²) focal-mean statistics across tile boundaries.
+
+    ``media`` is (media_ref, tile_k, payload BINARY); tile_k indexes a dense
+    scene mosaic row-major: grid position = (tile_k // grid_cols,
+    tile_k % grid_cols). Tiles absent from ``media`` simply truncate their
+    neighbors' windows (sparse mosaics are legal).
+    """
+    import pandas as pd
+
+    px, r = tile_px, radius
+    if not (1 <= r < px):
+        raise ValueError(f"radius must be in [1, tile_px); got {r}")
+
     def assemble(pdf):
-        cores = pdf[pdf["kind"] == 0]
-        if len(cores) == 0:  # strips mailed to an absent tile — nothing to do
+        got = _assemble_padded(pdf, px, r)
+        if got is None:
             return pd.DataFrame(
                 {k: [] for k in (
                     "media_ref", "band", "n_px", "sum_fm", "min_fm", "max_fm",
                 )}
             )
-        if len(cores) > 1:
-            # a duplicated tile_k would have its second core silently dropped
-            # while BOTH copies' halo strips were summed into the neighbors
-            raise ValueError(
-                f"duplicate tile_k in mosaic: {sorted(set(cores['media_ref']))}"
-            )
-        core = np.frombuffer(cores["blob"].iloc[0], dtype=np.uint16)
-        nb = core.size // (px * px)
-        padded = np.zeros((nb, px + 2 * r, px + 2 * r), dtype=np.int64)
-        mask = np.zeros((px + 2 * r, px + 2 * r), dtype=np.int64)
-        padded[:, r : r + px, r : r + px] = core.reshape(nb, px, px)
-        mask[r : r + px, r : r + px] = 1
-        for _, row in pdf[pdf["kind"] == 1].iterrows():
-            dr, dc = int(row["dr"]), int(row["dc"])
-            h = r if dr else px
-            w = r if dc else px
-            strip = np.frombuffer(row["blob"], dtype=np.uint16).reshape(nb, h, w)
-            # the strip's first pixel sits at source-local (r0, c0); relative
-            # to the target tile's origin that is (r0 - dr·px, c0 - dc·px)
-            pr = _strip_bounds(dr, px, r)[0] - dr * px + r
-            pc = _strip_bounds(dc, px, r)[0] - dc * px + r
-            padded[:, pr : pr + h, pc : pc + w] = strip
-            mask[pr : pr + h, pc : pc + w] = 1
+        ref, padded, mask = got
+        nb = padded.shape[0]
         side = 2 * r + 1
 
         def winsum(a2d: np.ndarray) -> np.ndarray:
@@ -166,7 +189,6 @@ def focal_stats(
             )
 
         cnt = winsum(mask)  # ≥ 1: the window always contains its core pixel
-        ref = cores["media_ref"].iloc[0]
         rows = {k: [] for k in (
             "media_ref", "band", "n_px", "sum_fm", "min_fm", "max_fm",
         )}
@@ -181,8 +203,70 @@ def focal_stats(
         return pd.DataFrame(rows)
 
     exchanged = media.select("media_ref", "tile_k", "payload").mapInPandas(
-        exchange, _EXCHANGE_SCHEMA
+        _make_exchange(grid_cols, grid_rows, px, r), _EXCHANGE_SCHEMA
     )
     return exchanged.groupBy("tgt_row", "tgt_col").applyInPandas(
         assemble, FOCAL_STATS_SCHEMA
+    )
+
+
+GRADIENT_STATS_SCHEMA = (
+    "media_ref string, band int, n_valid long, sum_g2 long, max_g2 long"
+)
+
+
+def focal_gradient_stats(
+    media: DataFrame,
+    grid_cols: int,
+    grid_rows: int,
+    tile_px: int,
+) -> DataFrame:
+    """Terrain-derivative statistics across tile seams: per (tile, band),
+    the squared gradient magnitude g² = gx² + gy² of every pixel whose four
+    central-difference neighbors exist in the mosaic (gx = DN[r, c+1] −
+    DN[r, c−1], gy = DN[r+1, c] − DN[r−1, c]; integer-exact, libm-free —
+    slope/hillshade are monotone transforms of g² applied at render time).
+
+    Same distributed shape as :func:`focal_stats`: one decode pass emits
+    cores + perimeter strips (radius 1), one grouped assemble per tile —
+    the halo exchange is the only shuffle. Pixels on mosaic edges (or
+    adjacent to absent tiles of a sparse mosaic) are excluded from
+    ``n_valid`` rather than padded, so seams never fabricate gradients.
+    """
+    import pandas as pd
+
+    px, r = tile_px, 1
+    if px < 3:
+        raise ValueError(f"tile_px must be >= 3 for central differences; got {px}")
+
+    cols = ("media_ref", "band", "n_valid", "sum_g2", "max_g2")
+
+    def assemble(pdf):
+        got = _assemble_padded(pdf, px, r)
+        if got is None:
+            return pd.DataFrame({k: [] for k in cols})
+        ref, padded, mask = got
+        nb = padded.shape[0]
+        # a core pixel is valid iff all 4 central-difference neighbors exist
+        valid = (
+            mask[:-2, 1:-1] & mask[2:, 1:-1] & mask[1:-1, :-2] & mask[1:-1, 2:]
+        ).astype(bool)
+        rows = {k: [] for k in cols}
+        for b in range(nb):
+            a = padded[b]
+            gx = a[1:-1, 2:] - a[1:-1, :-2]
+            gy = a[2:, 1:-1] - a[:-2, 1:-1]
+            g2 = gx * gx + gy * gy
+            rows["media_ref"].append(ref)
+            rows["band"].append(b)
+            rows["n_valid"].append(int(valid.sum()))
+            rows["sum_g2"].append(int(g2[valid].sum()))
+            rows["max_g2"].append(int(g2[valid].max()) if valid.any() else 0)
+        return pd.DataFrame(rows)
+
+    exchanged = media.select("media_ref", "tile_k", "payload").mapInPandas(
+        _make_exchange(grid_cols, grid_rows, px, r), _EXCHANGE_SCHEMA
+    )
+    return exchanged.groupBy("tgt_row", "tgt_col").applyInPandas(
+        assemble, GRADIENT_STATS_SCHEMA
     )

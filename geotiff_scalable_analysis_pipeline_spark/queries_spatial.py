@@ -1197,6 +1197,40 @@ SELECT 'tile' || lpad(CAST(tk AS VARCHAR), 8, '0') AS media_ref,
 FROM fm GROUP BY tk, b"""
 
 
+def q_focal_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain-derivative surface (slope precursor): per (tile, band) stats
+    of the squared central-difference gradient magnitude across tile seams
+    — same halo-exchange shape as focal_mean_stats, integer-exact."""
+    from .operators import focal
+
+    media = dg.media_df(spark, CFG)
+    return focal.focal_gradient_stats(media, FOCAL_GC, FOCAL_GR, CFG.tile_px)
+
+
+def _sql_focal_gradient() -> str:
+    """Oracle: every mosaic pixel's gx/gy recomputed straight from the DN
+    formula with explicit bounds guards — no halos, no joins. Any seam
+    error or fabricated edge gradient in the distributed form diverges."""
+    px, gc, gr, nb = CFG.tile_px, FOCAL_GC, FOCAL_GR, CFG.n_bands
+    H, W = gr * px, gc * px
+
+    def dn_at(r_expr: str, c_expr: str) -> str:
+        tk = f"((({r_expr})//{px})*{gc} + (({c_expr})//{px}))"
+        return dg.dn_sql(tk, "b", f"(({r_expr})%{px})", f"(({c_expr})%{px})")
+
+    gx = f"({dn_at('R', 'C+1')} - {dn_at('R', 'C-1')})"
+    gy = f"({dn_at('R+1', 'C')} - {dn_at('R-1', 'C')})"
+    return f"""
+WITH g AS (
+  SELECT (R//{px})*{gc} + (C//{px}) AS tk, b,
+         {gx}*{gx} + {gy}*{gy} AS g2
+  FROM range(1, {H - 1}) rr(R), range(1, {W - 1}) cc(C), range(0, {nb}) bb(b))
+SELECT 'tile' || lpad(CAST(tk AS VARCHAR), 8, '0') AS media_ref,
+       CAST(b AS INTEGER) AS band, count(*) AS n_valid,
+       CAST(sum(g2) AS BIGINT) AS sum_g2, CAST(max(g2) AS BIGINT) AS max_g2
+FROM g GROUP BY tk, b"""
+
+
 QUERIES = {
     "pip_join_rect": (q_pip_rect, SQL_PIP_RECT),
     "pip_join_poly": (q_pip_poly, SQL_PIP_POLY),
@@ -1230,4 +1264,5 @@ QUERIES = {
     "global_class_probs": (q_global_class_probs, _sql_global_class_probs()),
     "class_metrics": (q_class_metrics, _sql_class_metrics()),
     "focal_mean_stats": (q_focal_stats, _sql_focal_stats()),
+    "focal_gradient_stats": (q_focal_gradient, _sql_focal_gradient()),
 }

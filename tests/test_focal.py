@@ -122,3 +122,78 @@ def test_focal_rejects_out_of_mosaic_and_duplicate_tiles(spark):
     dup = ok.unionByName(ok.filter(dg.F.col("tile_k") == 1))
     with pytest.raises(Exception, match="duplicate tile_k"):
         focal.focal_stats(dup, 2, 2, 8, radius=1).collect()
+
+
+# ---------------------------------------------------------------------------
+# gradient (terrain-derivative) variant
+# ---------------------------------------------------------------------------
+
+
+def _brute_gradient(tile_ks, grid_cols, grid_rows, px, nb):
+    """Per-tile squared-gradient stats from the assembled mosaic: a pixel is
+    valid iff all four central-difference neighbors are PRESENT."""
+    H, W = grid_rows * px, grid_cols * px
+    mosaic = np.zeros((nb, H, W), dtype=np.int64)
+    present = np.zeros((H, W), dtype=bool)
+    band, r, c = np.meshgrid(np.arange(nb), np.arange(px), np.arange(px), indexing="ij")
+    for k in tile_ks:
+        gr, gc = k // grid_cols, k % grid_cols
+        mosaic[:, gr * px : (gr + 1) * px, gc * px : (gc + 1) * px] = dg.dn_np(
+            np.int64(k), band, r, c
+        )
+        present[gr * px : (gr + 1) * px, gc * px : (gc + 1) * px] = True
+    rows = []
+    for k in tile_ks:
+        gr, gc = k // grid_cols, k % grid_cols
+        for b in range(nb):
+            g2s = []
+            for rr in range(gr * px, (gr + 1) * px):
+                for cc in range(gc * px, (gc + 1) * px):
+                    nbrs = [(rr - 1, cc), (rr + 1, cc), (rr, cc - 1), (rr, cc + 1)]
+                    if any(
+                        not (0 <= a < H and 0 <= bcol < W and present[a, bcol])
+                        for a, bcol in nbrs
+                    ):
+                        continue
+                    gx = mosaic[b, rr, cc + 1] - mosaic[b, rr, cc - 1]
+                    gy = mosaic[b, rr + 1, cc] - mosaic[b, rr - 1, cc]
+                    g2s.append(int(gx * gx + gy * gy))
+            rows.append(
+                (
+                    f"tile{k:08d}", b, len(g2s), int(sum(g2s)),
+                    int(max(g2s)) if g2s else 0,
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["media_ref", "band", "n_valid", "sum_g2", "max_g2"]
+    )
+
+
+@pytest.mark.parametrize(
+    "tile_ks,gc,gr",
+    [
+        (list(range(6)), 3, 2),          # dense: interior seams + mosaic edges
+        ([0, 1, 2, 3, 5, 6, 7, 8], 3, 3),  # sparse: hole invalidates neighbors
+        ([0], 1, 1),                      # single tile: pure edge truncation
+    ],
+)
+def test_focal_gradient_vs_brute_force(spark, tile_ks, gc, gr):
+    px = 8
+    cfg = dg.GoldenConfig(n_tiles=max(tile_ks) + 1, tile_px=px, n_media_tiles=max(tile_ks) + 1)
+    media = dg.media_df(spark, cfg).filter(
+        dg.F.col("tile_k").isin([int(k) for k in tile_ks])
+    )
+    got = (
+        focal.focal_gradient_stats(media, gc, gr, px)
+        .toPandas()
+        .sort_values(["media_ref", "band"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _brute_gradient(tile_ks, gc, gr, px, cfg.n_bands)
+        .sort_values(["media_ref", "band"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"band": "int64"}), want.astype({"band": "int64"})
+    )
