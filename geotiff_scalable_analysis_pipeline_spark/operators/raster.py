@@ -118,6 +118,60 @@ def tile_histogram(media: DataFrame, bins: int = HIST_BINS, dn_max: int = 10000)
     return media.select("media_ref", "payload").mapInPandas(hist, HIST_SCHEMA)
 
 
+STRETCH_SCHEMA = (
+    "media_ref string, band int, p_lo_dn int, p_hi_dn int, "
+    "n_below long, n_above long"
+)
+
+
+def tile_percentile_stretch(media: DataFrame, p_lo: int = 2, p_hi: int = 98) -> DataFrame:
+    """Per-tile contrast-stretch anchors: exact nearest-rank percentiles of
+    the DN distribution plus the pixel counts a [p_lo, p_hi] stretch would
+    clip (the reference's preview normalization picks display bounds the
+    same way; reference reporters/preview.py percentile normalize).
+
+    Nearest-rank rule, pinned for oracle parity: the p-th percentile is the
+    value at 1-based rank ``ceil(p·n/100)`` of the sorted pixels — computed
+    in pure integers as ``(p·n + 99) // 100``, so no float-ceil boundary
+    drift between engine and SQL. ``n_below``/``n_above`` count pixels
+    strictly outside the anchors.
+
+    Scale shape: map-only. A tile's percentile is tile-local, so the sort
+    happens on the decoded array inside the UDF and NOTHING shuffles —
+    per-pixel data never leaves the executor at any corpus size.
+    """
+    import pandas as pd
+
+    if not (0 < p_lo < p_hi < 100):
+        raise ValueError(f"need 0 < p_lo < p_hi < 100; got {p_lo}, {p_hi}")
+
+    cols = ("media_ref", "band", "p_lo_dn", "p_hi_dn", "n_below", "n_above")
+
+    def stretch(it):
+        from ..formats import tiff
+
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                arr, _ = tiff.decode(bytes(payload))
+                a = arr.astype(np.int64)
+                n = a.shape[1] * a.shape[2]
+                i_lo = (p_lo * n + 99) // 100 - 1
+                i_hi = (p_hi * n + 99) // 100 - 1
+                for b in range(a.shape[0]):
+                    v = np.sort(a[b].ravel())
+                    lo, hi = int(v[i_lo]), int(v[i_hi])
+                    rows["media_ref"].append(ref)
+                    rows["band"].append(b)
+                    rows["p_lo_dn"].append(lo)
+                    rows["p_hi_dn"].append(hi)
+                    rows["n_below"].append(int((v < lo).sum()))
+                    rows["n_above"].append(int((v > hi).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_ref", "payload").mapInPandas(stretch, STRETCH_SCHEMA)
+
+
 FUSED_SCHEMA = PIXEL_STATS_SCHEMA + ", hist array<long>"
 
 

@@ -1197,6 +1197,33 @@ SELECT 'tile' || lpad(CAST(tk AS VARCHAR), 8, '0') AS media_ref,
 FROM fm GROUP BY tk, b"""
 
 
+def q_tile_percentile_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile contrast-stretch anchors (P-family): exact nearest-rank
+    p2/p98 DN percentiles + clip counts, map-only (operators/raster.py)."""
+    media = dg.media_df(spark, CFG)
+    return raster.tile_percentile_stretch(media, p_lo=2, p_hi=98)
+
+
+SQL_PERCENTILE_STRETCH = f"""WITH {dg.tiles_sql(CFG)}, {_PX_CTE},
+rk AS (
+  SELECT media_ref, band, dn,
+         row_number() OVER (PARTITION BY media_ref, band ORDER BY dn) AS rnk,
+         count(*) OVER (PARTITION BY media_ref, band) AS n
+  FROM px),
+anch AS (
+  SELECT media_ref, band,
+         max(CASE WHEN rnk = (2 * n + 99) // 100 THEN dn END) AS p_lo_dn,
+         max(CASE WHEN rnk = (98 * n + 99) // 100 THEN dn END) AS p_hi_dn
+  FROM rk GROUP BY media_ref, band)
+SELECT a.media_ref, CAST(a.band AS INTEGER) AS band,
+       CAST(a.p_lo_dn AS INTEGER) AS p_lo_dn,
+       CAST(a.p_hi_dn AS INTEGER) AS p_hi_dn,
+       CAST(sum(CASE WHEN p.dn < a.p_lo_dn THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN p.dn > a.p_hi_dn THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM anch a JOIN px p USING (media_ref, band)
+GROUP BY a.media_ref, a.band, a.p_lo_dn, a.p_hi_dn"""
+
+
 def q_focal_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terrain-derivative surface (slope precursor): per (tile, band) stats
     of the squared central-difference gradient magnitude across tile seams
@@ -1265,4 +1292,5 @@ QUERIES = {
     "class_metrics": (q_class_metrics, _sql_class_metrics()),
     "focal_mean_stats": (q_focal_stats, _sql_focal_stats()),
     "focal_gradient_stats": (q_focal_gradient, _sql_focal_gradient()),
+    "tile_percentile_stretch": (q_tile_percentile_stretch, SQL_PERCENTILE_STRETCH),
 }

@@ -223,3 +223,18 @@ def test_change_detection_decodes_once(spark):
     p = _plan(q_change_detection(spark, "/root/testdata/sf0.01"))
     assert p.count("MapInPandas") <= 2
     assert "CartesianProduct" not in p
+
+
+def test_percentile_stretch_is_map_only(spark):
+    """Per-tile percentiles are tile-local: one decode mapInPandas stage,
+    no Exchange — per-pixel data never shuffles at any corpus size."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_spatial import (
+        q_tile_percentile_stretch,
+    )
+
+    p = _plan(q_tile_percentile_stretch(spark, "/root/testdata/sf0.01"))
+    # the only Exchange is datagen's round-robin before payload ENCODE (test
+    # corpus synthesis); the operator itself adds no shuffle of any kind
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("MapInPandas") == 2  # datagen encode + the stretch decode
