@@ -352,6 +352,30 @@ def campaigns_sql(cfg: GoldenConfig = GOLDEN, alias: str = "campaigns") -> str:
 )"""
 
 
+def graph_edges_np(n_nodes: int = 300, n_edges: int = 1200) -> dict[str, np.ndarray]:
+    """Deterministic directed multigraph (salts 41/42); self-loops and
+    repeated edges are kept — every edge row contributes to out-degree."""
+    e = np.arange(n_edges, dtype=np.int64)
+    return {"src": ihash_np(e, 41) % n_nodes, "dst": ihash_np(e, 42) % n_nodes}
+
+
+def graph_edges_df(spark: SparkSession, n_nodes: int = 300, n_edges: int = 1200) -> DataFrame:
+    e = F.col("id")
+    return spark.range(n_edges).select(
+        (ihash_col(e, 41) % n_nodes).alias("src"),
+        (ihash_col(e, 42) % n_nodes).alias("dst"),
+    )
+
+
+def graph_edges_sql(n_nodes: int = 300, n_edges: int = 1200, alias: str = "gedges") -> str:
+    return f"""
+{alias} AS (
+  SELECT {ihash_sql('e', 41)} % {n_nodes} AS src,
+         {ihash_sql('e', 42)} % {n_nodes} AS dst
+  FROM range(0, {n_edges}) t(e)
+)"""
+
+
 # ---------------------------------------------------------------------------
 # query points (kNN)
 # ---------------------------------------------------------------------------

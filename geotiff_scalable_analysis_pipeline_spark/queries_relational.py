@@ -575,8 +575,47 @@ SELECT user_id, epoch_us(st) AS signup_us, epoch_us(pt) AS purchase_us,
 FROM s LEFT JOIN p USING (user_id)"""
 
 
+# --- PageRank (iterative graph algorithm, exact integer arithmetic) --------
+
+_PR_NODES, _PR_ITERS = 300, 3
+
+
+def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank over the deterministic edge list
+    (operators/pagerank.py) — bit-exact vs the unrolled-CTE oracle."""
+    from . import datagen as dg
+    from .operators import pagerank
+
+    return pagerank.pagerank(
+        spark, dg.graph_edges_df(spark, _PR_NODES), n_nodes=_PR_NODES, iters=_PR_ITERS
+    )
+
+
+def _sql_pagerank(n_nodes: int = _PR_NODES, iters: int = _PR_ITERS,
+                  scale: int = 1_000_000, num: int = 85, den: int = 100) -> str:
+    from . import datagen as dg
+
+    base = (den - num) * scale // den
+    ctes = [
+        dg.graph_edges_sql(n_nodes).strip().rstrip(),
+        f"nodes AS (SELECT n AS node FROM range(0, {n_nodes}) t(n))",
+        "outdeg AS (SELECT src, count(*) AS odeg FROM gedges GROUP BY src)",
+        f"rk0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""rk{i + 1} AS (
+  SELECT n.node, {base} + ({num} * COALESCE(inc.s, 0)) // {den} AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // o.odeg) AS s
+    FROM gedges e JOIN outdeg o ON o.src = e.src JOIN rk{i} r ON r.node = e.src
+    GROUP BY e.dst) inc ON inc.node = n.node)""")
+    joined = ",\n".join(ctes)
+    return f"WITH {joined}\nSELECT node, CAST(rank AS BIGINT) AS rank FROM rk{iters}"
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "pagerank_ranks": (q_pagerank_ranks, _sql_pagerank()),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),

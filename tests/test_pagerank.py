@@ -1,0 +1,61 @@
+"""Integer PageRank (operators/pagerank.py) vs an independent python
+simulator — exact integer parity, not approximate rank comparison."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geotiff_scalable_analysis_pipeline_spark import datagen as dg
+from geotiff_scalable_analysis_pipeline_spark.operators import pagerank
+
+
+def _simulate(src, dst, n, iters, scale=1_000_000, num=85, den=100):
+    outdeg = np.zeros(n, dtype=np.int64)
+    np.add.at(outdeg, src, 1)
+    base = (den - num) * scale // den
+    rank = np.full(n, scale, dtype=np.int64)
+    for _ in range(iters):
+        inc = np.zeros(n, dtype=np.int64)
+        np.add.at(inc, dst, rank[src] // outdeg[src])
+        rank = base + (num * inc) // den
+    return rank
+
+
+def test_pagerank_matches_simulator(spark):
+    n, ed = 120, dg.graph_edges_np(120, 500)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank.pagerank(
+            spark, dg.graph_edges_df(spark, 120, 500), n_nodes=n, iters=4
+        ).collect()
+    }
+    want = _simulate(ed["src"], ed["dst"], n, iters=4)
+    assert got == {i: int(want[i]) for i in range(n)}
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    out = pagerank.pagerank(
+        spark, dg.graph_edges_df(spark, 50, 100), n_nodes=50, iters=0
+    ).collect()
+    assert len(out) == 50 and all(r["rank"] == 1_000_000 for r in out)
+
+
+def test_pagerank_checkpoint_invariant(spark):
+    """localCheckpoint lineage truncation must not perturb any rank."""
+    kw = dict(n_nodes=80, iters=5)
+    a = pagerank.pagerank(spark, dg.graph_edges_df(spark, 80, 300), **kw).collect()
+    b = pagerank.pagerank(
+        spark, dg.graph_edges_df(spark, 80, 300), checkpoint_every=2, **kw
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pagerank_isolated_nodes_get_base_rank(spark):
+    """A node with no in-edges holds exactly the base (teleport) mass after
+    any positive number of iterations."""
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank.pagerank(spark, edges, n_nodes=3, iters=3).collect()
+    }
+    assert out[2] == 150_000
