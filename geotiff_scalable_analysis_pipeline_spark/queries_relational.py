@@ -378,6 +378,22 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_event_stats_streaming(spark, sf_dir)
 
 
+def q_streaming_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (streaming/ingest.py): file-source
+    readStream over events ⋈ broadcast static customer dim → exact-decimal
+    rollup per (mktsegment, event_type), availableNow to completion."""
+    from .streaming.ingest import stream_static_enrichment
+
+    return stream_static_enrichment(spark, sf_dir)
+
+
+SQL_STREAM_STATIC_ENRICHED = """
+SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type"""
+
+
 def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution as a REAL stream-stream join (two
     file-source readStreams over events, watermarked event-time interval
@@ -624,6 +640,7 @@ QUERIES = {
         SQL_CLICK_ATTRIBUTION,
     ),
     "streaming_dedup_bounded": (q_streaming_dedup_bounded, SQL_STREAMING_DEDUP_BOUNDED),
+    "streaming_events_enriched": (q_streaming_events_enriched, SQL_STREAM_STATIC_ENRICHED),
     "events_hourly_windows": (q_events_hourly, SQL_EVENTS_HOURLY),
     "streaming_events_hourly": (q_streaming_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions_native": (q_events_sessions_native, SQL_EVENTS_SESSIONS_NATIVE),

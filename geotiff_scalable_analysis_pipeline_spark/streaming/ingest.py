@@ -117,6 +117,36 @@ def hourly_event_stats_streaming(
     return _run_complete_to_memory(hourly_windowed_stats(ev, watermark), query_name)
 
 
+def stream_static_enrichment(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_name: str = "streaming_events_enriched",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-STATIC join: streaming events enriched with the static
+    customer dimension, then an exact-decimal rollup per (market segment,
+    event type).
+
+    The static side is a plain batch DataFrame broadcast into every
+    micro-batch's plan — stream-static joins are STATELESS in Structured
+    Streaming (no watermark, no state store; the dim is re-resolvable per
+    batch, which is how slowly-changing dims refresh at 100 TB). The
+    complete-mode aggregate is micro-batch-boundary independent (count +
+    exact decimal sum), so the batch SQL oracle verifies the streaming
+    path verbatim."""
+    ev = stream_events(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_D)).cast("double").alias("sum_value"),
+    )
+    return _run_complete_to_memory(agg, query_name)
+
+
 def _run_complete_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -565,3 +565,38 @@ def test_two_pipelines_one_table_need_distinct_stream_ids(spark, tmp_path):
     run(src_b, "ck_b2", "pipeline-b")
     assert cat.read(spark, "ev").count() == base.count()
     assert cat.read(spark, "ev").select("event_id").distinct().count() == base.count()
+
+
+def test_stream_static_join_spans_microbatches(spark, tmp_path):
+    """Stream-static enrichment: the broadcast dim joins correctly in EVERY
+    micro-batch (events split across two one-file batches), and the final
+    aggregate equals the batch join."""
+    from geotiff_scalable_analysis_pipeline_spark.streaming.ingest import (
+        stream_static_enrichment,
+    )
+
+    base = str(tmp_path / "sf")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{base}/events.parquet"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{base}/events.parquet", mode="append"
+    )
+    dim = spark.read.parquet(f"{SF}/customer.parquet")
+    dim.coalesce(1).write.parquet(f"{base}/customer.parquet")
+
+    got = stream_static_enrichment(
+        spark, base, query_name="t_ss_enrich", max_files_per_trigger=1
+    )
+    want = (
+        ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert _rows(got) == _rows(want)
