@@ -75,6 +75,7 @@ BENCH_TABLES = {
     "zonal_stats": {"tiles", "rect_zones", "media"},
     "dedup_suite": set(),
     "dedup_text": {"dedup_docs"},
+    "overlay": {"overlay_zones_a", "overlay_zones_b"},
     "text_profile": set(),
     "text_profile_scaled": {"dedup_docs"},
     "relational_suite": set(),
@@ -83,6 +84,10 @@ BENCH_TABLES = {
 # docs for the BENCH_SCALE-scaled dedup bench (the sf tables the other text
 # queries read do NOT scale with BENCH_SCALE)
 N_TEXT_DOCS = int(5_000 * SCALE)
+
+# zones per side for the BENCH_SCALE-scaled overlay bench (the golden 90-zone
+# layers are dims; candidate-pair work grows ~quadratically in this count)
+N_OVR_ZONES = int(100 * SCALE)
 
 _GENERATORS = {
     "tiles": dg.tiles_df,
@@ -102,7 +107,14 @@ def setup_corpus(spark, names):
         done = CORPUS / f"_READY_{table}"
         if done.exists():
             continue
-        if table == "dedup_docs":
+        if table in ("overlay_zones_a", "overlay_zones_b"):
+            gen = dg.rect_zones_df if table.endswith("_a") else dg.rect_zones_b_df
+            # 16 files so the zone-explode stage starts wide at every
+            # parallelism level (same single-fat-file trap as dedup_docs)
+            gen(spark, dg.GoldenConfig(n_rect_zones=N_OVR_ZONES)).repartition(
+                16
+            ).write.mode("overwrite").parquet(str(CORPUS / table))
+        elif table == "dedup_docs":
             # written as <dir>/documents.parquet so queries_text callables
             # (which take an sf_dir) can read it directly. 32 output files:
             # a LO-level JVM otherwise writes 2 fat single-row-group files,
@@ -283,6 +295,21 @@ def bench_dedup_text(spark):
     return N_TEXT_DOCS
 
 
+def bench_overlay(spark):
+    """Scaling-evidence surface for the layer-vs-layer spatial overlay
+    (operators/overlay.py): two BENCH_SCALE-scaled rectangle layers through
+    the PBSM cell equi-join + reference-point dedup. The full pair output
+    (id pair + intersection extents) flows to a noop sink, so what's timed
+    is candidate generation + the codegen exact test — not driver collect."""
+    from geotiff_scalable_analysis_pipeline_spark.operators import overlay as ov
+
+    out = ov.overlay_rect_join(
+        _t(spark, "overlay_zones_a"), _t(spark, "overlay_zones_b")
+    )
+    _force(out)
+    return 2 * N_OVR_ZONES
+
+
 def bench_relational(spark):
     from geotiff_scalable_analysis_pipeline_spark import queries_relational as qr
 
@@ -339,6 +366,7 @@ BENCHES = {
 EXTRA_BENCHES = {
     "dedup_text": bench_dedup_text,
     "text_profile_scaled": bench_text_profile_scaled,
+    "overlay": bench_overlay,
 }
 BENCHES_ALL = {**BENCHES, **EXTRA_BENCHES}
 

@@ -210,6 +210,81 @@ def focal_stats(
     )
 
 
+MEDIAN_STATS_SCHEMA = (
+    "media_ref string, band int, n_px long, sum_med long, min_med int, max_med int"
+)
+
+
+def focal_median_stats(
+    media: DataFrame,
+    grid_cols: int,
+    grid_rows: int,
+    tile_px: int,
+    radius: int = 1,
+) -> DataFrame:
+    """(2r+1)² focal-MEDIAN statistics across tile seams — the classic SAR
+    despeckle filter (the reference's S1 amplitude mosaics are exactly the
+    data this is applied to; reference src/eo_core/data.py S1 path), made
+    distribution-exact:
+
+    * median rule pinned as the LOWER median — the k-th smallest present
+      value with k = (n+1)//2 — so every engine picks an actual pixel value
+      (no float midpoint averaging to drift);
+    * windows truncate at mosaic edges / absent tiles via the presence
+      mask, same as :func:`focal_stats` (n ≥ 1 always: the center pixel).
+
+    Same distributed shape as the other focal operators: one decode pass,
+    perimeter-only halo strips, one grouped assemble — a single shuffle.
+    """
+    import pandas as pd
+
+    px, r = tile_px, radius
+    if not (1 <= r < px):
+        raise ValueError(f"radius must be in [1, tile_px); got {r}")
+    side = 2 * r + 1
+    cols = ("media_ref", "band", "n_px", "sum_med", "min_med", "max_med")
+    _BIG = np.int64(1) << np.int64(40)  # sentinel above any uint16 DN
+
+    def assemble(pdf):
+        got = _assemble_padded(pdf, px, r)
+        if got is None:
+            return pd.DataFrame({k: [] for k in cols})
+        ref, padded, mask = got
+        nb = padded.shape[0]
+        # stack the (2r+1)² shifted neighborhoods; absent pixels → sentinel
+        vals = np.empty((nb, px, px, side * side), dtype=np.int64)
+        msk = np.empty((px, px, side * side), dtype=bool)
+        i = 0
+        for dr in range(side):
+            for dc in range(side):
+                vals[..., i] = padded[:, dr : dr + px, dc : dc + px]
+                msk[..., i] = mask[dr : dr + px, dc : dc + px] == 1
+                i += 1
+        cnt = msk.sum(axis=-1)  # ≥ 1 (center pixel always present)
+        k = ((cnt + 1) // 2 - 1)[None, :, :, None]  # lower-median index
+        v = np.where(msk[None, :, :, :], vals, _BIG)
+        v.sort(axis=-1)
+        med = np.take_along_axis(v, np.broadcast_to(k, (nb, px, px, 1)), axis=-1)[
+            ..., 0
+        ]
+        rows = {c: [] for c in cols}
+        for b in range(nb):
+            rows["media_ref"].append(ref)
+            rows["band"].append(b)
+            rows["n_px"].append(med[b].size)
+            rows["sum_med"].append(int(med[b].sum()))
+            rows["min_med"].append(int(med[b].min()))
+            rows["max_med"].append(int(med[b].max()))
+        return pd.DataFrame(rows)
+
+    exchanged = media.select("media_ref", "tile_k", "payload").mapInPandas(
+        _make_exchange(grid_cols, grid_rows, px, r), _EXCHANGE_SCHEMA
+    )
+    return exchanged.groupBy("tgt_row", "tgt_col").applyInPandas(
+        assemble, MEDIAN_STATS_SCHEMA
+    )
+
+
 GRADIENT_STATS_SCHEMA = (
     "media_ref string, band int, n_valid long, sum_g2 long, max_g2 long"
 )

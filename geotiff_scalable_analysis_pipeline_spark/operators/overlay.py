@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cells import cell_id_col
+from ..plans.skew import cpu_dense_repartition
 from .pip_join import DEFAULT_LEVEL, cover_cells_rect
 
 _GEOM = ("minx", "miny", "maxx", "maxy")
@@ -76,6 +77,15 @@ def overlay_rect_join(
     cb = _covered(b, id_b, "b", level)
     if broadcast_b:
         cb = F.broadcast(cb)
+    else:
+        # The pair-product join is CPU-dense but byte-light (exploded cover
+        # rows are ~48 B): AQE's byte-based coalescing collapses it to a
+        # few tasks at ANY core count, serializing the stage (measured:
+        # scale-600 N→4N pair efficiency 0.708 before, ≥0.8 after). Pin an
+        # explicit wave-amortized width on BOTH sides — same hash key and
+        # count, so the join adds no further exchange.
+        ca = cpu_dense_repartition(ca, "cell")
+        cb = cpu_dense_repartition(cb, "cell")
     j = ca.join(cb, "cell")
 
     rx = F.greatest("a_minx", "b_minx")

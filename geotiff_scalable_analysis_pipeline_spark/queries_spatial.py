@@ -743,6 +743,68 @@ SELECT a.media_ref, CAST(a.band AS INTEGER) AS argmax_band, a.mean_dn AS top1,
 FROM ranked a JOIN ranked b ON a.media_ref = b.media_ref AND a.rk = 1 AND b.rk = 2"""
 
 
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal MAJORITY filter (the GIS zonal-statistics mode variant): per
+    rect zone, the modal dominant-class among media tiles whose centers
+    fall inside the zone, tie-break (count DESC, band ASC) pinned.
+
+    Scale shape: one decode pass (per-tile argmax from exact mean doubles),
+    broadcast PIP candidates, then a two-level aggregate — (zone, class)
+    counts are map-combined, and the final mode window partitions by zone
+    with ≤ n_bands rows per zone (state bounded by the class count, never
+    the corpus)."""
+    from pyspark.sql import Window
+
+    t = (
+        dg.tiles_df(spark, CFG)
+        .filter(F.col("tile_k") < CFG.n_media_tiles)
+        .select("media_ref", "cx", "cy")
+    )
+    stats = raster.tile_pixel_stats(dg.media_df(spark, CFG)).select(
+        "media_ref", "band", "mean_dn"
+    )
+    w = Window.partitionBy("media_ref").orderBy(F.desc("mean_dn"), "band")
+    top1 = (
+        stats.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("media_ref", F.col("band").alias("cls"))
+    )
+    pairs = pip_join.pip_join_rect(
+        t, dg.rect_zones_df(spark, CFG), x="cx", y="cy", level=PIP_LEVEL
+    ).select("media_ref", "zone_id")
+    counts = pairs.join(top1, "media_ref").groupBy("zone_id", "cls").agg(
+        F.count("*").alias("n_tiles")
+    )
+    wz = Window.partitionBy("zone_id").orderBy(F.desc("n_tiles"), "cls")
+    return (
+        counts.withColumn("rk", F.row_number().over(wz))
+        .filter(F.col("rk") == 1)
+        .select("zone_id", F.col("cls").cast("int").alias("majority_band"), "n_tiles")
+    )
+
+
+SQL_ZONAL_MAJORITY = f"""WITH {dg.tiles_sql(CFG)}, {dg.rect_zones_sql(CFG)}, {_PX_CTE},
+tstats AS (
+  SELECT media_ref, band, CAST(sum(dn) AS DOUBLE) / count(*) AS mean_dn
+  FROM px GROUP BY media_ref, band),
+top1 AS (
+  SELECT media_ref, band AS cls FROM (
+    SELECT media_ref, band, row_number() OVER (
+      PARTITION BY media_ref ORDER BY mean_dn DESC, band) AS rk
+    FROM tstats) WHERE rk = 1),
+zcnt AS (
+  SELECT z.zone_id, s.cls, count(*) AS n_tiles
+  FROM tiles_geo t
+  JOIN rzones z ON t.cx BETWEEN z.minx AND z.maxx AND t.cy BETWEEN z.miny AND z.maxy
+  JOIN top1 s USING (media_ref)
+  WHERE t.tile_k < {CFG.n_media_tiles}
+  GROUP BY z.zone_id, s.cls)
+SELECT zone_id, CAST(cls AS INTEGER) AS majority_band, n_tiles FROM (
+  SELECT zone_id, cls, n_tiles, row_number() OVER (
+    PARTITION BY zone_id ORDER BY n_tiles DESC, cls) AS rk
+  FROM zcnt) WHERE rk = 1"""
+
+
 def q_window_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-window ∩ image-bounds intersection + reflect-pad amounts (J2/P5
     arithmetic — reference data.py:155-162, 241-245) as pure Catalyst."""
@@ -1197,6 +1259,46 @@ SELECT 'tile' || lpad(CAST(tk AS VARCHAR), 8, '0') AS media_ref,
 FROM fm GROUP BY tk, b"""
 
 
+def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 focal median across tile seams (SAR despeckle), lower-median
+    rule — same halo-exchange shape as the other focal queries."""
+    from .operators import focal
+
+    media = dg.media_df(spark, CFG)
+    return focal.focal_median_stats(media, FOCAL_GC, FOCAL_GR, CFG.tile_px, radius=1)
+
+
+def _sql_focal_median() -> str:
+    """Oracle: per mosaic pixel, the lower median of the present 3×3 window
+    recomputed from the DN formula via a sorted inline list — no halos."""
+    px, gc, gr, nb = CFG.tile_px, FOCAL_GC, FOCAL_GR, CFG.n_bands
+    H, W = gr * px, gc * px
+
+    def dn_at(r_expr: str, c_expr: str) -> str:
+        tk = f"((({r_expr})//{px})*{gc} + (({c_expr})//{px}))"
+        return dg.dn_sql(tk, "b", f"(({r_expr})%{px})", f"(({c_expr})%{px})")
+
+    terms = []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            g = f"R+({dr}) BETWEEN 0 AND {H - 1} AND C+({dc}) BETWEEN 0 AND {W - 1}"
+            terms.append(
+                f"CASE WHEN {g} THEN {dn_at(f'R+({dr})', f'C+({dc})')} ELSE NULL END"
+            )
+    return f"""
+WITH pxl AS (
+  SELECT R, C, b,
+         list_sort(list_filter([{', '.join(terms)}], x -> x IS NOT NULL)) AS vs
+  FROM range(0, {H}) rr(R), range(0, {W}) cc(C), range(0, {nb}) bb(b)),
+fm AS (SELECT (R//{px})*{gc} + (C//{px}) AS tk, b,
+              vs[(len(vs)+1)//2] AS med FROM pxl)
+SELECT 'tile' || lpad(CAST(tk AS VARCHAR), 8, '0') AS media_ref,
+       CAST(b AS INTEGER) AS band, count(*) AS n_px,
+       CAST(sum(med) AS BIGINT) AS sum_med,
+       CAST(min(med) AS INTEGER) AS min_med, CAST(max(med) AS INTEGER) AS max_med
+FROM fm GROUP BY tk, b"""
+
+
 def q_tile_percentile_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile contrast-stretch anchors (P-family): exact nearest-rank
     p2/p98 DN percentiles + clip counts, map-only (operators/raster.py)."""
@@ -1271,6 +1373,7 @@ QUERIES = {
     "tile_histogram": (q_tile_histogram, SQL_TILE_HISTOGRAM),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "zonal_stats_weighted": (q_zonal_stats_weighted, SQL_ZONAL_WEIGHTED),
+    "zonal_majority": (q_zonal_majority, SQL_ZONAL_MAJORITY),
     "span_fingerprints": (q_span_fingerprints, SQL_SPAN_FINGERPRINTS),
     "media_span_zones": (q_media_span_zones, SQL_MEDIA_SPAN_ZONES),
     "chunk_grid": (q_chunk_grid, SQL_CHUNK_GRID),
@@ -1293,4 +1396,5 @@ QUERIES = {
     "focal_mean_stats": (q_focal_stats, _sql_focal_stats()),
     "focal_gradient_stats": (q_focal_gradient, _sql_focal_gradient()),
     "tile_percentile_stretch": (q_tile_percentile_stretch, SQL_PERCENTILE_STRETCH),
+    "focal_median_stats": (q_focal_median, _sql_focal_median()),
 }

@@ -197,3 +197,74 @@ def test_focal_gradient_vs_brute_force(spark, tile_ks, gc, gr):
     pd.testing.assert_frame_equal(
         got.astype({"band": "int64"}), want.astype({"band": "int64"})
     )
+
+
+# ---------------------------------------------------------------------------
+# median (despeckle) variant
+# ---------------------------------------------------------------------------
+
+
+def _brute_median(tile_ks, grid_cols, grid_rows, px, nb, radius):
+    """Per-tile lower-median stats from the assembled mosaic."""
+    H, W = grid_rows * px, grid_cols * px
+    mosaic = np.zeros((nb, H, W), dtype=np.int64)
+    present = np.zeros((H, W), dtype=bool)
+    band, r, c = np.meshgrid(np.arange(nb), np.arange(px), np.arange(px), indexing="ij")
+    for k in tile_ks:
+        gr, gc = k // grid_cols, k % grid_cols
+        mosaic[:, gr * px : (gr + 1) * px, gc * px : (gc + 1) * px] = dg.dn_np(
+            np.int64(k), band, r, c
+        )
+        present[gr * px : (gr + 1) * px, gc * px : (gc + 1) * px] = True
+    rows = []
+    for k in tile_ks:
+        gr, gc = k // grid_cols, k % grid_cols
+        for b in range(nb):
+            meds = []
+            for rr in range(gr * px, (gr + 1) * px):
+                for cc in range(gc * px, (gc + 1) * px):
+                    window = [
+                        int(mosaic[b, a, bb])
+                        for a in range(rr - radius, rr + radius + 1)
+                        for bb in range(cc - radius, cc + radius + 1)
+                        if 0 <= a < H and 0 <= bb < W and present[a, bb]
+                    ]
+                    window.sort()
+                    meds.append(window[(len(window) + 1) // 2 - 1])
+            rows.append(
+                (f"tile{k:08d}", b, len(meds), int(sum(meds)), min(meds), max(meds))
+            )
+    return pd.DataFrame(
+        rows, columns=["media_ref", "band", "n_px", "sum_med", "min_med", "max_med"]
+    )
+
+
+@pytest.mark.parametrize(
+    "tile_ks,gc,gr,radius",
+    [
+        (list(range(6)), 3, 2, 1),          # dense seams + edges
+        ([0, 1, 2, 3, 5, 6, 7, 8], 3, 3, 1),  # sparse hole truncates windows
+        (list(range(4)), 2, 2, 2),          # 5×5 window (even counts exercised)
+    ],
+)
+def test_focal_median_vs_brute_force(spark, tile_ks, gc, gr, radius):
+    px = 8
+    cfg = dg.GoldenConfig(n_tiles=max(tile_ks) + 1, tile_px=px, n_media_tiles=max(tile_ks) + 1)
+    media = dg.media_df(spark, cfg).filter(
+        dg.F.col("tile_k").isin([int(k) for k in tile_ks])
+    )
+    got = (
+        focal.focal_median_stats(media, gc, gr, px, radius=radius)
+        .toPandas()
+        .sort_values(["media_ref", "band"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _brute_median(tile_ks, gc, gr, px, cfg.n_bands, radius)
+        .sort_values(["media_ref", "band"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"band": "int64", "min_med": "int64", "max_med": "int64"}),
+        want.astype({"band": "int64", "min_med": "int64", "max_med": "int64"}),
+    )
