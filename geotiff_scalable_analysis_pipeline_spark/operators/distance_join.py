@@ -1,0 +1,122 @@
+"""ε-distance join: all point pairs within Euclidean radius ``d``.
+
+The third classic spatial join besides PIP (operators/pip_join.py) and kNN
+(operators/knn.py): given two point layers, emit every (a, b) pair with
+``dist(a, b) <= d``. A naive theta-join is a CartesianProduct; this is the
+standard grid-partitioned form on the engine's quad-cell index:
+
+1. Pick the cell level so the cell edge is ≥ d (one lattice step bounds the
+   reach); each A row maps to its ONE home cell.
+2. Each B row explodes to its home cell plus the ≤ 8 in-frame neighbors
+   (pure Catalyst: explode a 9-element offset array, filter out-of-lattice
+   offsets BEFORE encoding — clamping would alias two offsets to one cell
+   and double-emit a pair).
+3. Hash equi-join on ``cell``; the exact ``dx² + dy² <= d²`` test runs in
+   codegen on integer coordinates.
+
+Exactly-once by construction: A has one cell per row and B emits at most
+one copy into any given cell, so no distinct/dropDuplicates shuffle.
+
+Scale shape: one ≤9× explode of the B side + one cell-keyed hash shuffle
+per side. Hot cells (Zipf-clustered points) salt the same way the PIP
+aggregates do (plans/skew.py); the join itself is still an equi-join, so
+AQE skew-join splitting applies. The CPU-dense pair-product stage gets the
+same explicit wave-amortized width as the overlay join — AQE's byte-based
+coalescing otherwise serializes byte-light candidate stages
+(BENCH/BASELINE.md round-4 provenance).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import FRAME_SIZE, LEVEL_BITS, MAX_LEVEL, lattice_col, morton_col
+from ..plans.skew import cpu_dense_repartition
+
+
+def level_for_radius(radius: float) -> int:
+    """Finest level whose cell edge is still >= radius (capped to the
+    quadtree range)."""
+    if radius <= 0:
+        raise ValueError(f"radius must be positive; got {radius}")
+    return max(0, min(MAX_LEVEL, int(math.floor(math.log2(FRAME_SIZE / radius)))))
+
+
+def distance_join(
+    a: DataFrame,
+    b: DataFrame,
+    radius: float,
+    ax: str = "qx",
+    ay: str = "qy",
+    bx: str = "cx",
+    by: str = "cy",
+    level: int | None = None,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """All (a, b) pairs with ``(ax-bx)² + (ay-by)² <= radius²`` (closed).
+
+    Returns a's columns + b's columns + ``dist_sq`` (integer-exact on
+    integer coordinates). ``level`` defaults to :func:`level_for_radius`.
+    ``broadcast_b``: hint when b is a small dim (its ≤9× exploded cover is
+    broadcast and the big A side never shuffles).
+    """
+    lvl = level_for_radius(radius) if level is None else level
+    if lvl > level_for_radius(radius):
+        # a finer lattice makes the one-neighbor reach shorter than the
+        # radius: pairs spanning two cell steps would be silently missed
+        raise ValueError(
+            f"level {lvl} has cell edge {FRAME_SIZE / (1 << lvl)} < radius "
+            f"{radius}; use level <= {level_for_radius(radius)}"
+        )
+    n = 1 << lvl
+
+    pa = a.withColumn(
+        "cell",
+        F.shiftleft(
+            morton_col(
+                lattice_col(F.col(ax).cast("double"), lvl),
+                lattice_col(F.col(ay).cast("double"), lvl),
+                lvl,
+            ),
+            LEVEL_BITS,
+        )
+        + F.lit(lvl),
+    )
+
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    ix = lattice_col(F.col(bx).cast("double"), lvl)
+    iy = lattice_col(F.col(by).cast("double"), lvl)
+    pb = (
+        b.withColumn("_o", F.explode(offsets))
+        .withColumn("_nx", ix + F.col("_o.dx"))
+        .withColumn("_ny", iy + F.col("_o.dy"))
+        .filter(
+            (F.col("_nx") >= 0) & (F.col("_nx") < n) & (F.col("_ny") >= 0) & (F.col("_ny") < n)
+        )
+        .withColumn(
+            "cell",
+            F.shiftleft(morton_col(F.col("_nx"), F.col("_ny"), lvl), LEVEL_BITS) + F.lit(lvl),
+        )
+        .drop("_o", "_nx", "_ny")
+    )
+    if broadcast_b:
+        pb = F.broadcast(pb)
+    else:
+        pa = cpu_dense_repartition(pa, "cell")
+        pb = cpu_dense_repartition(pb, "cell")
+
+    dx = F.col(ax) - F.col(bx)
+    dy = F.col(ay) - F.col(by)
+    d2 = (dx * dx + dy * dy).alias("dist_sq")
+    r2 = float(radius) * float(radius)
+    out_cols = [*a.columns, *b.columns]
+    return pa.join(pb, "cell").select(*out_cols, d2).filter(F.col("dist_sq") <= r2)

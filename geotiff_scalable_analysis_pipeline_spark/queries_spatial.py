@@ -97,6 +97,28 @@ FROM rzones a JOIN bzones b
  AND GREATEST(a.miny, b.miny) < LEAST(a.maxy, b.maxy)"""
 
 
+DIST_RADIUS = 3000
+
+
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-distance join (operators/distance_join.py): every (query point,
+    tile-center) pair within 3 km — grid-partitioned equi-join, never a
+    CartesianProduct."""
+    from .operators import distance_join
+
+    q = dg.points_df(spark, CFG)
+    t = dg.tiles_df(spark, CFG).select("media_ref", "cx", "cy")
+    out = distance_join.distance_join(q, t, radius=DIST_RADIUS)
+    return out.select("q_id", "media_ref", F.col("dist_sq").cast("long").alias("dist_sq"))
+
+
+SQL_DISTANCE_JOIN = f"""WITH {dg.tiles_sql(CFG)}, {dg.points_sql(CFG)}
+SELECT q.q_id, t.media_ref,
+       CAST((q.qx-t.cx)*(q.qx-t.cx) + (q.qy-t.cy)*(q.qy-t.cy) AS BIGINT) AS dist_sq
+FROM qpts q JOIN tiles_geo t
+  ON (q.qx-t.cx)*(q.qx-t.cx) + (q.qy-t.cy)*(q.qy-t.cy) <= {DIST_RADIUS * DIST_RADIUS}"""
+
+
 # ---------------------------------------------------------------------------
 # kNN (J5)
 # ---------------------------------------------------------------------------
@@ -1366,6 +1388,7 @@ QUERIES = {
     "pip_unmatched_lineage": (q_pip_unmatched, SQL_PIP_UNMATCHED),
     "overlay_rect_areas": (q_overlay_rect_areas, SQL_OVERLAY),
     "knn_ring_expansion": (q_knn, SQL_KNN),
+    "distance_join_pairs": (q_distance_join, SQL_DISTANCE_JOIN),
     "tile_footprint_cells": (q_tile_cells, SQL_TILE_CELLS),
     "pyramid_rollup": (q_pyramid_rollup, SQL_PYRAMID),
     "tile_pixel_stats": (q_tile_pixel_stats, SQL_TILE_PIXEL_STATS),
