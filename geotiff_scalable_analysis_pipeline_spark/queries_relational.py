@@ -591,6 +591,94 @@ SELECT user_id, epoch_us(st) AS signup_us, epoch_us(pt) AS purchase_us,
 FROM s LEFT JOIN p USING (user_id)"""
 
 
+# --- HyperLogLog register sketch (deterministic, exactness-testable) -------
+
+HLL_M = 64  # registers (b = 6 bucket bits); raw estimator alpha for m=64
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_REST_BITS = 25  # _tid hash is 31 bits: 6 bucket + 25 rho window
+
+
+def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007, public):
+    per l_returnflag, the 64 max-rho registers folded to the RAW HLL
+    estimate — the other canonical mergeable cardinality sketch beside the
+    KMV bottom-k above. Deterministic by construction (md5-fold hash, no
+    RNG), and arithmetically exact across engines: the register fold
+    Σ 2^(−rho) is computed as the INTEGER Σ 2^(26−rho) over a common 2^26
+    denominator, so the only float op is one final division — the DuckDB
+    oracle reproduces the estimate bit-for-bit. (The small-range linear-
+    counting correction needs ln(); libm stays out of SQL pairs by repo
+    policy, so this is the raw estimator with the exact count riding
+    along as the accuracy reference.)
+
+    Scale shape: one map-combined (flag, bucket) max aggregate — 64 rows
+    per group regardless of corpus size — then a 64-row fold per flag.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    h = _tid_col(F.md5(F.col("l_orderkey").cast("string")))
+    rest = F.floor(h / HLL_M).cast("long")
+    # rho = 1-based position of the first set bit in the 25-bit window
+    # (leading zeros + 1); all-zero window → 26. bin() drops leading zeros
+    # in BOTH engines, so lpad restores the fixed window width.
+    rho = F.instr(F.lpad(F.bin(rest), _HLL_REST_BITS, "0"), "1")
+    rho = F.when(rho == 0, _HLL_REST_BITS + 1).otherwise(rho)
+    regs = (
+        li.select("l_returnflag", (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    denom = 1 << (_HLL_REST_BITS + 1)  # 2^26
+    folded = regs.groupBy("l_returnflag").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_REST_BITS + 1} - CAST(max_rho AS INT))")
+        ).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    s_total = F.col("s_present") + (HLL_M - F.col("n_present")) * F.lit(denom)
+    est = F.lit(_HLL_ALPHA * HLL_M * HLL_M * denom) / s_total.cast("double")
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_distinct_exact")
+    )
+    return exact.join(folded, "l_returnflag").select(
+        "l_returnflag",
+        "n_distinct_exact",
+        F.col("n_present").cast("long").alias("n_registers"),
+        s_total.cast("long").alias("reg_fold"),
+        est.alias("est_distinct"),
+    )
+
+
+def _sql_hll() -> str:
+    h = _tid_sql("md5(CAST(l_orderkey AS VARCHAR))")
+    denom = 1 << (_HLL_REST_BITS + 1)
+    return f"""
+WITH hashed AS (
+  SELECT l_returnflag, ({h}) AS h FROM lineitem),
+rhod AS (
+  SELECT l_returnflag, h % {HLL_M} AS bucket,
+         CASE WHEN strpos(lpad(bin(h // {HLL_M}), {_HLL_REST_BITS}, '0'), '1') = 0
+              THEN {_HLL_REST_BITS + 1}
+              ELSE strpos(lpad(bin(h // {HLL_M}), {_HLL_REST_BITS}, '0'), '1') END AS rho
+  FROM hashed),
+regs AS (
+  SELECT l_returnflag, bucket, max(rho) AS max_rho
+  FROM rhod GROUP BY l_returnflag, bucket),
+folded AS (
+  SELECT l_returnflag,
+         SUM((1::BIGINT << ({_HLL_REST_BITS + 1} - max_rho))) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY l_returnflag),
+exact AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct_exact
+  FROM lineitem GROUP BY l_returnflag)
+SELECT e.l_returnflag, e.n_distinct_exact,
+       CAST(f.n_present AS BIGINT) AS n_registers,
+       CAST(f.s_present + ({HLL_M} - f.n_present) * {denom} AS BIGINT) AS reg_fold,
+       {format(_HLL_ALPHA * HLL_M * HLL_M * denom, ".17e")}
+         / CAST(f.s_present + ({HLL_M} - f.n_present) * {denom} AS DOUBLE) AS est_distinct
+FROM exact e JOIN folded f USING (l_returnflag)"""
+
+
 # --- PageRank (iterative graph algorithm, exact integer arithmetic) --------
 
 _PR_NODES, _PR_ITERS = 300, 3
@@ -633,6 +721,7 @@ QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "pagerank_ranks": (q_pagerank_ranks, _sql_pagerank()),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
+    "hll_distinct_orders": (q_hll_distinct_orders, _sql_hll()),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "streaming_click_attribution": (
