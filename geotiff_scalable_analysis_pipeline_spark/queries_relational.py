@@ -679,9 +679,44 @@ SELECT e.l_returnflag, e.n_distinct_exact,
 FROM exact e JOIN folded f USING (l_returnflag)"""
 
 
-# --- PageRank (iterative graph algorithm, exact integer arithmetic) --------
+# --- bounded-hop BFS (multi-source shortest hops) ---------------------------
 
-_PR_NODES, _PR_ITERS = 300, 3
+_PR_NODES, _PR_ITERS = 300, 3  # shared graph-query domain (BFS + PageRank)
+_BFS_HOPS = 4
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded-hop BFS (operators/graph_bfs.py) over the
+    deterministic edge list; sources = nodes ≡ 0 (mod 37)."""
+    from . import datagen as dg
+    from .operators import graph_bfs
+
+    edges = dg.graph_edges_df(spark, _PR_NODES)
+    sources = spark.range(_PR_NODES).filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("node")
+    )
+    return graph_bfs.bfs_hops(edges, sources, max_hops=_BFS_HOPS)
+
+
+def _sql_bfs(n_nodes: int = _PR_NODES, hops: int = _BFS_HOPS) -> str:
+    from . import datagen as dg
+
+    ctes = [
+        dg.graph_edges_sql(n_nodes).strip(),
+        f"d0 AS (SELECT n AS node, CAST(0 AS BIGINT) AS dist FROM range(0, {n_nodes}) t(n) WHERE n % 37 = 0)",
+    ]
+    for i in range(hops):
+        ctes.append(f"""d{i + 1} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM gedges e JOIN d{i} d ON d.node = e.src) GROUP BY node)""")
+    joined = ",\n".join(ctes)
+    return f"WITH {joined}\nSELECT node, dist FROM d{hops}"
+
+
+# --- PageRank (iterative graph algorithm, exact integer arithmetic) --------
 
 
 def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,6 +755,7 @@ def _sql_pagerank(n_nodes: int = _PR_NODES, iters: int = _PR_ITERS,
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "pagerank_ranks": (q_pagerank_ranks, _sql_pagerank()),
+    "bfs_reachable_hops": (q_bfs_hops, _sql_bfs()),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "hll_distinct_orders": (q_hll_distinct_orders, _sql_hll()),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),

@@ -59,3 +59,46 @@ def test_pagerank_isolated_nodes_get_base_rank(spark):
         for r in pagerank.pagerank(spark, edges, n_nodes=3, iters=3).collect()
     }
     assert out[2] == 150_000
+
+
+# ---------------------------------------------------------------------------
+# bounded-hop BFS
+# ---------------------------------------------------------------------------
+
+
+def _bfs_simulate(src, dst, sources, hops):
+    dist = {s: 0 for s in sources}
+    for _ in range(hops):
+        new = dict(dist)
+        for s, d in zip(src, dst):
+            if int(s) in dist:
+                cand = dist[int(s)] + 1
+                if int(d) not in new or cand < new[int(d)]:
+                    new[int(d)] = min(new.get(int(d), cand), cand)
+        dist = new
+    return dist
+
+
+def test_bfs_matches_simulator(spark):
+    from geotiff_scalable_analysis_pipeline_spark.operators import graph_bfs
+
+    ed = dg.graph_edges_np(100, 350)
+    sources = [0, 37, 74]
+    src_df = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph_bfs.bfs_hops(
+            dg.graph_edges_df(spark, 100, 350), src_df, max_hops=3
+        ).collect()
+    }
+    assert got == _bfs_simulate(ed["src"], ed["dst"], sources, 3)
+
+
+def test_bfs_zero_hops_is_sources(spark):
+    from geotiff_scalable_analysis_pipeline_spark.operators import graph_bfs
+
+    src_df = spark.createDataFrame([(5,), (9,), (5,)], "node long")  # dup source
+    out = graph_bfs.bfs_hops(
+        dg.graph_edges_df(spark, 50, 100), src_df, max_hops=0
+    ).collect()
+    assert sorted((r["node"], r["dist"]) for r in out) == [(5, 0), (9, 0)]
