@@ -172,6 +172,65 @@ def tile_percentile_stretch(media: DataFrame, p_lo: int = 2, p_hi: int = 98) -> 
     return media.select("media_ref", "payload").mapInPandas(stretch, STRETCH_SCHEMA)
 
 
+OVERVIEW_SCHEMA = (
+    "media_ref string, band int, level int, n_px long, sum_ov long, "
+    "min_ov int, max_ov int"
+)
+
+
+def tile_overview_stats(media: DataFrame, levels: int = 1) -> DataFrame:
+    """Average-pooled overview pyramid per tile (the GDAL/COG "average"
+    overview resampler, reference preview downscale family): level L halves
+    each axis L times; pooled value = floor(mean of the 2×2 block) — the
+    integer floor is THE pinned rule, so engine and oracle share one
+    boundary convention. Emits per (tile, band, level) integer stats of the
+    overview plane (per-pixel overview data never leaves the UDF).
+
+    Scale shape: map-only — each tile's pyramid is tile-local, zero shuffle
+    at any corpus size (cross-tile pyramid AGGREGATION is the separate
+    pyramid_rollup operator). ``tile_px`` must be divisible by 2**levels.
+    """
+    import pandas as pd
+
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1; got {levels}")
+
+    cols = ("media_ref", "band", "level", "n_px", "sum_ov", "min_ov", "max_ov")
+
+    def overview(it):
+        from ..formats import tiff
+
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                arr, _ = tiff.decode(bytes(payload))
+                a = arr.astype(np.int64)
+                if a.shape[1] % (1 << levels) or a.shape[2] % (1 << levels):
+                    raise ValueError(
+                        f"tile {a.shape[1]}x{a.shape[2]} not divisible by "
+                        f"2**{levels}"
+                    )
+                for lvl in range(1, levels + 1):
+                    # one 2x2 floor-mean pool per level, applied iteratively
+                    # (pinned: floor at EVERY level, like GDAL's integer
+                    # average overviews, not a single floor at the end)
+                    a = (
+                        a[:, 0::2, 0::2] + a[:, 0::2, 1::2]
+                        + a[:, 1::2, 0::2] + a[:, 1::2, 1::2]
+                    ) // 4
+                    for b in range(a.shape[0]):
+                        rows["media_ref"].append(ref)
+                        rows["band"].append(b)
+                        rows["level"].append(lvl)
+                        rows["n_px"].append(a.shape[1] * a.shape[2])
+                        rows["sum_ov"].append(int(a[b].sum()))
+                        rows["min_ov"].append(int(a[b].min()))
+                        rows["max_ov"].append(int(a[b].max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_ref", "payload").mapInPandas(overview, OVERVIEW_SCHEMA)
+
+
 FUSED_SCHEMA = PIXEL_STATS_SCHEMA + ", hist array<long>"
 
 

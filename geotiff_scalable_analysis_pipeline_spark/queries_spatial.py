@@ -97,6 +97,38 @@ FROM rzones a JOIN bzones b
  AND GREATEST(a.miny, b.miny) < LEAST(a.maxy, b.maxy)"""
 
 
+def q_tile_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile average-pooled overview pyramid (levels 1-2), iterative
+    integer floor-mean — map-only, operators/raster.py."""
+    return raster.tile_overview_stats(dg.media_df(spark, CFG), levels=2)
+
+
+def _sql_tile_overviews() -> str:
+    px, nb = CFG.tile_px, CFG.n_bands
+    dn = dg.dn_sql("t.tile_k", "b.band", "r.i", "c.i")
+    return f"""WITH {dg.tiles_sql(CFG)},
+pxl AS (
+  SELECT t.media_ref, b.band, r.i AS R, c.i AS C, {dn} AS dn
+  FROM tiles_geo t, range(0, {nb}) b(band),
+       range(0, {px}) r(i), range(0, {px}) c(i)
+  WHERE t.tile_k < {CFG.n_media_tiles}),
+ov1 AS (
+  SELECT media_ref, band, R//2 AS R, C//2 AS C, SUM(dn)//4 AS v
+  FROM pxl GROUP BY media_ref, band, R//2, C//2),
+ov2 AS (
+  SELECT media_ref, band, R//2 AS R, C//2 AS C, SUM(v)//4 AS v
+  FROM ov1 GROUP BY media_ref, band, R//2, C//2)
+SELECT media_ref, CAST(band AS INTEGER) AS band, CAST(1 AS INTEGER) AS level,
+       count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_ov,
+       CAST(min(v) AS INTEGER) AS min_ov, CAST(max(v) AS INTEGER) AS max_ov
+FROM ov1 GROUP BY media_ref, band
+UNION ALL
+SELECT media_ref, CAST(band AS INTEGER) AS band, CAST(2 AS INTEGER) AS level,
+       count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_ov,
+       CAST(min(v) AS INTEGER) AS min_ov, CAST(max(v) AS INTEGER) AS max_ov
+FROM ov2 GROUP BY media_ref, band"""
+
+
 DIST_RADIUS = 3000
 
 
@@ -1394,6 +1426,7 @@ QUERIES = {
     "tile_pixel_stats": (q_tile_pixel_stats, SQL_TILE_PIXEL_STATS),
     "tile_band_index": (q_tile_band_index, SQL_TILE_BAND_INDEX),
     "tile_histogram": (q_tile_histogram, SQL_TILE_HISTOGRAM),
+    "tile_overview_stats": (q_tile_overviews, _sql_tile_overviews()),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "zonal_stats_weighted": (q_zonal_stats_weighted, SQL_ZONAL_WEIGHTED),
     "zonal_majority": (q_zonal_majority, SQL_ZONAL_MAJORITY),

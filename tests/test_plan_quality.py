@@ -238,3 +238,16 @@ def test_percentile_stretch_is_map_only(spark):
     assert "Exchange hashpartitioning" not in p
     assert "Exchange rangepartitioning" not in p
     assert p.count("MapInPandas") == 2  # datagen encode + the stretch decode
+
+
+def test_overview_pyramid_is_map_only(spark):
+    """Per-tile overview pyramids are tile-local: single decode stage, no
+    hash/range exchange at any corpus size."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_spatial import (
+        q_tile_overviews,
+    )
+
+    p = _plan(q_tile_overviews(spark, "/root/testdata/sf0.01"))
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("MapInPandas") == 2  # datagen encode + the overview decode
