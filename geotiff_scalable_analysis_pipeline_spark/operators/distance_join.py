@@ -18,12 +18,15 @@ Exactly-once by construction: A has one cell per row and B emits at most
 one copy into any given cell, so no distinct/dropDuplicates shuffle.
 
 Scale shape: one ≤9× explode of the B side + one cell-keyed hash shuffle
-per side. Hot cells (Zipf-clustered points) salt the same way the PIP
-aggregates do (plans/skew.py); the join itself is still an equi-join, so
-AQE skew-join splitting applies. The CPU-dense pair-product stage gets the
-same explicit wave-amortized width as the overlay join — AQE's byte-based
-coalescing otherwise serializes byte-light candidate stages
-(BENCH/BASELINE.md round-4 provenance).
+per side. The CPU-dense pair-product stage gets the same explicit
+wave-amortized width as the overlay join — AQE's byte-based coalescing
+otherwise serializes byte-light candidate stages (BENCH/BASELINE.md
+round-4 provenance). Note the trade: explicit REPARTITION shuffles are
+NOT eligible for AQE's OptimizeSkewedJoin split (it only splits
+ENSURE_REQUIREMENTS exchanges), so a single pathologically hot cell still
+serializes into one task — the remedies are a finer ``level`` (more,
+smaller cells; legal down to ``level_for_radius``) or pre-salting the hot
+keys with plans/skew.py before calling, same as the PIP aggregates.
 """
 
 from __future__ import annotations
@@ -33,7 +36,14 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cells import FRAME_SIZE, LEVEL_BITS, MAX_LEVEL, lattice_col, morton_col
+from ..functions.cells import (
+    FRAME_SIZE,
+    LEVEL_BITS,
+    MAX_LEVEL,
+    cell_id_col,
+    lattice_col,
+    morton_col,
+)
 from ..plans.skew import cpu_dense_repartition
 
 
@@ -74,16 +84,7 @@ def distance_join(
     n = 1 << lvl
 
     pa = a.withColumn(
-        "cell",
-        F.shiftleft(
-            morton_col(
-                lattice_col(F.col(ax).cast("double"), lvl),
-                lattice_col(F.col(ay).cast("double"), lvl),
-                lvl,
-            ),
-            LEVEL_BITS,
-        )
-        + F.lit(lvl),
+        "cell", cell_id_col(F.col(ax).cast("double"), F.col(ay).cast("double"), lvl)
     )
 
     offsets = F.array(

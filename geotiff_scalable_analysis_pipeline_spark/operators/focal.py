@@ -243,7 +243,7 @@ def focal_median_stats(
         raise ValueError(f"radius must be in [1, tile_px); got {r}")
     side = 2 * r + 1
     cols = ("media_ref", "band", "n_px", "sum_med", "min_med", "max_med")
-    _BIG = np.int64(1) << np.int64(40)  # sentinel above any uint16 DN
+    _BIG = np.int32(1 << 30)  # sentinel above any uint16 DN
 
     def assemble(pdf):
         got = _assemble_padded(pdf, px, r)
@@ -251,30 +251,37 @@ def focal_median_stats(
             return pd.DataFrame({k: [] for k in cols})
         ref, padded, mask = got
         nb = padded.shape[0]
-        # stack the (2r+1)² shifted neighborhoods; absent pixels → sentinel
-        vals = np.empty((nb, px, px, side * side), dtype=np.int64)
+        # presence mask of each shifted neighborhood (shared by all bands)
         msk = np.empty((px, px, side * side), dtype=bool)
         i = 0
         for dr in range(side):
             for dc in range(side):
-                vals[..., i] = padded[:, dr : dr + px, dc : dc + px]
                 msk[..., i] = mask[dr : dr + px, dc : dc + px] == 1
                 i += 1
         cnt = msk.sum(axis=-1)  # ≥ 1 (center pixel always present)
-        k = ((cnt + 1) // 2 - 1)[None, :, :, None]  # lower-median index
-        v = np.where(msk[None, :, :, :], vals, _BIG)
-        v.sort(axis=-1)
-        med = np.take_along_axis(v, np.broadcast_to(k, (nb, px, px, 1)), axis=-1)[
-            ..., 0
-        ]
+        k = ((cnt + 1) // 2 - 1)[:, :, None]  # lower-median index
         rows = {c: [] for c in cols}
+        # one band at a time, int32 with the sentinel written in place:
+        # peak extra memory is px²·(2r+1)²·4 B per group (DNs are uint16;
+        # an all-band int64 tensor + a np.where copy would be ~16× that —
+        # gigabytes at 512 px tiles, radius 2)
+        v = np.empty((px, px, side * side), dtype=np.int32)
         for b in range(nb):
+            i = 0
+            for dr in range(side):
+                for dc in range(side):
+                    v[..., i] = np.where(
+                        msk[..., i], padded[b, dr : dr + px, dc : dc + px], _BIG
+                    )
+                    i += 1
+            v.sort(axis=-1)
+            med = np.take_along_axis(v, k, axis=-1)[..., 0].astype(np.int64)
             rows["media_ref"].append(ref)
             rows["band"].append(b)
-            rows["n_px"].append(med[b].size)
-            rows["sum_med"].append(int(med[b].sum()))
-            rows["min_med"].append(int(med[b].min()))
-            rows["max_med"].append(int(med[b].max()))
+            rows["n_px"].append(med.size)
+            rows["sum_med"].append(int(med.sum()))
+            rows["min_med"].append(int(med.min()))
+            rows["max_med"].append(int(med.max()))
         return pd.DataFrame(rows)
 
     exchanged = media.select("media_ref", "tile_k", "payload").mapInPandas(

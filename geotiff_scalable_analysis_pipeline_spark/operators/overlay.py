@@ -83,7 +83,10 @@ def overlay_rect_join(
         # few tasks at ANY core count, serializing the stage (measured:
         # scale-600 N→4N pair efficiency 0.708 before, ≥0.8 after). Pin an
         # explicit wave-amortized width on BOTH sides — same hash key and
-        # count, so the join adds no further exchange.
+        # count, so the join adds no further exchange. Trade: explicit
+        # REPARTITION shuffles are not AQE-skew-splittable; a single
+        # pathologically hot cell serializes one task — remedies are a
+        # finer level or plans/skew.py pre-salting, as in the PIP path.
         ca = cpu_dense_repartition(ca, "cell")
         cb = cpu_dense_repartition(cb, "cell")
     j = ca.join(cb, "cell")

@@ -54,6 +54,10 @@ def range_join_point_interval(
 
     Returns the point columns + the interval columns (minus its helper
     bucket key). ``bucket_width``: see the module docstring; must be ≥ 1.
+    When omitted, the width is derived from the interval side's maximum
+    length — note this runs one EAGER aggregation job at call time and
+    scans the interval source twice (once for the max, once for the join);
+    at scale, pass an explicit width from domain knowledge instead.
     ``broadcast_intervals``: hint when the interval side is a small dim —
     the exploded buckets broadcast and the point side never shuffles.
     """

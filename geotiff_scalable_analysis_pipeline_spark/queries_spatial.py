@@ -594,7 +594,13 @@ def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_ref", F.col("tile_k").cast("long").alias("ts_h")
     )
     out = range_join.range_join_point_interval(
-        acq, dg.campaigns_df(spark, CFG), v="ts_h", lo="lo_h", hi="hi_h"
+        acq,
+        dg.campaigns_df(spark, CFG),
+        v="ts_h",
+        lo="lo_h",
+        hi="hi_h",
+        bucket_width=201,  # max campaign length by construction (datagen):
+        # explicit domain knowledge, so no eager max-length pre-job runs
     )
     return out.select("campaign_id", "media_ref", "ts_h")
 

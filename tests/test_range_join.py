@@ -60,3 +60,25 @@ def test_range_join_plan_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("Join") == 1
+
+
+def test_campaigns_np_df_sql_agree(spark, duck):
+    """The three datagen mirrors of the campaign windows are bit-identical
+    (guards df/sql drift; the np form is the pytest oracle)."""
+    npc = dg.campaigns_np()
+    df = {
+        (r["campaign_id"]): (r["lo_h"], r["hi_h"])
+        for r in dg.campaigns_df(spark).collect()
+    }
+    sq = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            f"WITH {dg.campaigns_sql()} SELECT campaign_id, lo_h, hi_h FROM campaigns"
+        ).fetchall()
+    }
+    want = {
+        int(c): (int(lo), int(hi))
+        for c, lo, hi in zip(npc["campaign_id"], npc["lo_h"], npc["hi_h"])
+    }
+    assert df == want and sq == want
+    assert max(hi - lo for lo, hi in want.values()) <= 201  # query's width
