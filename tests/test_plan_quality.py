@@ -251,3 +251,26 @@ def test_overview_pyramid_is_map_only(spark):
     assert "Exchange hashpartitioning" not in p
     assert "Exchange rangepartitioning" not in p
     assert p.count("MapInPandas") == 2  # datagen encode + the overview decode
+
+
+def test_overlay_and_distance_join_pin_explicit_width(spark):
+    """The CPU-dense pair-product joins must carry the user-specified
+    wave-amortized repartition (exempt from AQE byte-coalescing, which
+    serialized overlay to a 0.708 N->4N pair before the fix)."""
+    from geotiff_scalable_analysis_pipeline_spark.operators import (
+        distance_join as dj,
+        overlay as ov,
+    )
+
+    cfg = dg.GoldenConfig(n_rect_zones=50, n_points=50, n_tiles=200)
+    p1 = _plan(ov.overlay_rect_join(dg.rect_zones_df(spark, cfg), dg.rect_zones_b_df(spark, cfg)))
+    p2 = _plan(
+        dj.distance_join(
+            dg.points_df(spark, cfg),
+            dg.tiles_df(spark, cfg).select("media_ref", "cx", "cy"),
+            radius=3000,
+        )
+    )
+    for p in (p1, p2):
+        assert p.count("REPARTITION_BY_NUM") >= 2  # both join inputs pinned
+        assert "CartesianProduct" not in p
