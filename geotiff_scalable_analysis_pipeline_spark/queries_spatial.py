@@ -152,6 +152,61 @@ FROM qpts q JOIN tiles_geo t
 
 
 # ---------------------------------------------------------------------------
+# DBSCAN spatial clustering (operators/dbscan.py)
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS = 6000
+DBSCAN_MIN_PTS = 6  # counts the point itself (textbook |N_eps(p)|)
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean DBSCAN over the query-point layer: grid-partitioned
+    ε-self-join → degree → core predicate → large/small-star CC over
+    core–core edges → min-rule border assignment (operators/dbscan.py).
+    At eps=6000/min_pts=6 the golden corpus splits 282 core / 131 border /
+    87 noise across 16 clusters — every code path exercised."""
+    from .operators import dbscan
+
+    return dbscan.dbscan(dg.points_df(spark, CFG), eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+
+# The oracle recomputes DBSCAN from first principles: brute-force ε-pairs,
+# degree-counted cores, transitive closure over core–core edges via a
+# recursive CTE (min-label reach, same pattern as SQL_SEMANTIC_DEDUP), and
+# the engine's documented deterministic min-rule for border points.
+SQL_DBSCAN = f"""WITH RECURSIVE {dg.points_sql(CFG)},
+pairs AS MATERIALIZED (
+  SELECT a.q_id AS u, b.q_id AS v
+  FROM qpts a JOIN qpts b
+    ON (a.qx-b.qx)*(a.qx-b.qx) + (a.qy-b.qy)*(a.qy-b.qy)
+       <= {DBSCAN_EPS * DBSCAN_EPS}),
+core AS MATERIALIZED (
+  SELECT u AS q_id FROM pairs GROUP BY u HAVING count(*) >= {DBSCAN_MIN_PTS}),
+cedges AS MATERIALIZED (
+  SELECT p.u, p.v FROM pairs p
+  JOIN core ca ON ca.q_id = p.u
+  JOIN core cb ON cb.q_id = p.v),
+reach(node, lab) AS (
+  SELECT q_id, q_id FROM core
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN cedges e ON e.u = r.node),
+rep AS (SELECT node AS q_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+border AS (
+  SELECT p.u AS q_id, min(r.cluster_id) AS cluster_id
+  FROM pairs p JOIN rep r ON r.q_id = p.v
+  WHERE p.u NOT IN (SELECT q_id FROM core)
+  GROUP BY p.u)
+SELECT q.q_id,
+       CASE WHEN rep.q_id IS NOT NULL THEN 'core'
+            WHEN border.q_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(rep.cluster_id, border.cluster_id, -1) AS BIGINT) AS cluster_id
+FROM qpts q
+LEFT JOIN rep USING (q_id)
+LEFT JOIN border ON border.q_id = q.q_id"""
+
+
+# ---------------------------------------------------------------------------
 # kNN (J5)
 # ---------------------------------------------------------------------------
 
@@ -1427,6 +1482,7 @@ QUERIES = {
     "overlay_rect_areas": (q_overlay_rect_areas, SQL_OVERLAY),
     "knn_ring_expansion": (q_knn, SQL_KNN),
     "distance_join_pairs": (q_distance_join, SQL_DISTANCE_JOIN),
+    "dbscan_clusters": (q_dbscan, SQL_DBSCAN),
     "tile_footprint_cells": (q_tile_cells, SQL_TILE_CELLS),
     "pyramid_rollup": (q_pyramid_rollup, SQL_PYRAMID),
     "tile_pixel_stats": (q_tile_pixel_stats, SQL_TILE_PIXEL_STATS),
