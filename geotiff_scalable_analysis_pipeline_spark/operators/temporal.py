@@ -52,3 +52,80 @@ def temporal_stack(
             "_vals", (F.least(F.col("t"), F.col("n_acq") - 1) + 1).cast("int")
         ).alias("v"),
     )
+
+
+def gap_fill_locf(
+    obs: DataFrame,
+    start: int,
+    stop: int,
+    step: int,
+    keys: tuple[str, ...] = ("cell",),
+    ts: str = "ts_h",
+    carried: tuple[str, ...] = ("media_ref",),
+) -> DataFrame:
+    """Hypertable-style gap-fill: resample irregular observations to the
+    regular tick grid ``start, start+step, …, stop`` per key group, carrying
+    the last observation forward (LOCF).
+
+    Output: one row per (keys…, ``ts`` tick) with each ``carried`` column's
+    most recent value at or before the tick, ``last_ts`` (its observation
+    time) and ``gap`` (tick − last_ts); all three are NULL for ticks before
+    a group's first observation. Groups are the DISTINCT key combinations
+    present in ``obs`` — a group's grid starts at ``start`` even if its
+    first observation is later (the NULL rows are the gap report).
+
+    Spark-first shape (the TimescaleDB ``time_bucket_gapfill``+``locf``
+    semantics, declaratively): the tick grid is one ``sequence`` explode
+    over the distinct-keys aggregate (no driver loop, no range table); the
+    carry is ``F.last(ignorenulls=True)`` over a per-group window ordered
+    by (time, tick-flag) — observations sort before a tick at the same
+    timestamp, so a sample AT the tick is included (closed bucket edge).
+    Window state is one row (running last), partition size is bounded by a
+    group's series length + tick count — never corpus-wide.
+    """
+    if step <= 0:
+        raise ValueError(f"step must be positive; got {step}")
+    from pyspark.sql import Window
+
+    kc = list(keys)
+    o = obs.select(
+        *kc,
+        F.col(ts).cast("long").alias("_t"),
+        F.lit(0).alias("_tick"),
+        F.col(ts).cast("long").alias("_obs_ts"),
+        *[F.col(c) for c in carried],
+    )
+    grid = (
+        obs.select(*kc)
+        .distinct()
+        .select(
+            *kc,
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast("long"), F.lit(stop).cast("long"), F.lit(step).cast("long")
+                )
+            ).alias("_t"),
+            F.lit(1).alias("_tick"),
+            F.lit(None).cast("long").alias("_obs_ts"),
+            *[F.lit(None).cast(obs.schema[c].dataType).alias(c) for c in carried],
+        )
+    )
+    w = (
+        Window.partitionBy(*kc)
+        .orderBy("_t", "_tick")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = o.unionByName(grid).select(
+        *kc,
+        "_t",
+        "_tick",
+        F.last("_obs_ts", ignorenulls=True).over(w).alias("last_ts"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.filter(F.col("_tick") == 1).select(
+        *kc,
+        F.col("_t").alias(ts),
+        *carried,
+        "last_ts",
+        (F.col("_t") - F.col("last_ts")).alias("gap"),
+    )

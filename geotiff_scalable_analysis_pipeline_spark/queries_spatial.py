@@ -684,6 +684,51 @@ FROM tiles_geo t JOIN cells c USING (media_ref)
 WINDOW w AS (PARTITION BY c.cell ORDER BY CAST(t.tile_k AS BIGINT), t.media_ref)"""
 
 
+GAPFILL_STOP, GAPFILL_STEP = 240, 48  # media acq hours are tile_k < 200
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill (operators/temporal.py::gap_fill_locf): per
+    level-6 footprint cell, the media acquisitions (irregular ts_h = tile_k
+    hours) are resampled to the regular 48 h tick grid with
+    last-observation-carried-forward; ticks before a cell's first
+    acquisition report NULLs. The TimescaleDB time_bucket_gapfill+locf
+    semantics as one window over a union — no driver loop, per-cell state."""
+    from .operators import temporal
+
+    t = dg.tiles_df(spark, CFG).filter(F.col("tile_k") < CFG.n_media_tiles)
+    cells = raster.tile_footprints(t, LEVEL).select("media_ref", "cell")
+    obs = t.select("media_ref", F.col("tile_k").cast("long").alias("ts_h")).join(
+        cells, "media_ref"
+    )
+    return temporal.gap_fill_locf(
+        obs, start=0, stop=GAPFILL_STOP, step=GAPFILL_STEP, keys=("cell",)
+    )
+
+
+SQL_GAP_FILL = f"""WITH {dg.tiles_sql(CFG)}, {_sql_cells_cte(LEVEL)},
+obs AS (
+  SELECT c.cell, CAST(t.tile_k AS BIGINT) AS ts_h, t.media_ref
+  FROM tiles_geo t JOIN cells c USING (media_ref)
+  WHERE t.tile_k < {CFG.n_media_tiles}),
+ser AS (
+  SELECT cell, ts_h AS t, 0 AS tick, ts_h AS obs_ts, media_ref FROM obs
+  UNION ALL
+  SELECT g.cell, r.i * {GAPFILL_STEP}, 1, NULL, NULL
+  FROM (SELECT DISTINCT cell FROM obs) g,
+       range(0, {GAPFILL_STOP // GAPFILL_STEP + 1}) r(i)),
+filled AS (
+  SELECT cell, t, tick,
+         last_value(obs_ts IGNORE NULLS) OVER w AS last_ts,
+         last_value(media_ref IGNORE NULLS) OVER w AS media_ref
+  FROM ser
+  WINDOW w AS (PARTITION BY cell ORDER BY t, tick ROWS UNBOUNDED PRECEDING))
+SELECT cell, CAST(t AS BIGINT) AS ts_h, media_ref,
+       CAST(last_ts AS BIGINT) AS last_ts, CAST(t - last_ts AS BIGINT) AS gap
+FROM filled WHERE tick = 1"""
+
+
+
 def q_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal change detection: per cell, consecutive acquisitions are
     paired (the as-of lag) and the per-band calibrated-DN delta between the
@@ -1496,6 +1541,7 @@ QUERIES = {
     "media_span_zones": (q_media_span_zones, SQL_MEDIA_SPAN_ZONES),
     "chunk_grid": (q_chunk_grid, SQL_CHUNK_GRID),
     "asof_acquisitions": (q_asof_acquisitions, SQL_ASOF),
+    "gap_fill_locf": (q_gap_fill, SQL_GAP_FILL),
     "range_join_campaigns": (q_range_join_campaigns, SQL_RANGE_JOIN),
     "change_detection": (q_change_detection, SQL_CHANGE_DETECTION),
     "series_per_cell": (q_series_per_cell, SQL_SERIES),
