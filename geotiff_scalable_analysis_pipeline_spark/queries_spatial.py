@@ -152,6 +152,53 @@ FROM qpts q JOIN tiles_geo t
 
 
 # ---------------------------------------------------------------------------
+# IDW interpolation (operators/interpolate.py)
+# ---------------------------------------------------------------------------
+
+IDW_RADIUS = 6000
+IDW_SEED = 41  # deterministic per-tile observation value v = ihash(k,41) % 10000
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point IDW surface estimate at each query point from the tile
+    observations within 6 km (operators/interpolate.py): integer 1/d²
+    weights, exact-hit short-circuit, NULL estimate outside coverage (the
+    far-margin points exercise the no-neighbor path)."""
+    from .operators import interpolate
+
+    obs = dg.tiles_df(spark, CFG).select(
+        "cx",
+        "cy",
+        (dg.ihash_col(F.col("tile_k"), IDW_SEED) % 10000).alias("v"),
+        F.col("tile_k").alias("obs_id"),
+    )
+    return interpolate.idw(dg.points_df(spark, CFG), obs, radius=IDW_RADIUS, oid="obs_id")
+
+
+_IDW_D2 = "(q.qx-o.cx)*(q.qx-o.cx)+(q.qy-o.cy)*(q.qy-o.cy)"
+_IDW_W = f"CAST(100000000000 AS BIGINT) // d2"
+SQL_IDW = f"""WITH {dg.tiles_sql(CFG)}, {dg.points_sql(CFG)},
+obs AS (
+  SELECT cx, cy, {dg.ihash_sql('tile_k', IDW_SEED)} % 10000 AS v, tile_k AS obs_id
+  FROM tiles_geo),
+pairs AS (
+  SELECT q.q_id, o.v, o.obs_id, {_IDW_D2} AS d2
+  FROM qpts q JOIN obs o ON {_IDW_D2} <= {IDW_RADIUS * IDW_RADIUS}),
+agg AS (
+  SELECT q_id, count(*) AS n_obs,
+         CASE WHEN max(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) = 1
+              THEN arg_min(v, CASE WHEN d2 = 0 THEN obs_id END)
+              WHEN sum(CASE WHEN d2 > 0 THEN {_IDW_W} END) > 0
+              THEN sum(CASE WHEN d2 > 0 THEN ({_IDW_W}) * v END)
+                   // sum(CASE WHEN d2 > 0 THEN {_IDW_W} END)
+         END AS est
+  FROM pairs GROUP BY q_id)
+SELECT q.q_id, CAST(COALESCE(a.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(a.est AS BIGINT) AS est
+FROM qpts q LEFT JOIN agg a USING (q_id)"""
+
+
+# ---------------------------------------------------------------------------
 # DBSCAN spatial clustering (operators/dbscan.py)
 # ---------------------------------------------------------------------------
 
@@ -1528,6 +1575,7 @@ QUERIES = {
     "knn_ring_expansion": (q_knn, SQL_KNN),
     "distance_join_pairs": (q_distance_join, SQL_DISTANCE_JOIN),
     "dbscan_clusters": (q_dbscan, SQL_DBSCAN),
+    "idw_surface": (q_idw, SQL_IDW),
     "tile_footprint_cells": (q_tile_cells, SQL_TILE_CELLS),
     "pyramid_rollup": (q_pyramid_rollup, SQL_PYRAMID),
     "tile_pixel_stats": (q_tile_pixel_stats, SQL_TILE_PIXEL_STATS),
