@@ -79,7 +79,20 @@ BENCH_TABLES = {
     "text_profile": set(),
     "text_profile_scaled": {"dedup_docs"},
     "relational_suite": set(),
+    "spatial_analytics": {"points", "tiles"},
+    "dbscan": {"points"},
 }
+
+# DBSCAN eps. Default shrinks as 1/sqrt(SCALE) so the expected
+# ε-neighborhood (λ = π·eps²·n/frame² ≈ 3.5, below continuum percolation)
+# is scale-invariant — pair count grows linearly with the corpus, the work
+# shape a fixed-radius job has when the FRAME scales with the data.
+# BENCH_DBSCAN_EPS overrides (the N→4N sweep uses a FIXED eps instead:
+# density then grows with SCALE — denser coverage, same radius — so the
+# pair stage and the CC rounds carry enough parallel work per round that
+# the measurement is not fixpoint-latency-floor-dominated).
+DBSCAN_EPS = int(os.environ.get("BENCH_DBSCAN_EPS", "0")) or max(120, int(1500 / SCALE**0.5))
+DBSCAN_MIN_PTS = 4
 
 # docs for the BENCH_SCALE-scaled dedup bench (the sf tables the other text
 # queries read do NOT scale with BENCH_SCALE)
@@ -126,7 +139,15 @@ def setup_corpus(spark, names):
                 str(CORPUS / "dedup" / "documents.parquet")
             )
         else:
-            _GENERATORS[table](spark, CFG).write.mode("overwrite").parquet(str(CORPUS / table))
+            # fixed 32-file layout: a LO-level (2-core) JVM otherwise writes
+            # 2 fat files and the scan(+explode) stage of EVERY later
+            # parallelism level runs 2 tasks wide — the same single-fat-file
+            # trap documented for dedup_docs (measured here: the dbscan
+            # ε-join's pairs stage at local[8] flat vs local[2] until the
+            # points table was re-laid-out)
+            _GENERATORS[table](spark, CFG).repartition(32).write.mode("overwrite").parquet(
+                str(CORPUS / table)
+            )
         done.write_text("ok")
 
 
@@ -349,6 +370,52 @@ def bench_text_profile(spark):
     return 0
 
 
+def bench_spatial_analytics(spark):
+    """Spatial-analytics family (round-4 additions): exact DBSCAN (the
+    suite's one ITERATIVE operator — grid ε-join + O(log n) star-contraction
+    rounds), fixed-point IDW surface estimation, and the hypertable LOCF
+    gap-fill, all over the scaled corpus tables."""
+    from geotiff_scalable_analysis_pipeline_spark.operators import (
+        dbscan as db,
+        interpolate,
+        raster as rop,
+        temporal,
+    )
+
+    p = _t(spark, "points")
+    t = _t(spark, "tiles")
+    _force(db.dbscan(p, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS))
+    obs = t.select(
+        "cx",
+        "cy",
+        (dg.ihash_col(F.col("tile_k"), 41) % 10000).alias("v"),
+        F.col("tile_k").alias("obs_id"),
+    )
+    _force(interpolate.idw(p, obs, radius=3000, oid="obs_id"))
+    cells = rop.tile_footprints(t, 6).select("media_ref", "cell")
+    acq = t.select("media_ref", F.col("tile_k").cast("long").alias("ts_h")).join(
+        cells, "media_ref"
+    )
+    _force(
+        temporal.gap_fill_locf(
+            acq, start=0, stop=N_TILES, step=max(1, N_TILES // 50), keys=("cell",)
+        )
+    )
+    return N_POINTS + N_TILES
+
+
+def bench_dbscan(spark):
+    """Scaling-evidence surface for the iterative-operator family: DBSCAN
+    alone (ε-self-join → degree → core → star-contraction CC → border
+    assignment). The CC fixpoint makes this the only sweep datum whose
+    round count is data-dependent — the thing to evidence is that the
+    per-round shuffles scale, not just one-shot joins."""
+    from geotiff_scalable_analysis_pipeline_spark.operators import dbscan as db
+
+    _force(db.dbscan(_t(spark, "points"), eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS))
+    return N_POINTS
+
+
 BENCHES = {
     "pip_zonal": bench_pip_zonal,
     "knn": bench_knn,
@@ -358,6 +425,7 @@ BENCHES = {
     "zonal_stats": bench_zonal_stats,
     "dedup_suite": bench_dedup,
     "text_profile": bench_text_profile,
+    "spatial_analytics": bench_spatial_analytics,
     "relational_suite": bench_relational,
 }
 
@@ -365,6 +433,7 @@ BENCHES = {
 # the same minhash/simhash code paths dedup_suite already times at sf scale)
 EXTRA_BENCHES = {
     "dedup_text": bench_dedup_text,
+    "dbscan": bench_dbscan,
     "text_profile_scaled": bench_text_profile_scaled,
     "overlay": bench_overlay,
 }

@@ -9,7 +9,7 @@ the training-data-pipeline surface (spatial dedup / region discovery)
 the brief asks for beyond SURVEY §2.
 
 Spark-first decomposition — every stage is an existing scale-proven
-primitive, no new shuffle shapes:
+primitive:
 
 1. **ε-neighborhood pairs** via the grid-partitioned
    :func:`distance_join` self-join (one ≤9× explode + one cell-keyed
@@ -17,11 +17,30 @@ primitive, no new shuffle shapes:
    the degree count matches the textbook |N_eps(p)| which includes p.
 2. **Core predicate**: one map-combined ``groupBy(q_id).count()`` —
    ``core ⇔ degree >= min_pts``.
-3. **Density connectivity**: core–core pairs are edges; components
-   collapse with the alternating large/small-star CC
-   (`dedup_cc.connected_components`, O(log n) rounds) — identical
-   machinery to the MinHash / SemDeDup dedup collapses, so cluster id =
-   min core id of the component, bit-stable across partitionings.
+3. **Density connectivity** — NOT over the raw core–core pair set. At
+   high density the ε-graph has ~λ·n edges (λ = expected neighbors;
+   measured: 200 k points at λ≈140 → 14.6 M edges, star-contraction CC =
+   29.6 s of a 36 s wall, shuffle-bandwidth-bound — N→4N pair efficiency
+   0.37). The standard parallel-DBSCAN merge-graph reduction (Patwary et
+   al. PDSDBSCAN, He et al. MR-DBSCAN) applies: on a fine grid with cell
+   edge ≤ eps/√2, all points sharing a cell are mutually within eps, so
+   each cell's cores form a clique and connectivity is fully described
+   by the CELL graph — nodes = occupied cells, one edge per (cell, cell)
+   pair with any core–core pair within eps (a map-side-combinable
+   distinct that collapses the 14.6 M pairs to ~12 per occupied cell).
+   The cell graph is bounded by the frame lattice (FRAME/res)², NOT by
+   the data — the same boundedness argument as the kNN operator's ≤65 k
+   count-grid radius oracle — so its components collapse in a
+   driver-side union-find (milliseconds, zero Spark rounds) and the
+   cell→cluster map broadcasts back for a map-only core labeling.
+   Measured: the distributed large/small-star loop on even the REDUCED
+   edge set cost 7 rounds × ~1.3 s of core-count-independent job latency
+   (a pure serial share that capped N→4N efficiency at ~0.38); the
+   union-find replaces all of it. Above ``max_driver_cells`` (or when
+   eps < √2 admits no integer grid) the alternating large/small-star CC
+   (`dedup_cc.connected_components`, O(log n) rounds) runs instead —
+   over the clique-reduced star+representative edges when the grid
+   exists, else over the raw core–core edges.
 4. **Border assignment**: non-core points join their core ε-neighbors
    and take ``min(cluster_id)``. Textbook DBSCAN leaves border ties
    scan-order-dependent; a distributed engine has no scan order, so the
@@ -30,19 +49,62 @@ primitive, no new shuffle shapes:
 5. Everything else is ``noise`` (cluster_id = -1).
 
 Scale shape at 100 TB: the pair stage is the ε-join's (bounded by
-neighborhood size, not n²); degree/core is one partial-agg shuffle; CC
-touches only core–core edges (≪ pairs); border assignment is one more
-bounded-fanout join. No driver-side iteration over data — the only loop
-is CC's O(log n) fixpoint, independent of eps density.
+neighborhood size, not n²); degree/core is one partial-agg shuffle; the
+clique reduction turns CC input from O(λ·n) into O(n) regardless of
+density; border assignment is one more bounded-fanout join. No
+driver-side iteration over data — the only loop is CC's O(log n)
+fixpoint, over the reduced edge set.
+
+Coordinates must be non-negative integers below 2³¹ (the engine frame's
+lattice domain) — the fine-cell key packs floor(x/res), floor(y/res)
+into one int64. ``eps < √2`` (no integer grid cell can satisfy the
+diagonal bound) falls back to the raw core–core edge set, which is tiny
+at that radius anyway.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup_cc import connected_components
 from .distance_join import distance_join
+
+
+def _fine_cell(x: str, y: str, res: int):
+    """Injective int64 key of the res-edge grid cell containing (x, y)."""
+    return F.expr(f"({x} div {res}) * {1 << 32} + ({y} div {res})")
+
+
+def _driver_union_find(cell_edges, cell_reps) -> dict[int, int]:
+    """Components of the bounded cell graph → {cell: min core id of its
+    component}. Deterministic: roots are resolved first, then each
+    component's label is the min of its cells' per-cell min core ids —
+    independent of union order."""
+    parent: dict[int, int] = {fc: fc for fc, _ in cell_reps}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in cell_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    root_of: dict[int, int] = {}
+    for fc, rep0 in cell_reps:
+        r = find(fc)
+        root_of[fc] = r
+        if r not in comp_min or rep0 < comp_min[r]:
+            comp_min[r] = rep0
+    return {fc: comp_min[root_of[fc]] for fc, _ in cell_reps}
 
 
 def dbscan(
@@ -53,6 +115,7 @@ def dbscan(
     x_col: str = "qx",
     y_col: str = "qy",
     level: int | None = None,
+    max_driver_cells: int = 1 << 17,
 ) -> DataFrame:
     """Cluster ``points`` (integer coords) with exact Euclidean DBSCAN.
 
@@ -63,45 +126,124 @@ def dbscan(
     """
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1; got {min_pts}")
+    # largest integer cell edge whose cell diagonal is <= eps: integer
+    # points sharing a cell differ by <= res-1 per axis, so their distance
+    # is <= (res-1)·√2 < eps — the intra-cell clique invariant
+    res = int(eps / math.sqrt(2.0))
     pts = points.select(
         F.col(id_col).alias("q_id"), F.col(x_col).alias("qx"), F.col(y_col).alias("qy")
     )
-    other = pts.select(
-        F.col("q_id").alias("p_id"), F.col("qx").alias("px"), F.col("qy").alias("py")
-    )
-    # (a, b) for every b within eps of a — self-pair included (dist_sq = 0)
-    pairs = distance_join(
-        pts, other, radius=eps, ax="qx", ay="qy", bx="px", by="py", level=level
-    ).select("q_id", "p_id")
-    # pairs feeds three consumers (degree, edges, border); its ε-join is
-    # the expensive stage, so materialize once
-    pairs = pairs.localCheckpoint(eager=True)
+    if res >= 1:
+        pts = pts.withColumn("fc", _fine_cell("qx", "qy", res))
 
-    deg = pairs.groupBy("q_id").agg(F.count("*").alias("deg"))
-    core = deg.filter(F.col("deg") >= min_pts).select("q_id")
-
-    core_u = core.select(F.col("q_id").alias("u"))
-    edges = (
-        pairs.join(core_u, pairs["q_id"] == core_u["u"]).drop("u")
-        .join(core_u, pairs["p_id"] == core_u["u"]).drop("u")
-        .filter(F.col("q_id") < F.col("p_id"))
-        .select(F.col("q_id").alias("u"), F.col("p_id").alias("v"))
-    )
-    comps = connected_components(edges, nodes=core.select(F.col("q_id").alias("node")))
-    core_lab = comps.select(F.col("node").alias("q_id"), F.col("rep").alias("cluster_id"))
-
-    border = (
-        pairs.join(
-            core_lab.select(F.col("q_id").alias("p_id"), "cluster_id"), "p_id"
+    def eps_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+        bb = b
+        ren = {"q_id": "p_id", "qx": "px", "qy": "py", "fc": "fc2"}
+        for old, new in ren.items():
+            if old in bb.columns:
+                bb = bb.withColumnRenamed(old, new)
+        return distance_join(
+            a, bb, radius=eps, ax="qx", ay="qy", bx="px", by="py", level=level
         )
-        .join(core, "q_id", "left_anti")
+
+    # The ε-join is RECOMPUTED per consumer instead of materialized once:
+    # each consumer prunes to a narrow projection and reduces through a
+    # partial aggregate, so nothing the size of the pair set is ever
+    # shuffled or checkpointed. (First cut checkpointed the 32-byte pair
+    # rows once and joined them three times: at sweep scale 120 that moved
+    # ~2.7 GB through storage plus three 85 M-row shuffles — memory-
+    # bandwidth-bound work that extra cores cannot speed up; the N→4N pair
+    # efficiency sat at 0.66. Re-running the codegen distance test is pure
+    # parallel CPU and is the cheaper side of the trade everywhere.)
+
+    # consumer 1 — degree: map-side-combined count, output one row per point
+    deg = eps_pairs(pts, pts).groupBy("q_id").agg(F.count("*").alias("deg"))
+    core = (
+        deg.filter(F.col("deg") >= min_pts)
+        .select("q_id")
+        .localCheckpoint(eager=True)  # small (one id per core point), reused 3×
+    )
+    core_pts = pts.join(core, "q_id")
+
+    core_lab = None
+    if res >= 1:
+        # clique reduction: connectivity lives entirely in the cell graph.
+        # consumer 2 — cell edges: core-core ε-join pruned to the two cell
+        # ids, reduced by a map-side-combined distinct before any shuffle
+        cell_rep = core_pts.groupBy("fc").agg(F.min("q_id").alias("rep0"))
+        cross = (
+            eps_pairs(core_pts.select("q_id", "qx", "qy", "fc"), core_pts)
+            .filter(F.col("fc") != F.col("fc2"))
+        )
+        cell_edges = cross.select(
+            F.least("fc", "fc2").alias("a"), F.greatest("fc", "fc2").alias("b")
+        ).distinct()
+        # bounded-dim collect (lattice-bounded, not data-bounded): Arrow
+        # toPandas — row-based collect() of the edge list measured ~5 s of
+        # pure driver serialization at 170 k edges, a serial share the N→4N
+        # sweep sees directly. limit(max+1) doubles as the size gate (no
+        # separate count job).
+        rep_pd = cell_rep.limit(max_driver_cells + 1).toPandas()
+        if len(rep_pd) <= max_driver_cells:
+            reps = list(zip(rep_pd["fc"].tolist(), rep_pd["rep0"].tolist()))
+            e_pd = cell_edges.toPandas()
+            edges_l = list(zip(e_pd["a"].tolist(), e_pd["b"].tolist()))
+            lab = _driver_union_find(edges_l, reps)
+            map_df = points.sparkSession.createDataFrame(
+                list(lab.items()), "fc long, cluster_id long"
+            )
+            core_lab = core_pts.join(F.broadcast(map_df), "fc").select(
+                "q_id", "qx", "qy", "cluster_id"
+            )
+        else:
+            # distributed fallback: per-cell stars + one representative
+            # crossing edge per cell pair (min(struct) is deterministic;
+            # ANY single crossing edge preserves clique-to-clique
+            # connectivity), then star-contraction CC
+            intra = (
+                cell_rep.withColumnRenamed("rep0", "v")
+                .join(core_pts.select("q_id", "fc"), "fc")
+                .filter(F.col("q_id") != F.col("v"))
+                .select(F.col("q_id").alias("u"), "v")
+            )
+            inter = (
+                cross.filter(F.col("q_id") < F.col("p_id"))
+                .groupBy("fc", "fc2")
+                .agg(
+                    F.min(
+                        F.struct(F.col("q_id").alias("u"), F.col("p_id").alias("v"))
+                    ).alias("e")
+                )
+                .select("e.u", "e.v")
+            )
+            edges = intra.unionByName(inter)
+    else:
+        edges = (
+            eps_pairs(core_pts, core_pts)
+            .filter(F.col("q_id") < F.col("p_id"))
+            .select(F.col("q_id").alias("u"), F.col("p_id").alias("v"))
+        )
+    if core_lab is None:
+        comps = connected_components(edges, nodes=core.select(F.col("q_id").alias("node")))
+        core_lab = (
+            comps.select(F.col("node").alias("q_id"), F.col("rep").alias("cluster_id"))
+            .join(pts.select("q_id", "qx", "qy"), "q_id")
+            .select("q_id", "qx", "qy", "cluster_id")
+        )
+
+    # consumer 3 — border: the ε-join runs only non-core × labeled-core
+    # (at high density the non-core side is a sliver; at low density the
+    # pair set is small anyway), reduced by a map-side-combined min
+    noncore = pts.select("q_id", "qx", "qy").join(core, "q_id", "left_anti")
+    border = (
+        eps_pairs(noncore, core_lab)
         .groupBy("q_id")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
 
-    labeled = core_lab.select("q_id", F.lit("core").alias("role"), "cluster_id").unionByName(
-        border.select("q_id", F.lit("border").alias("role"), "cluster_id")
-    )
+    labeled = core_lab.select(
+        "q_id", F.lit("core").alias("role"), "cluster_id"
+    ).unionByName(border.select("q_id", F.lit("border").alias("role"), "cluster_id"))
     return (
         pts.select("q_id")
         .join(labeled, "q_id", "left")

@@ -123,3 +123,25 @@ def test_dbscan_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dbscan_tiny_eps_fallback_path(spark):
+    # eps < sqrt(2): no integer grid cell satisfies the clique invariant,
+    # so the raw core-core edge path runs. Distance-1 chain: 0-1-2 all core
+    # at min_pts=2; the isolated point is noise.
+    ids, xs, ys = [0, 1, 2, 9], [0, 1, 2, 100], [0, 0, 0, 100]
+    got = _run(spark, ids, xs, ys, eps=1, min_pts=2)
+    assert got == {0: ("core", 0), 1: ("core", 0), 2: ("core", 0), 9: ("noise", -1)}
+    assert got == _brute_dbscan(ids, xs, ys, 1, 2)
+
+
+def test_dbscan_distributed_cc_fallback_matches_driver_uf(spark):
+    # max_driver_cells=0 forces the distributed star-contraction path;
+    # results must be identical to the default driver union-find path
+    p = dg.points_np(dg.GoldenConfig(n_points=250))
+    ids, xs, ys = p["q_id"], p["qx"], p["qy"]
+    got_dist = _run(spark, ids, xs, ys, eps=6000, min_pts=5, max_driver_cells=0)
+    got_uf = _run(spark, ids, xs, ys, eps=6000, min_pts=5)
+    want = _brute_dbscan(ids, xs, ys, 6000, 5)
+    assert got_uf == want
+    assert got_dist == want
