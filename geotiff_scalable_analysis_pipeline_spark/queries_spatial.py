@@ -199,6 +199,34 @@ FROM qpts q LEFT JOIN agg a USING (q_id)"""
 
 
 # ---------------------------------------------------------------------------
+# KDE density surface (operators/density.py)
+# ---------------------------------------------------------------------------
+
+KDE_CELL = 4000
+KDE_RADIUS = 6000
+
+
+def q_kde_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epanechnikov kernel-density heatmap of the query-point layer on the
+    4 km grid (operators/density.py): map-side bounded array expand (5×5
+    neighborhood) → one map-combined groupBy(cell) — zero joins, exact
+    integer weights R²−d²."""
+    from .operators import density
+
+    return density.kde_surface(
+        dg.points_df(spark, CFG), cell=KDE_CELL, radius=KDE_RADIUS
+    )
+
+
+def _sql_kde() -> str:
+    from .operators import density
+
+    return density.kde_surface_sql(
+        dg.points_sql(CFG), "qpts", cell=KDE_CELL, radius=KDE_RADIUS
+    )
+
+
+# ---------------------------------------------------------------------------
 # DBSCAN spatial clustering (operators/dbscan.py)
 # ---------------------------------------------------------------------------
 
@@ -1576,6 +1604,7 @@ QUERIES = {
     "distance_join_pairs": (q_distance_join, SQL_DISTANCE_JOIN),
     "dbscan_clusters": (q_dbscan, SQL_DBSCAN),
     "idw_surface": (q_idw, SQL_IDW),
+    "kde_density_surface": (q_kde_surface, _sql_kde()),
     "tile_footprint_cells": (q_tile_cells, SQL_TILE_CELLS),
     "pyramid_rollup": (q_pyramid_rollup, SQL_PYRAMID),
     "tile_pixel_stats": (q_tile_pixel_stats, SQL_TILE_PIXEL_STATS),

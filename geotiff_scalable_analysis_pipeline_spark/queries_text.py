@@ -1615,8 +1615,99 @@ SELECT doc_id, rank, token, tf, df FROM (
 WHERE rank <= {KEYWORDS_TOP_K}"""
 
 
+# ---------------------------------------------------------------------------
+# bigram collocations (PMI lift, integer-exact)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 5  # a bigram needs ≥5 corpus occurrences to be scored
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: bigrams ranked by integer PMI lift
+    ``cnt(w1,w2)·T div (cnt(w1)·cnt(w2))`` — the exponent of pointwise
+    mutual information, the collocation score a tokenizer/phrase-mining
+    pass computes over a training corpus (Church & Hanks 1990).
+
+    log() is libm territory (1-ulp cross-engine divergence, see
+    tests/oracle.py); the UNLOGGED lift is exact integer arithmetic, and
+    monotone in PMI, so ranking semantics are identical. Products are
+    computed in DECIMAL(38,0) (DuckDB mirror: HUGEINT): at corpus scale
+    cnt·T reaches ~10²⁷ — past int64, inside decimal128, and `div` brings
+    the quotient (≤ T) back to BIGINT.
+
+    Scale shape: bigrams come from a map-side adjacent-pair transform over
+    each document's token array (NO token self-join — pairing rides the
+    explode); counts are map-combined hash aggregates; the two unigram
+    joins key on the vocabulary (cardinality-bounded — ~10⁸ however big
+    the corpus, and Zipf-concentrated so AQE broadcast usually fires);
+    T is a one-row aggregate broadcast via a 1×N cross join."""
+    return bigram_pmi_frame(_docs(spark, sf_dir), min_pair=PMI_MIN_PAIR)
+
+
+def bigram_pmi_frame(docs: DataFrame, min_pair: int = PMI_MIN_PAIR) -> DataFrame:
+    """Core of :func:`q_bigram_pmi` over any frame with a ``text`` column."""
+    arr = F.filter(F.split("text", " "), lambda t: t != "")
+    pairs = F.expr(
+        "transform(sequence(1, size(_arr) - 1), "
+        "          i -> struct(element_at(_arr, i) AS w1, element_at(_arr, i + 1) AS w2))"
+    )
+    big = (
+        docs.select(arr.alias("_arr"))
+        .filter(F.size("_arr") >= 2)  # sequence(1, 0) would run DESCENDING
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair)
+    )
+    uni = (
+        docs.select(F.explode(arr).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").alias("t_tokens"))
+    d = "CAST({} AS DECIMAL(38,0))"
+    return (
+        big.join(uni.select(F.col("token").alias("w1"), F.col("cnt").alias("c1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            F.expr(
+                f"({d.format('pair_cnt')} * {d.format('t_tokens')}) "
+                f"div ({d.format('c1')} * {d.format('c2')})"
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_BIGRAM_PMI = f"""
+WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+idx AS (SELECT toks, generate_subscripts(toks, 1) AS i FROM t),
+big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS pair_cnt
+  FROM idx
+  WHERE i < len(toks)
+  GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_PAIR}),
+cnts AS (SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS t_tokens FROM cnts)
+SELECT b.w1, b.w2, CAST(b.pair_cnt AS BIGINT) AS pair_cnt,
+       CAST((b.pair_cnt::HUGEINT * tot.t_tokens)
+            // (c1.cnt::HUGEINT * c2.cnt::HUGEINT) AS BIGINT) AS lift
+FROM big b
+JOIN cnts c1 ON c1.token = b.w1
+JOIN cnts c2 ON c2.token = b.w2
+CROSS JOIN tot"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "vocab_heavy_hitters": (q_vocab_heavy_hitters, SQL_VOCAB_HEAVY_HITTERS),
     "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION),
