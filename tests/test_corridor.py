@@ -1,0 +1,122 @@
+"""Corridor join (operators/corridor.py) — brute-force parity over random
+point/segment layers, degenerate segments, support-boundary exactness,
+the max_cover_cells guard, and the equi-join plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.errors import SparkRuntimeException
+
+from geotiff_scalable_analysis_pipeline_spark.operators import corridor
+
+
+def _brute(points, segments, radius):
+    out = set()
+    r2 = radius * radius
+    for qid, px, py in points:
+        for sid, x1, y1, x2, y2 in segments:
+            dx, dy = x2 - x1, y2 - y1
+            wx, wy = px - x1, py - y1
+            vx, vy = px - x2, py - y2
+            dot = wx * dx + wy * dy
+            len2 = dx * dx + dy * dy
+            w2, v2 = wx * wx + wy * wy, vx * vx + vy * vy
+            if len2 == 0 or dot <= 0:
+                if w2 <= r2:
+                    out.add((qid, sid, "start", w2))
+            elif dot >= len2:
+                if v2 <= r2:
+                    out.add((qid, sid, "end", v2))
+            else:
+                num = w2 * len2 - dot * dot
+                if num <= r2 * len2:
+                    out.add((qid, sid, "interior", num // len2))
+    return out
+
+
+def _run(spark, points, segments, radius, **kw):
+    p = spark.createDataFrame(points, "q_id long, qx long, qy long")
+    s = spark.createDataFrame(segments, "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    rows = corridor.segment_distance_join(p, s, radius=radius, **kw).collect()
+    return {(r["q_id"], r["seg_id"], r["nearest"], r["dist_sq"]) for r in rows}
+
+
+coords = st.integers(0, 30000)
+points_st = st.lists(st.tuples(coords, coords), min_size=1, max_size=25).map(
+    lambda ps: [(i, x, y) for i, (x, y) in enumerate(ps)]
+)
+segments_st = st.lists(
+    st.tuples(coords, coords, st.integers(-9000, 9000), st.integers(-9000, 9000)),
+    min_size=1,
+    max_size=10,
+).map(
+    lambda ss: [
+        (i, x, y, max(0, min(30000, x + ox)), max(0, min(30000, y + oy)))
+        for i, (x, y, ox, oy) in enumerate(ss)
+    ]
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(points=points_st, segments=segments_st, radius=st.sampled_from([500, 3000]))
+def test_corridor_matches_brute_force(spark, points, segments, radius):
+    assert _run(spark, points, segments, radius) == _brute(points, segments, radius)
+
+
+def test_corridor_degenerate_segment_is_point_distance(spark):
+    pts = [(0, 100, 100)]
+    segs = [(7, 100, 150, 100, 150)]  # zero-length
+    assert _run(spark, pts, segs, radius=50) == {(0, 7, "start", 2500)}
+    assert _run(spark, pts, segs, radius=49) == set()
+
+
+def test_corridor_boundary_exact_inclusion(spark):
+    # perpendicular distance exactly r: (w2*len2 - dot^2) == r^2*len2
+    pts = [(0, 50, 30)]
+    segs = [(1, 0, 0, 100, 0)]  # horizontal; perpendicular dist = 30
+    got = _run(spark, pts, segs, radius=30)
+    assert got == {(0, 1, "interior", 900)}
+    assert _run(spark, pts, segs, radius=29) == set()
+
+
+def test_corridor_endpoint_vs_interior_cases(spark):
+    segs = [(1, 1000, 1000, 2000, 1000)]
+    pts = [(0, 500, 1000), (1, 2600, 1000), (2, 1500, 1400)]
+    got = _run(spark, pts, segs, radius=700)
+    assert got == {
+        (0, 1, "start", 250000),
+        (1, 1, "end", 360000),
+        (2, 1, "interior", 160000),
+    }
+
+
+def test_corridor_long_segment_guard_raises(spark):
+    pts = [(0, 10, 10)]
+    segs = [(1, 0, 0, 30000, 30000)]
+    with pytest.raises(SparkRuntimeException, match="max_cover_cells"):
+        _run(spark, pts, segs, radius=100, max_cover_cells=4)
+
+
+def test_corridor_plan_has_no_cartesian(spark):
+    p = spark.range(50).select(
+        F.col("id").alias("q_id"),
+        (F.col("id") * 131 % 20000).alias("qx"),
+        (F.col("id") * 37 % 20000).alias("qy"),
+    )
+    s = spark.range(10).select(
+        F.col("id").alias("seg_id"),
+        (F.col("id") * 977 % 20000).alias("x1"),
+        (F.col("id") * 389 % 20000).alias("y1"),
+        (F.col("id") * 563 % 20000).alias("x2"),
+        (F.col("id") * 211 % 20000).alias("y2"),
+    )
+    plan = (
+        corridor.segment_distance_join(p, s, radius=2000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
