@@ -401,6 +401,34 @@ def bench_spatial_analytics(spark):
             acq, start=0, stop=N_TILES, step=max(1, N_TILES // 50), keys=("cell",)
         )
     )
+    # round-4 additions: KDE heatmap (map-only) + corridor join (bounded
+    # equi-join) over the same scaled point layer
+    from geotiff_scalable_analysis_pipeline_spark.operators import corridor, density
+
+    _force(density.kde_surface(p, cell=4000, radius=6000))
+    k = F.col("id")
+    segs = (
+        spark.range(int(60 * SCALE))
+        .select(
+            k.alias("seg_id"),
+            (dg.ihash_col(k, 61) % dg.FRAME).alias("x1"),
+            (dg.ihash_col(k, 62) % dg.FRAME).alias("y1"),
+            (dg.ihash_col(k, 63) % 16001 - 8000).alias("_ox"),
+            (dg.ihash_col(k, 64) % 16001 - 8000).alias("_oy"),
+        )
+        .select(
+            "seg_id",
+            "x1",
+            "y1",
+            F.least(F.greatest(F.col("x1") + F.col("_ox"), F.lit(0)), F.lit(dg.FRAME)).alias("x2"),
+            F.least(F.greatest(F.col("y1") + F.col("_oy"), F.lit(0)), F.lit(dg.FRAME)).alias("y2"),
+        )
+    )
+    _force(
+        corridor.segment_distance_join(
+            p.select("q_id", "qx", "qy"), segs, radius=3000
+        )
+    )
     return N_POINTS + N_TILES
 
 
