@@ -81,6 +81,7 @@ BENCH_TABLES = {
     "relational_suite": set(),
     "spatial_analytics": {"points", "tiles"},
     "dbscan": {"points"},
+    "corridor": {"points"},
 }
 
 # DBSCAN eps. Default shrinks as 1/sqrt(SCALE) so the expected
@@ -406,30 +407,31 @@ def bench_spatial_analytics(spark):
     from geotiff_scalable_analysis_pipeline_spark.operators import corridor, density
 
     _force(density.kde_surface(p, cell=4000, radius=6000))
-    k = F.col("id")
-    segs = (
-        spark.range(int(60 * SCALE))
-        .select(
-            k.alias("seg_id"),
-            (dg.ihash_col(k, 61) % dg.FRAME).alias("x1"),
-            (dg.ihash_col(k, 62) % dg.FRAME).alias("y1"),
-            (dg.ihash_col(k, 63) % 16001 - 8000).alias("_ox"),
-            (dg.ihash_col(k, 64) % 16001 - 8000).alias("_oy"),
-        )
-        .select(
-            "seg_id",
-            "x1",
-            "y1",
-            F.least(F.greatest(F.col("x1") + F.col("_ox"), F.lit(0)), F.lit(dg.FRAME)).alias("x2"),
-            F.least(F.greatest(F.col("y1") + F.col("_oy"), F.lit(0)), F.lit(dg.FRAME)).alias("y2"),
-        )
-    )
     _force(
         corridor.segment_distance_join(
-            p.select("q_id", "qx", "qy"), segs, radius=3000
+            p.select("q_id", "qx", "qy"),
+            dg.segments_df(spark, int(60 * SCALE)),
+            radius=3000,
         )
     )
     return N_POINTS + N_TILES
+
+
+def bench_corridor(spark):
+    """Scaling-evidence surface for the corridor join alone: r-expanded
+    segment-bbox grid cover ⋈ point home cell, exact integer point-segment
+    predicate (decimal128 interior case). Candidate pairs grow ~quadratically
+    in SCALE (both layers scale), so the 2-core wall reaches the ≥30 s
+    validity bar at moderate scales."""
+    from geotiff_scalable_analysis_pipeline_spark.operators import corridor
+
+    p = _t(spark, "points").select("q_id", "qx", "qy")
+    _force(
+        corridor.segment_distance_join(
+            p, dg.segments_df(spark, int(60 * SCALE)), radius=3000
+        )
+    )
+    return N_POINTS
 
 
 def bench_dbscan(spark):
@@ -462,6 +464,7 @@ BENCHES = {
 EXTRA_BENCHES = {
     "dedup_text": bench_dedup_text,
     "dbscan": bench_dbscan,
+    "corridor": bench_corridor,
     "text_profile_scaled": bench_text_profile_scaled,
     "overlay": bench_overlay,
 }

@@ -406,6 +406,45 @@ def points_df(spark: SparkSession, cfg: GoldenConfig = GOLDEN) -> DataFrame:
     )
 
 
+def segments_df(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic polyline-segment layer (corridor join): ihash first
+    endpoint, second endpoint offset ±8 km and clamped to the frame —
+    mirrored bit-for-bit by :func:`segments_sql`."""
+    k = F.col("id")
+    return (
+        spark.range(n)
+        .select(
+            k.alias("seg_id"),
+            (ihash_col(k, 61) % FRAME).alias("x1"),
+            (ihash_col(k, 62) % FRAME).alias("y1"),
+            (ihash_col(k, 63) % 16001 - 8000).alias("_ox"),
+            (ihash_col(k, 64) % 16001 - 8000).alias("_oy"),
+        )
+        .select(
+            "seg_id",
+            "x1",
+            "y1",
+            F.least(F.greatest(F.col("x1") + F.col("_ox"), F.lit(0)), F.lit(FRAME)).alias("x2"),
+            F.least(F.greatest(F.col("y1") + F.col("_oy"), F.lit(0)), F.lit(FRAME)).alias("y2"),
+        )
+    )
+
+
+def segments_sql(n: int, alias: str = "segs") -> str:
+    return f"""{alias}0 AS (
+  SELECT k AS seg_id,
+         {ihash_sql('k', 61)} % {FRAME} AS x1,
+         {ihash_sql('k', 62)} % {FRAME} AS y1,
+         {ihash_sql('k', 63)} % 16001 - 8000 AS ox,
+         {ihash_sql('k', 64)} % 16001 - 8000 AS oy
+  FROM range(0, {n}) t(k)),
+{alias} AS (
+  SELECT seg_id, x1, y1,
+         least(greatest(x1 + ox, 0), {FRAME}) AS x2,
+         least(greatest(y1 + oy, 0), {FRAME}) AS y2
+  FROM {alias}0)"""
+
+
 def points_sql(cfg: GoldenConfig = GOLDEN, alias: str = "qpts") -> str:
     return f"""
 {alias} AS (

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.skew import cpu_dense_repartition
+
 D38 = "CAST({} AS DECIMAL(38,0))"
 
 
@@ -90,6 +92,14 @@ def segment_distance_join(
     p = points.withColumn("_ci", F.expr(f"{px} div {c}")).withColumn(
         "_cj", F.expr(f"{py} div {c}")
     )
+
+    # the pair-predicate stage is CPU-dense but byte-light (~56 B rows of
+    # coordinates): AQE's byte-based coalescing would serialize it into a
+    # few tasks. Pin an explicit wave-amortized width on BOTH sides — same
+    # hash key and count, so the join adds no further exchange (same fix
+    # as overlay/distance_join; BENCH/BASELINE.md round-4 provenance).
+    p = cpu_dense_repartition(p, "_ci", "_cj")
+    cover = cpu_dense_repartition(cover, "_ci", "_cj")
 
     j = (
         p.join(cover, ["_ci", "_cj"])

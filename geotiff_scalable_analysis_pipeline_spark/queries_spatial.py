@@ -234,43 +234,6 @@ CORRIDOR_RADIUS = 3000
 N_SEGMENTS = 60
 
 
-def _segments_df(spark: SparkSession) -> DataFrame:
-    """Deterministic polyline-segment layer: ihash endpoints, second point
-    offset ±8 km and clamped to the frame (mirrored bit-for-bit in SQL)."""
-    k = F.col("id")
-    return (
-        spark.range(N_SEGMENTS)
-        .select(
-            k.alias("seg_id"),
-            (dg.ihash_col(k, 61) % dg.FRAME).alias("x1"),
-            (dg.ihash_col(k, 62) % dg.FRAME).alias("y1"),
-            (dg.ihash_col(k, 63) % 16001 - 8000).alias("_ox"),
-            (dg.ihash_col(k, 64) % 16001 - 8000).alias("_oy"),
-        )
-        .select(
-            "seg_id",
-            "x1",
-            "y1",
-            F.least(F.greatest(F.col("x1") + F.col("_ox"), F.lit(0)), F.lit(dg.FRAME)).alias("x2"),
-            F.least(F.greatest(F.col("y1") + F.col("_oy"), F.lit(0)), F.lit(dg.FRAME)).alias("y2"),
-        )
-    )
-
-
-_SQL_SEGMENTS = f"""segs0 AS (
-  SELECT k AS seg_id,
-         {dg.ihash_sql('k', 61)} % {dg.FRAME} AS x1,
-         {dg.ihash_sql('k', 62)} % {dg.FRAME} AS y1,
-         {dg.ihash_sql('k', 63)} % 16001 - 8000 AS ox,
-         {dg.ihash_sql('k', 64)} % 16001 - 8000 AS oy
-  FROM range(0, {N_SEGMENTS}) t(k)),
-segs AS (
-  SELECT seg_id, x1, y1,
-         least(greatest(x1 + ox, 0), {dg.FRAME}) AS x2,
-         least(greatest(y1 + oy, 0), {dg.FRAME}) AS y2
-  FROM segs0)"""
-
-
 def q_corridor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every (query point, polyline segment) pair within 3 km, with the
     exact integer point-segment predicate (operators/corridor.py): grid
@@ -280,7 +243,7 @@ def q_corridor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = corridor.segment_distance_join(
         dg.points_df(spark, CFG).select("q_id", "qx", "qy"),
-        _segments_df(spark),
+        dg.segments_df(spark, N_SEGMENTS),
         radius=CORRIDOR_RADIUS,
     )
     return out.select("q_id", "seg_id", "nearest", "dist_sq")
@@ -290,7 +253,11 @@ def _sql_corridor() -> str:
     from .operators import corridor
 
     inner = corridor.segment_distance_join_sql(
-        dg.points_sql(CFG), "qpts", _SQL_SEGMENTS, "segs", radius=CORRIDOR_RADIUS
+        dg.points_sql(CFG),
+        "qpts",
+        dg.segments_sql(N_SEGMENTS),
+        "segs",
+        radius=CORRIDOR_RADIUS,
     )
     return f"SELECT q_id, seg_id, nearest, dist_sq FROM ({inner})"
 
