@@ -1,0 +1,132 @@
+"""Exactly-once distributed triangle counting (degree-ordered wedges).
+
+The fourth graph operator (pagerank.py, graph_bfs.py, dedup_cc.py): count
+the triangles each node participates in — the clustering-coefficient /
+community-density primitive every graph-analytics stack ships, and the
+canonical example of a join whose naive form explodes and whose
+degree-ordered form provably doesn't (Schank 2007; Suri & Vassilvitskii
+"Counting Triangles and the Curse of the Last Reducer", WWW 2011).
+
+Shape:
+
+1. Canonicalize to a SIMPLE undirected graph: drop self-loops, collapse
+   parallel/reversed duplicates to one ``u < v`` edge (one hash
+   aggregate).
+2. Compute degrees; ORIENT every edge from the (degree, id)-smaller to
+   the (degree, id)-larger endpoint — the (degree, id) STRUCT compared
+   lexicographically (total order; a pure codegen comparison, mirrored by
+   DuckDB row-value comparison).
+3. Wedges: self-join oriented edges on their SOURCE — each wedge is
+   generated at its lowest-rank vertex, so a node contributes
+   ``C(d⁺, 2)`` pairs where its OUT-degree ``d⁺ ≤ O(√m)`` — the
+   orientation is exactly what caps the hub blow-up that makes the
+   unordered wedge join quadratic in hub degree ("the curse of the last
+   reducer"). A rank-ordered ``v < w`` guard keeps each wedge once.
+4. Close: semi-shape equi-join of wedges against the oriented edge set
+   on the BOTH endpoints — each triangle found exactly once (at its
+   lowest-rank vertex), then exploded to its 3 member nodes and counted
+   with one map-combined aggregate.
+
+All joins are hash equi-joins on node keys; nothing is quadratic in the
+corpus; no window, no distinct beyond the initial canonicalization. The
+wedge side is CPU-dense/byte-light, so the join inputs take the engine's
+standard wave-partition pin (plans/skew.py — AQE's byte-based coalescing
+otherwise serializes the stage; BENCH/BASELINE.md round-4 provenance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.skew import cpu_dense_repartition
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation: ``(node, n_triangles)``, nodes with
+    at least one triangle. Input may contain self-loops, duplicates, and
+    both orientations; they do not change the answer."""
+    simple = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    deg = (
+        simple.select(F.col("u").alias("node"))
+        .unionAll(simple.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # total order: the (degree, id) STRUCT, compared lexicographically —
+    # no scalar packing, no rank-base aggregate, pure codegen comparison
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = (
+        simple.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.greatest(ru, rv).alias("rb"),
+        )
+    )
+
+    e1 = cpu_dense_repartition(
+        oriented.select(
+            F.col("a").alias("w_src"),
+            F.col("b").alias("w_v"),
+            F.col("rb").alias("w_rv"),
+        ),
+        "w_src",
+    )
+    e2 = cpu_dense_repartition(
+        oriented.select(
+            F.col("a").alias("w_src"),
+            F.col("b").alias("w_w"),
+            F.col("rb").alias("w_rw"),
+        ),
+        "w_src",
+    )
+    wedges = e1.join(e2, "w_src").filter(F.col("w_rv") < F.col("w_rw"))
+    closing = oriented.select(F.col("a").alias("w_v"), F.col("b").alias("w_w"))
+    tri = wedges.join(closing, ["w_v", "w_w"]).select(
+        F.col("w_src").alias("n1"), F.col("w_v").alias("n2"), F.col("w_w").alias("n3")
+    )
+    member = F.explode(F.array("n1", "n2", "n3")).alias("node")
+    return tri.select(member).groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def triangle_counts_sql(edges_cte: str, edges_alias: str) -> str:
+    """DuckDB mirror of :func:`triangle_counts` (oracle pairing)."""
+    return f"""WITH {edges_cte},
+simple AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM {edges_alias} WHERE src <> dst GROUP BY 1, 2),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM simple UNION ALL SELECT v FROM simple) GROUP BY 1),
+oriented AS (
+  SELECT CASE WHEN (d1.d, u) < (d2.d, v) THEN u ELSE v END AS a,
+         CASE WHEN (d1.d, u) < (d2.d, v) THEN v ELSE u END AS b,
+         CASE WHEN (d1.d, u) < (d2.d, v) THEN d2.d ELSE d1.d END AS rbd,
+         CASE WHEN (d1.d, u) < (d2.d, v) THEN v ELSE u END AS rbn
+  FROM simple
+  JOIN deg d1 ON d1.node = simple.u
+  JOIN deg d2 ON d2.node = simple.v),
+tri AS (
+  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+  FROM oriented e1
+  JOIN oriented e2 ON e2.a = e1.a AND (e1.rbd, e1.rbn) < (e2.rbd, e2.rbn)
+  JOIN oriented e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT n1 AS node FROM tri
+  UNION ALL SELECT n2 FROM tri
+  UNION ALL SELECT n3 FROM tri)
+GROUP BY node"""

@@ -716,6 +716,28 @@ def _sql_bfs(n_nodes: int = _PR_NODES, hops: int = _BFS_HOPS) -> str:
     return f"WITH {joined}\nSELECT node, dist FROM d{hops}"
 
 
+# --- triangle counting (degree-ordered wedge join) -------------------------
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the deterministic edge list
+    (operators/triangles.py): degree-ordered orientation caps the wedge
+    join at C(d⁺,2) with d⁺ ≤ O(√m) — the last-reducer-proof shape."""
+    from . import datagen as dg
+    from .operators import triangles
+
+    return triangles.triangle_counts(dg.graph_edges_df(spark, _PR_NODES))
+
+
+def _sql_triangles(n_nodes: int = _PR_NODES) -> str:
+    from . import datagen as dg
+    from .operators import triangles
+
+    return triangles.triangle_counts_sql(
+        dg.graph_edges_sql(n_nodes).strip(), "gedges"
+    )
+
+
 # --- PageRank (iterative graph algorithm, exact integer arithmetic) --------
 
 
@@ -756,6 +778,7 @@ QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "pagerank_ranks": (q_pagerank_ranks, _sql_pagerank()),
     "bfs_reachable_hops": (q_bfs_hops, _sql_bfs()),
+    "triangle_counts": (q_triangle_counts, _sql_triangles()),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "hll_distinct_orders": (q_hll_distinct_orders, _sql_hll()),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),

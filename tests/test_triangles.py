@@ -1,0 +1,78 @@
+"""Triangle counting (operators/triangles.py) — brute-force parity on
+random multigraphs, known complete graphs, self-loop/duplicate/orientation
+invariance, and the no-cartesian plan shape."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from geotiff_scalable_analysis_pipeline_spark.operators import triangles
+
+
+def _brute(edges):
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    counts: dict[int, int] = {}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = triangles.triangle_counts(df).collect()
+    return {r["node"]: r["n_triangles"] for r in rows}
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edges=edges_st)
+def test_triangles_match_brute_force(spark, edges):
+    assert _run(spark, edges) == _brute(edges)
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    assert _run(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_self_loops_duplicates_and_reversals_are_inert(spark):
+    base = [(0, 1), (1, 2), (0, 2)]
+    noisy = base + [(1, 0), (2, 1), (0, 0), (1, 1), (0, 1), (0, 1), (2, 0)]
+    assert _run(spark, noisy) == _run(spark, base) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_free_graph_is_empty(spark):
+    # star graph: hub with 5 leaves, no closures
+    star = [(0, i) for i in range(1, 6)]
+    assert _run(spark, star) == {}
+
+
+def test_plan_has_no_cartesian(spark):
+    df = spark.range(200).select(
+        (F.col("id") * 7 % 40).alias("src"), (F.col("id") * 13 % 40).alias("dst")
+    )
+    plan = (
+        triangles.triangle_counts(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the ONE tolerated nested-loop join is the broadcast of the 1-row
+    # rank-base aggregate (kdim) — a 1×N tag join, not a pair explosion
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
