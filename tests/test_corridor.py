@@ -120,3 +120,7 @@ def test_corridor_plan_has_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the pair-predicate stage is CPU-dense/byte-light: the explicit
+    # wave-amortized repartition (exempt from AQE byte-coalescing) must
+    # stay in the plan — the bug class measured three times this round
+    assert "REPARTITION_BY_NUM" in plan
