@@ -367,6 +367,30 @@ def graph_edges_df(spark: SparkSession, n_nodes: int = 300, n_edges: int = 1200)
     )
 
 
+def weighted_graph_edges_df(
+    spark: SparkSession, n_nodes: int = 300, n_edges: int = 1200
+) -> DataFrame:
+    """graph_edges_df + an integer weight 1..9 derived from the edge id."""
+    e = F.col("id")
+    return spark.range(n_edges).select(
+        (ihash_col(e, 41) % n_nodes).alias("src"),
+        (ihash_col(e, 42) % n_nodes).alias("dst"),
+        (ihash_col(e, 43) % 9 + 1).alias("w"),
+    )
+
+
+def weighted_graph_edges_sql(
+    n_nodes: int = 300, n_edges: int = 1200, alias: str = "wedges"
+) -> str:
+    return f"""
+{alias} AS (
+  SELECT {ihash_sql('e', 41)} % {n_nodes} AS src,
+         {ihash_sql('e', 42)} % {n_nodes} AS dst,
+         {ihash_sql('e', 43)} % 9 + 1 AS w
+  FROM range(0, {n_edges}) t(e)
+)"""
+
+
 def graph_edges_sql(n_nodes: int = 300, n_edges: int = 1200, alias: str = "gedges") -> str:
     return f"""
 {alias} AS (

@@ -46,3 +46,40 @@ def bfs_hops(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int,
+    weight: str = "w",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Bounded-iteration multi-source shortest WEIGHTED paths (Bellman-Ford
+    relaxation on the min-plus semiring): ``(node, dist)`` where ``dist``
+    is the minimum total edge weight over any path of at most ``iters``
+    edges from a source. Weights must be non-negative integers — integer
+    min-plus is exact and order-independent, so results cannot vary with
+    partitioning (same discipline as :func:`bfs_hops`; after
+    ``iters ≥ n−1`` rounds this is exact Bellman-Ford).
+
+    Scale shape per round: identical to the hop variant — one src-keyed
+    edge⋈frontier join + one map-combined min aggregate. The frontier is
+    the full best-so-far table (no delta optimization: correctness first,
+    and the min aggregate's map-side combine keeps the shuffle keyed by
+    node regardless)."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0; got {iters}")
+    dist = sources.select("node").distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    for i in range(iters):
+        nxt = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col(weight)).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

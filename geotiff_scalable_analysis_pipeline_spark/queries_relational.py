@@ -716,6 +716,44 @@ def _sql_bfs(n_nodes: int = _PR_NODES, hops: int = _BFS_HOPS) -> str:
     return f"WITH {joined}\nSELECT node, dist FROM d{hops}"
 
 
+# --- weighted SSSP (bounded Bellman-Ford, min-plus semiring) ---------------
+
+_SSSP_ITERS = 5
+
+
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration weighted shortest paths from the %37 source set
+    (operators/graph_bfs.sssp_weighted); integer weights 1..9 derived from
+    the edge id, exact min-plus arithmetic."""
+    from . import datagen as dg
+    from .operators import graph_bfs
+
+    edges = dg.weighted_graph_edges_df(spark, _PR_NODES)
+    sources = spark.range(_PR_NODES).filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("node")
+    )
+    return graph_bfs.sssp_weighted(edges, sources, iters=_SSSP_ITERS)
+
+
+def _sql_sssp(n_nodes: int = _PR_NODES, iters: int = _SSSP_ITERS) -> str:
+    from . import datagen as dg
+
+    ctes = [
+        dg.weighted_graph_edges_sql(n_nodes).strip(),
+        f"s0 AS (SELECT n AS node, CAST(0 AS BIGINT) AS dist "
+        f"FROM range(0, {n_nodes}) t(n) WHERE n % 37 = 0)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""s{i + 1} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM s{i}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM wedges e JOIN s{i} d ON d.node = e.src) GROUP BY node)""")
+    joined = ",\n".join(ctes)
+    return f"WITH {joined}\nSELECT node, dist FROM s{iters}"
+
+
 # --- triangle counting (degree-ordered wedge join) -------------------------
 
 
@@ -778,6 +816,7 @@ QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "pagerank_ranks": (q_pagerank_ranks, _sql_pagerank()),
     "bfs_reachable_hops": (q_bfs_hops, _sql_bfs()),
+    "sssp_weighted_dists": (q_sssp_weighted, _sql_sssp()),
     "triangle_counts": (q_triangle_counts, _sql_triangles()),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "hll_distinct_orders": (q_hll_distinct_orders, _sql_hll()),

@@ -102,3 +102,79 @@ def test_bfs_zero_hops_is_sources(spark):
         dg.graph_edges_df(spark, 50, 100), src_df, max_hops=0
     ).collect()
     assert sorted((r["node"], r["dist"]) for r in out) == [(5, 0), (9, 0)]
+
+
+# ---------------------------------------------------------------------------
+# bounded weighted SSSP (Bellman-Ford, min-plus)
+# ---------------------------------------------------------------------------
+
+
+def _sssp_simulate(src, dst, w, sources, iters):
+    dist = {s: 0 for s in sources}
+    for _ in range(iters):
+        new = dict(dist)
+        for s, d, wt in zip(src, dst, w):
+            if int(s) in dist:
+                cand = dist[int(s)] + int(wt)
+                if int(d) not in new or cand < new[int(d)]:
+                    new[int(d)] = cand
+        dist = new
+    return dist
+
+
+def _weighted_edges_np(n_nodes, n_edges):
+    ed = dg.graph_edges_np(n_nodes, n_edges)
+    import numpy as np
+
+    e = np.arange(n_edges, dtype=np.int64)
+    ed["w"] = dg.ihash_np(e, 43) % 9 + 1
+    return ed
+
+
+def test_sssp_matches_simulator(spark):
+    from geotiff_scalable_analysis_pipeline_spark.operators import graph_bfs
+
+    ed = _weighted_edges_np(100, 350)
+    sources = [0, 37, 74]
+    src_df = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph_bfs.sssp_weighted(
+            dg.weighted_graph_edges_df(spark, 100, 350), src_df, iters=4
+        ).collect()
+    }
+    assert got == _sssp_simulate(ed["src"], ed["dst"], ed["w"], sources, 4)
+
+
+def test_sssp_unit_weights_equal_bfs_hops(spark):
+    """With every weight 1, bounded SSSP IS bounded BFS."""
+    from geotiff_scalable_analysis_pipeline_spark.operators import graph_bfs
+    from pyspark.sql import functions as F
+
+    edges = dg.graph_edges_df(spark, 80, 250).withColumn("w", F.lit(1))
+    src_df = spark.createDataFrame([(0,), (40,)], "node long")
+    a = {
+        (r["node"], r["dist"])
+        for r in graph_bfs.sssp_weighted(edges, src_df, iters=3).collect()
+    }
+    b = {
+        (r["node"], r["dist"])
+        for r in graph_bfs.bfs_hops(
+            dg.graph_edges_df(spark, 80, 250), src_df, max_hops=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_sssp_longer_cheaper_path_wins_with_enough_iters(spark):
+    """2-edge path of weight 2 beats the direct weight-10 edge once the
+    iteration bound admits it — the min-plus semantics in one picture."""
+    from geotiff_scalable_analysis_pipeline_spark.operators import graph_bfs
+
+    edges = spark.createDataFrame(
+        [(0, 2, 10), (0, 1, 1), (1, 2, 1)], "src long, dst long, w long"
+    )
+    src_df = spark.createDataFrame([(0,)], "node long")
+    one = {r["node"]: r["dist"] for r in graph_bfs.sssp_weighted(edges, src_df, iters=1).collect()}
+    two = {r["node"]: r["dist"] for r in graph_bfs.sssp_weighted(edges, src_df, iters=2).collect()}
+    assert one[2] == 10 and two[2] == 2
