@@ -1616,6 +1616,121 @@ WHERE rank <= {KEYWORDS_TOP_K}"""
 
 
 # ---------------------------------------------------------------------------
+# count-min sketch (bounded-state frequency estimation)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH, CM_WIDTH = 4, 512
+CM_SALT = 71
+CM_PROBES = STOP_EN  # frequency probes: the English stopword set
+
+
+def q_cm_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token-frequency estimates (Cormode & Muthukrishnan
+    2005) vs exact counts: the bounded-state profiling pass a streaming /
+    federated corpus pipeline runs when an exact vocabulary aggregate is
+    too big. The sketch state is DEPTH×WIDTH int64 registers however large
+    the corpus — one map-side ×DEPTH expand, one map-combined aggregate —
+    and sketches from different corpus shards MERGE by addition (the same
+    mergeability argument as the HLL/KMV registers, queries_relational).
+
+    est(token) = min over rows of register[r][ihash(tid, salt+r) % W] —
+    ≥ exact by construction (collisions only ADD); integer arithmetic on
+    both engines, so the driver hash is exact. The probe set reports est
+    alongside the exact count, making the overestimate auditable."""
+    return cm_sketch_frame(_docs(spark, sf_dir), CM_PROBES)
+
+
+def cm_sketch_frame(
+    docs: DataFrame,
+    probes,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Core of :func:`q_cm_sketch_estimates` over any ``text``-column frame."""
+    from . import datagen as dg
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+
+    def cells(frame):
+        return frame.select(
+            *[c for c in frame.columns if c != "tid"],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (dg.ihash_col(F.col("tid"), CM_SALT + r) % width).alias("c"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rc"),
+        )
+
+    tid = toks.withColumn("tid", _tid_col(F.col("token"))).drop("token")
+    sketch = cells(tid).groupBy("rc.r", "rc.c").agg(F.count("*").alias("cnt"))
+
+    probe_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in probes])).alias("token")
+    ).withColumn("tid", _tid_col(F.col("token")))
+    probe_cells = cells(probe_df).select("token", "rc.r", "rc.c")
+    est = (
+        probe_cells.join(sketch, ["r", "c"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+    exact = (
+        toks.filter(F.col("token").isin(*probes))
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "token", "left")
+        .select(
+            "token",
+            F.col("est").cast("long").alias("est"),
+            F.coalesce("exact_cnt", F.lit(0)).cast("long").alias("exact_cnt"),
+        )
+    )
+
+
+def _sql_cm_sketch() -> str:
+    from . import datagen as dg
+
+    reg_selects = " UNION ALL ".join(
+        f"SELECT {r} AS r, {dg.ihash_sql('tid', CM_SALT + r)} % {CM_WIDTH} AS c FROM tid"
+        for r in range(CM_DEPTH)
+    )
+    probe_vals = ", ".join(f"('{w}')" for w in CM_PROBES)
+    probe_cells = " UNION ALL ".join(
+        f"SELECT token, {r} AS r, {dg.ihash_sql('tid', CM_SALT + r)} % {CM_WIDTH} AS c FROM ptid"
+        for r in range(CM_DEPTH)
+    )
+    return f"""
+WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+tok AS (SELECT unnest(toks) AS token FROM t),
+tid AS (SELECT {_TID_SQL} AS tid FROM tok),
+regs AS ({reg_selects}),
+sketch AS (SELECT r, c, count(*) AS cnt FROM regs GROUP BY 1, 2),
+probes(token) AS (VALUES {probe_vals}),
+ptid AS (SELECT token, {_TID_SQL} AS tid FROM probes),
+pcells AS ({probe_cells}),
+est AS (
+  SELECT token, min(COALESCE(s.cnt, 0)) AS est
+  FROM pcells p LEFT JOIN sketch s USING (r, c) GROUP BY token),
+exact AS (
+  SELECT token, count(*) AS exact_cnt FROM tok
+  WHERE token IN ({", ".join(f"'{w}'" for w in CM_PROBES)}) GROUP BY token)
+SELECT e.token, CAST(e.est AS BIGINT) AS est,
+       CAST(COALESCE(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+FROM est e LEFT JOIN exact x USING (token)"""
+
+
+# ---------------------------------------------------------------------------
 # bigram collocations (PMI lift, integer-exact)
 # ---------------------------------------------------------------------------
 
@@ -1708,6 +1823,7 @@ CROSS JOIN tot"""
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
+    "cm_sketch_estimates": (q_cm_sketch_estimates, _sql_cm_sketch()),
     "vocab_heavy_hitters": (q_vocab_heavy_hitters, SQL_VOCAB_HEAVY_HITTERS),
     "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION),
