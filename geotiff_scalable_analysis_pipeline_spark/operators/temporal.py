@@ -129,3 +129,69 @@ def gap_fill_locf(
         "last_ts",
         (F.col("_t") - F.col("last_ts")).alias("gap"),
     )
+
+
+def ewma(
+    obs: DataFrame,
+    keys: tuple[str, ...],
+    ts: str,
+    value: str,
+    num: int = 2,
+    den: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Fixed-point exponentially weighted moving average per key group —
+    the hypertable smoothing companion to :func:`gap_fill_locf`
+    (TimescaleDB's ``toolkit`` EWMA / Pandas ``ewm(alpha=num/den)``).
+
+    Float EWMA is not reproducible across engines; this is the engine's
+    fixed-point answer: with α = num/den and the state carried at
+    ``scale``× resolution,
+
+    * a₀ = v₀·scale
+    * aₜ = (num·vₜ·scale + (den−num)·aₜ₋₁) div den   (integer floor)
+
+    Every term is int64 (|v|·scale·den must fit — the caller's contract);
+    the recurrence is inherently sequential PER KEY, so it runs as one
+    order-pinned ``aggregate`` fold over the group's sorted series — the
+    same per-group-array discipline as the span fingerprints. Group state
+    is the series length: bounded for resampled/windowed series (the
+    gap-fill's tick grid), NOT for unbounded raw streams — resample
+    first. The fold appends to the output array per element (O(n²) per
+    group in the interpreter — fine at tick-grid lengths; a thousand-tick
+    series pays ~10⁶ touches, still trivial).
+
+    Output: input keys + ``(ts, value, ewma_q)`` per observation, where
+    ``ewma_q`` is the smoothed value at ``scale``× (divide downstream).
+    Total order inside a group is (ts, value) — exact ties contribute in
+    that deterministic order."""
+    if not (0 < num <= den):
+        raise ValueError(f"alpha=num/den must be in (0, 1]; got {num}/{den}")
+    kc = [F.col(k) for k in keys]
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ts).alias("ts"), F.col(value).alias("v")))
+    )
+    step = (
+        f"CASE WHEN acc.prev IS NULL THEN x.v * {scale} "
+        f"ELSE ({num} * x.v * {scale} + {den - num} * acc.prev) div {den} END"
+    )
+    fold = F.expr(
+        "aggregate(_series, "
+        "named_struct('out', CAST(array() AS ARRAY<STRUCT<ts: BIGINT, v: BIGINT, a: BIGINT>>), "
+        "             'prev', CAST(NULL AS BIGINT)), "
+        f"(acc, x) -> named_struct("
+        f"  'out', array_append(acc.out, named_struct('ts', x.ts, 'v', x.v, 'a', {step})), "
+        f"  'prev', {step}), "
+        "acc -> acc.out)"
+    )
+    return (
+        obs.groupBy(*kc)
+        .agg(arr.alias("_series"))
+        .select(*kc, F.explode(fold).alias("_e"))
+        .select(
+            *kc,
+            F.col("_e.ts").alias(ts),
+            F.col("_e.v").alias(value),
+            F.col("_e.a").alias("ewma_q"),
+        )
+    )

@@ -840,6 +840,55 @@ FROM filled WHERE tick = 1"""
 
 
 
+EWMA_NUM, EWMA_DEN, EWMA_SCALE = 2, 10, 1000
+EWMA_VSEED = 41
+
+
+def q_ewma_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point EWMA smoothing (α=0.2, state at 1000×) of each
+    footprint cell's acquisition-value series
+    (operators/temporal.py::ewma): one order-pinned aggregate fold per
+    cell — the hypertable smoothing pass after resampling."""
+    from .operators import temporal
+
+    t = dg.tiles_df(spark, CFG).filter(F.col("tile_k") < CFG.n_media_tiles)
+    cells = raster.tile_footprints(t, LEVEL).select("media_ref", "cell")
+    obs = t.select(
+        "media_ref",
+        F.col("tile_k").cast("long").alias("ts_h"),
+        (dg.ihash_col(F.col("tile_k"), EWMA_VSEED) % 10000).alias("v"),
+    ).join(cells, "media_ref")
+    return temporal.ewma(
+        obs.select("cell", "ts_h", "v"),
+        keys=("cell",),
+        ts="ts_h",
+        value="v",
+        num=EWMA_NUM,
+        den=EWMA_DEN,
+        scale=EWMA_SCALE,
+    )
+
+
+SQL_EWMA = f"""WITH RECURSIVE {dg.tiles_sql(CFG)}, {_sql_cells_cte(LEVEL)},
+obs AS (
+  SELECT c.cell, CAST(t.tile_k AS BIGINT) AS ts_h,
+         {dg.ihash_sql('t.tile_k', EWMA_VSEED)} % 10000 AS v
+  FROM tiles_geo t JOIN cells c USING (media_ref)
+  WHERE t.tile_k < {CFG.n_media_tiles}),
+ranked AS (
+  SELECT cell, ts_h, v,
+         row_number() OVER (PARTITION BY cell ORDER BY ts_h, v) AS rn
+  FROM obs),
+e(cell, rn, ts_h, v, a) AS (
+  SELECT cell, rn, ts_h, v, v * {EWMA_SCALE} FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.cell, r.rn, r.ts_h, r.v,
+         ({EWMA_NUM} * r.v * {EWMA_SCALE} + {EWMA_DEN - EWMA_NUM} * e.a)
+         // {EWMA_DEN}
+  FROM ranked r JOIN e ON e.cell = r.cell AND r.rn = e.rn + 1)
+SELECT cell, ts_h, v, CAST(a AS BIGINT) AS ewma_q FROM e"""
+
+
 def q_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal change detection: per cell, consecutive acquisitions are
     paired (the as-of lag) and the per-band calibrated-DN delta between the
@@ -1656,6 +1705,7 @@ QUERIES = {
     "chunk_grid": (q_chunk_grid, SQL_CHUNK_GRID),
     "asof_acquisitions": (q_asof_acquisitions, SQL_ASOF),
     "gap_fill_locf": (q_gap_fill, SQL_GAP_FILL),
+    "ewma_series": (q_ewma_series, SQL_EWMA),
     "range_join_campaigns": (q_range_join_campaigns, SQL_RANGE_JOIN),
     "change_detection": (q_change_detection, SQL_CHANGE_DETECTION),
     "series_per_cell": (q_series_per_cell, SQL_SERIES),

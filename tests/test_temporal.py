@@ -51,3 +51,70 @@ def test_temporal_stack_replicates_single_acquisition(spark):
     )
     out = temporal_stack(df, 4).orderBy("t").collect()
     assert [(r.t, r.v, r.n_acq) for r in out] == [(0, 42, 1), (1, 42, 1), (2, 42, 1), (3, 42, 1)]
+
+
+# ---------------------------------------------------------------------------
+# fixed-point EWMA (operators/temporal.py::ewma)
+# ---------------------------------------------------------------------------
+
+
+def _ewma_simulate(rows, num, den, scale):
+    """rows: (key, ts, v). Returns {(key, ts, v): ewma_q} with the
+    (ts, v)-sorted fold per key."""
+    series: dict = {}
+    for k, t, v in rows:
+        series.setdefault(k, []).append((t, v))
+    out = {}
+    for k, sv in series.items():
+        a = None
+        for t, v in sorted(sv):
+            a = v * scale if a is None else (num * v * scale + (den - num) * a) // den
+            out[(k, t, v)] = a
+    return out
+
+
+def _ewma_run(spark, rows, num=2, den=10, scale=1000):
+    from geotiff_scalable_analysis_pipeline_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame(rows, "cell long, ts_h long, v long")
+    got = ewma(df, keys=("cell",), ts="ts_h", value="v", num=num, den=den, scale=scale)
+    return {(r["cell"], r["ts_h"], r["v"]): r["ewma_q"] for r in got.collect()}
+
+
+rows_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9999)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1], r[2]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=rows_st, alpha=st.sampled_from([(1, 10), (2, 10), (5, 10), (10, 10)]))
+def test_ewma_matches_simulator(spark, rows, alpha):
+    num, den = alpha
+    assert _ewma_run(spark, rows, num, den) == _ewma_simulate(rows, num, den, 1000)
+
+
+def test_ewma_alpha_one_is_identity(spark):
+    rows = [(0, 0, 5), (0, 1, 9), (0, 2, 1)]
+    got = _ewma_run(spark, rows, num=10, den=10)
+    assert got == {(0, 0, 5): 5000, (0, 1, 9): 9000, (0, 2, 1): 1000}
+
+
+def test_ewma_hand_computed_chain(spark):
+    # alpha=0.2, scale=1000: a0=1000·10=10000; a1=(2·20·1000+8·10000)//10=12000
+    rows = [(7, 0, 10), (7, 1, 20)]
+    got = _ewma_run(spark, rows)
+    assert got == {(7, 0, 10): 10000, (7, 1, 20): 12000}
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    import pytest
+    from geotiff_scalable_analysis_pipeline_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame([(0, 0, 1)], "cell long, ts_h long, v long")
+    with pytest.raises(ValueError):
+        ewma(df, keys=("cell",), ts="ts_h", value="v", num=0, den=10)
+    with pytest.raises(ValueError):
+        ewma(df, keys=("cell",), ts="ts_h", value="v", num=11, den=10)
