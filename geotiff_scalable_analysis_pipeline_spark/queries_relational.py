@@ -716,6 +716,82 @@ def _sql_bfs(n_nodes: int = _PR_NODES, hops: int = _BFS_HOPS) -> str:
     return f"WITH {joined}\nSELECT node, dist FROM d{hops}"
 
 
+# --- cohort retention (product-analytics matrix) ---------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort-retention matrix: users bucketed by first-activity
+    day, distinct active users per (cohort_day, days_since) cell — the
+    standard product-analytics triangle. Scale shape: first-activity is
+    one map-combined min per user; the join back is user-keyed (co-
+    partitioned with the min's shuffle); the matrix cell count is an
+    EXACT distinct — Spark's two-phase partial (cohort, period, user)
+    dedup then count, never a per-cell user set on one task."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_US_PER_DAY}").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("days_since")
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+SQL_COHORT_RETENTION = f"""
+WITH a AS (SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+SELECT cohort_day, a.day - cohort_day AS days_since,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2"""
+
+
+# --- Markov transition matrix over event types -----------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: lag() pairs consecutive events (total order ts, event_id),
+    one map-combined count per (prev, next), probability as exact integer
+    ppm of the prev-state row total. Per-user window state only; the
+    (types × types) matrix is dimension-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("row_total"))
+    return pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("cnt * 1000000 div row_total").alias("ppm"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, count(*) AS cnt FROM p
+      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev_type, sum(cnt) AS row_total FROM c GROUP BY 1)
+SELECT prev_type, next_type, CAST(cnt AS BIGINT) AS cnt,
+       CAST((cnt * 1000000) // row_total AS BIGINT) AS ppm
+FROM c JOIN t USING (prev_type)"""
+
+
 # --- weighted SSSP (bounded Bellman-Ford, min-plus semiring) ---------------
 
 _SSSP_ITERS = 5
@@ -836,6 +912,8 @@ QUERIES = {
     "region_revenue_5way": (q_region_revenue, SQL_REGION_REVENUE),
     "events_latest_per_user": (q_events_latest_per_user, SQL_EVENTS_LATEST),
     "events_sessionization": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
     "part_brand_regex": (q_part_brands, SQL_PART_BRANDS),
     "events_json_extract": (q_events_json_props, SQL_EVENTS_JSON),
