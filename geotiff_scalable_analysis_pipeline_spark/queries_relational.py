@@ -716,6 +716,80 @@ def _sql_bfs(n_nodes: int = _PR_NODES, hops: int = _BFS_HOPS) -> str:
     return f"WITH {joined}\nSELECT node, dist FROM d{hops}"
 
 
+# --- 2-D skyline / Pareto frontier -----------------------------------------
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts minimizing (price_cents, p_size): the
+    multi-criteria shortlist query (Börzsönyi et al., "The Skyline
+    Operator", ICDE 2001). Strict dominance: p beats q iff p ≤ q on both
+    axes and < on at least one; coincident points are mutually
+    non-dominated and survive together (reported aggregated with their
+    multiplicity).
+
+    Scale shape — NO pairwise dominance join and NO global-order window:
+    aggregate to distinct (x, y) points (one hash aggregate), min-y per
+    x, then the exclusive running min is TWO-PHASE like the vocab
+    heavy-hitters top-k: a bucket-partitioned window (x div B) gives the
+    within-bucket prefix, and the cross-bucket prefix comes from the
+    bucket-min table — the only unpartitioned window runs over THAT
+    frame, whose cardinality is the bucket count (price-range/B — a
+    constant, not data-sized), broadcast back. A point survives iff its
+    y is strictly below every smaller-x min. The oracle recomputes the
+    frontier from first principles via NOT EXISTS pairwise dominance —
+    an independent formulation, not a plan mirror."""
+    cents = F.expr("CAST(p_retailprice * 100 AS BIGINT)")
+    src = _t(spark, sf_dir, "part").select(
+        cents.alias("price_cents"), F.col("p_size").cast("long").alias("size")
+    )
+    return skyline_2d(src, "price_cents", "size", count_alias="n_parts")
+
+
+def skyline_2d(
+    src: DataFrame, x: str, y: str, count_alias: str = "n", bwidth: int = 1 << 10
+) -> DataFrame:
+    """Core of :func:`q_skyline_parts`: minimize (x, y) over any frame;
+    returns the non-dominated distinct points with their multiplicity."""
+    pts = src.groupBy(x, y).agg(F.count("*").alias(count_alias))
+    perx = pts.groupBy(x).agg(F.min(y).alias("min_size")).withColumn(
+        "bkt", F.expr(f"{x} div {bwidth}")
+    )
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy(x)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wbkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = (
+        perx.groupBy("bkt")
+        .agg(F.min("min_size").alias("bmin"))
+        .withColumn("bprev", F.min("bmin").over(wbkt))
+        .select("bkt", "bprev")
+    )
+    frontier = (
+        perx.join(F.broadcast(bprev), "bkt")
+        .withColumn("prev_min", F.least(F.min("min_size").over(wloc), F.col("bprev")))
+        .filter(F.col("prev_min").isNull() | (F.col("min_size") < F.col("prev_min")))
+        .select(x, F.col("min_size").alias(y))
+    )
+    return frontier.join(pts, [x, y]).select(
+        x, y, F.col(count_alias).cast("long").alias(count_alias)
+    )
+
+
+SQL_SKYLINE = """
+WITH pts AS (
+  SELECT CAST(p_retailprice * 100 AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size, count(*) AS n_parts
+  FROM part GROUP BY 1, 2)
+SELECT price_cents, size, CAST(n_parts AS BIGINT) AS n_parts
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_cents <= p.price_cents AND q.size <= p.size
+    AND (q.price_cents < p.price_cents OR q.size < p.size))"""
+
+
 # --- cohort retention (product-analytics matrix) ---------------------------
 
 _US_PER_DAY = 86_400_000_000
@@ -913,6 +987,7 @@ QUERIES = {
     "events_latest_per_user": (q_events_latest_per_user, SQL_EVENTS_LATEST),
     "events_sessionization": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "skyline_parts": (q_skyline_parts, SQL_SKYLINE),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
     "part_brand_regex": (q_part_brands, SQL_PART_BRANDS),
