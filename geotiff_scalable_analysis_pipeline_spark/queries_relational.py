@@ -716,6 +716,46 @@ def _sql_bfs(n_nodes: int = _PR_NODES, hops: int = _BFS_HOPS) -> str:
     return f"WITH {joined}\nSELECT node, dist FROM d{hops}"
 
 
+# --- market-basket pair mining (bounded per-basket explode) ----------------
+
+BASKET_MIN_SUPPORT = 2
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item PAIRS across order baskets (the Apriori/FP-growth
+    k=2 pass — the co-purchase signal a recommender mines). Scale shape:
+    the pair generation is a PER-BASKET array transform — collect_set per
+    order (basket size is business-bounded: line items per order, ≤13
+    here, ~dozens anywhere), C(n,2) pairs emitted map-side from the
+    sorted array, then ONE map-combined count. No item⋈item self-join:
+    the quadratic factor is per-basket (bounded), never corpus-wide. The
+    sorted array makes (a < b) canonical so each pair counts once per
+    basket."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "  transform(slice(items, i + 2, size(items) - i - 1), "
+        "            y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+
+
+SQL_BASKET_PAIRS = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}"""
+
+
 # --- 2-D skyline / Pareto frontier -----------------------------------------
 
 
@@ -988,6 +1028,7 @@ QUERIES = {
     "events_sessionization": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "skyline_parts": (q_skyline_parts, SQL_SKYLINE),
+    "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
     "part_brand_regex": (q_part_brands, SQL_PART_BRANDS),
