@@ -335,7 +335,16 @@ def bench_overlay(spark):
 def bench_relational(spark):
     from geotiff_scalable_analysis_pipeline_spark import queries_relational as qr
 
-    for name in ("pricing_summary", "region_revenue_5way", "events_sessionization"):
+    for name in (
+        "pricing_summary",
+        "region_revenue_5way",
+        "events_sessionization",
+        # closing-session additions: analytics over the sf fact tables
+        "cohort_retention",
+        "event_transitions",
+        "skyline_parts",
+        "basket_pairs",
+    ):
         _force(qr.QUERIES[name][0](spark, SF_DIR))
     return 0
 
@@ -366,6 +375,9 @@ def bench_text_profile(spark):
         "vocab_heavy_hitters",
         "doc_keywords",
         "corpus_filter_pipeline",
+        # closing-session additions: collocations + bounded-state sketch
+        "bigram_pmi",
+        "cm_sketch_estimates",
     ):
         _force(qt.QUERIES[name][0](spark, SF_DIR))
     return 0
