@@ -195,3 +195,48 @@ def ewma(
             F.col("_e.a").alias("ewma_q"),
         )
     )
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    keys: tuple[str, ...],
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Union length of half-open integer intervals ``[lo, hi)`` per key
+    group — the "total covered time" aggregate (sensor uptime, campaign
+    coverage, SLA windows) that naive ``sum(hi-lo)`` double-counts under
+    overlap.
+
+    Classic sweep formulation, declaratively: within each group order by
+    (lo, hi), take the EXCLUSIVE running max of ``hi``; an interval's new
+    contribution is ``max(0, hi − max(lo, prev_max_hi))``; one sum per
+    group. Exact integers; the only state is one per-group window (keys
+    partition the sweep — at corpus scale the group count is the
+    parallelism, and no group's interval list ever sits on the driver).
+
+    Output: keys + ``covered`` (union length), ``n_intervals``,
+    ``span_lo``/``span_hi`` (group extent)."""
+    from pyspark.sql import Window
+
+    kc = [F.col(k) for k in keys]
+    w = (
+        Window.partitionBy(*kc)
+        .orderBy(lo, hi)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.max(F.col(hi)).over(w)
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col(hi) - F.greatest(F.col(lo), F.coalesce(prev, F.col(lo))),
+    )
+    return (
+        intervals.withColumn("_c", contrib)
+        .groupBy(*kc)
+        .agg(
+            F.sum("_c").cast("long").alias("covered"),
+            F.count("*").alias("n_intervals"),
+            F.min(lo).cast("long").alias("span_lo"),
+            F.max(hi).cast("long").alias("span_hi"),
+        )
+    )

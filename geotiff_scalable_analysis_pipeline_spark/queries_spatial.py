@@ -840,6 +840,35 @@ FROM filled WHERE tick = 1"""
 
 
 
+def q_campaign_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instrument union length of the campaign windows
+    (operators/temporal.py::interval_coverage): the duty-cycle /
+    total-covered-time aggregate a naive sum(hi−lo) double-counts under
+    overlap. The oracle counts DISTINCT covered unit ticks from an
+    exploded series — an independent formulation, not a sweep mirror."""
+    from .operators import temporal
+
+    c = dg.campaigns_df(spark, CFG).withColumn(
+        "instrument", F.col("campaign_id") % 10
+    )
+    return temporal.interval_coverage(c, keys=("instrument",), lo="lo_h", hi="hi_h")
+
+
+SQL_CAMPAIGN_COVERAGE = f"""WITH {dg.campaigns_sql(CFG)},
+t AS (SELECT campaign_id % 10 AS instrument, lo_h, hi_h FROM campaigns),
+ticks AS (
+  SELECT instrument, unnest(range(lo_h, hi_h)) AS x FROM t)
+SELECT instrument,
+       CAST(count(DISTINCT x) AS BIGINT) AS covered,
+       (SELECT count(*) FROM t t2 WHERE t2.instrument = ticks.instrument)
+         AS n_intervals,
+       (SELECT min(lo_h) FROM t t2 WHERE t2.instrument = ticks.instrument)
+         AS span_lo,
+       (SELECT max(hi_h) FROM t t2 WHERE t2.instrument = ticks.instrument)
+         AS span_hi
+FROM ticks GROUP BY instrument"""
+
+
 EWMA_NUM, EWMA_DEN, EWMA_SCALE = 2, 10, 1000
 EWMA_VSEED = 41
 
@@ -1706,6 +1735,7 @@ QUERIES = {
     "asof_acquisitions": (q_asof_acquisitions, SQL_ASOF),
     "gap_fill_locf": (q_gap_fill, SQL_GAP_FILL),
     "ewma_series": (q_ewma_series, SQL_EWMA),
+    "campaign_coverage": (q_campaign_coverage, SQL_CAMPAIGN_COVERAGE),
     "range_join_campaigns": (q_range_join_campaigns, SQL_RANGE_JOIN),
     "change_detection": (q_change_detection, SQL_CHANGE_DETECTION),
     "series_per_cell": (q_series_per_cell, SQL_SERIES),

@@ -118,3 +118,62 @@ def test_ewma_rejects_bad_alpha(spark):
         ewma(df, keys=("cell",), ts="ts_h", value="v", num=0, den=10)
     with pytest.raises(ValueError):
         ewma(df, keys=("cell",), ts="ts_h", value="v", num=11, den=10)
+
+
+# ---------------------------------------------------------------------------
+# interval union coverage (operators/temporal.py::interval_coverage)
+# ---------------------------------------------------------------------------
+
+
+def _coverage_simulate(rows):
+    """rows: (key, lo, hi). Union length per key via tick sets."""
+    out: dict = {}
+    for k, lo, hi in rows:
+        g = out.setdefault(k, [set(), 0, None, None])
+        g[0].update(range(lo, hi))
+        g[1] += 1
+        g[2] = lo if g[2] is None else min(g[2], lo)
+        g[3] = hi if g[3] is None else max(g[3], hi)
+    return {k: (len(s), n, sl, sh) for k, (s, n, sl, sh) in out.items()}
+
+
+def _coverage_run(spark, rows):
+    from geotiff_scalable_analysis_pipeline_spark.operators.temporal import (
+        interval_coverage,
+    )
+
+    df = spark.createDataFrame(rows, "k long, lo long, hi long")
+    got = interval_coverage(df, keys=("k",), lo="lo", hi="hi")
+    return {
+        r["k"]: (r["covered"], r["n_intervals"], r["span_lo"], r["span_hi"])
+        for r in got.collect()
+    }
+
+
+ivals_st = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(1, 60)).map(
+        lambda t: (t[0], t[1], t[1] + t[2])
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=ivals_st)
+def test_interval_coverage_matches_tick_sets(spark, rows):
+    assert _coverage_run(spark, rows) == _coverage_simulate(rows)
+
+
+def test_interval_coverage_edges(spark):
+    rows = [
+        (0, 0, 10), (0, 10, 20),   # touching: union 20, no double count
+        (1, 0, 10), (1, 2, 5),     # nested: union 10
+        (2, 0, 5), (2, 10, 15),    # disjoint: union 10
+        (3, 0, 10), (3, 0, 10),    # identical duplicates: union 10
+    ]
+    got = _coverage_run(spark, rows)
+    assert got[0] == (20, 2, 0, 20)
+    assert got[1] == (10, 2, 0, 10)
+    assert got[2] == (10, 2, 0, 15)
+    assert got[3] == (10, 2, 0, 10)
