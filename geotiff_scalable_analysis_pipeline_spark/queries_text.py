@@ -1616,6 +1616,83 @@ WHERE rank <= {KEYWORDS_TOP_K}"""
 
 
 # ---------------------------------------------------------------------------
+# edit-distance-1 pairs (FastSS deletion neighborhood)
+# ---------------------------------------------------------------------------
+
+FASTSS_MAX_LEN = 20
+
+
+def fastss_pairs(vocab: DataFrame, col: str = "tok") -> DataFrame:
+    """All DISTINCT token pairs at Levenshtein distance ≤ 1 — the typo /
+    variant-spelling candidate pass of a vocabulary-normalization pipeline
+    (FastSS, Bocek et al. 2007). NO all-pairs comparison: two strings
+    within distance 1 always share a 1-DELETION VARIANT (the string
+    itself counts), so candidates come from one equi-self-join on the
+    exploded variant key — len+1 variants per token, the fan-out bounded
+    by ``FASTSS_MAX_LEN``. A codegen ``levenshtein`` verify then removes
+    the neighborhood's false positives (e.g. transpositions: 'ab'/'ba'
+    share variants but sit at distance 2). Both engines implement the
+    standard Levenshtein DP, so the verify is cross-engine exact.
+
+    Scale shape: the join key is the variant string (vocabulary-bounded,
+    like every dedup candidate generator in this engine); dedup of
+    multi-variant matches is one distinct on the canonical (a < b) pair."""
+    v = vocab.select(F.col(col).alias("tok")).filter(
+        (F.col("tok") != "") & (F.char_length("tok") <= FASTSS_MAX_LEN)
+    ).distinct()
+    variants = v.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(tok), "
+                "transform(sequence(1, char_length(tok)), "
+                "          i -> concat(substr(tok, 1, i - 1), substr(tok, i + 1)))))"
+            )
+        ).alias("var"),
+    )
+    a = variants.select(F.col("tok").alias("t1"), "var")
+    b = variants.select(F.col("tok").alias("t2"), "var")
+    return (
+        a.join(b, "var")
+        .filter(F.col("t1") < F.col("t2"))
+        .select("t1", "t2")
+        .distinct()
+        .filter(F.levenshtein("t1", "t2") <= 1)
+        .select("t1", "t2", F.levenshtein("t1", "t2").cast("long").alias("dist"))
+    )
+
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSS distance-1 pairs over the union vocabulary (document tokens
+    ∪ part-name tokens ∪ event types)."""
+    docs = _docs(spark, sf_dir).select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+    )
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.explode(F.split("p_name", " ")).alias("tok")
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("tok")
+    )
+    return fastss_pairs(docs.unionByName(parts).unionByName(events))
+
+
+SQL_TYPO_PAIRS = """
+WITH t AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents
+    UNION
+    SELECT unnest(string_split(p_name, ' ')) FROM part
+    UNION
+    SELECT event_type FROM events)
+  WHERE tok <> '' AND len(tok) <= 20)
+SELECT a.tok AS t1, b.tok AS t2,
+       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+FROM t a JOIN t b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1"""
+
+
+# ---------------------------------------------------------------------------
 # count-min sketch (bounded-state frequency estimation)
 # ---------------------------------------------------------------------------
 
@@ -1824,6 +1901,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "cm_sketch_estimates": (q_cm_sketch_estimates, _sql_cm_sketch()),
+    "typo_pairs": (q_typo_pairs, SQL_TYPO_PAIRS),
     "vocab_heavy_hitters": (q_vocab_heavy_hitters, SQL_VOCAB_HEAVY_HITTERS),
     "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
     "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION),
