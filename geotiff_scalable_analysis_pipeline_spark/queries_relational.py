@@ -716,6 +716,124 @@ def _sql_bfs(n_nodes: int = _PR_NODES, hops: int = _BFS_HOPS) -> str:
     return f"WITH {joined}\nSELECT node, dist FROM d{hops}"
 
 
+# --- data-quality profiling + constraint checks (Deequ-style) --------------
+
+_DQ_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile table for orders (the Deequ/Great-Expectations
+    profiling pass a pipeline runs before trusting a new drop): per
+    column, null count and EXACT distinct count, long format. ONE scan:
+    all 2·n_cols aggregates ride a single map-combined pass (Spark plans
+    the count_distincts as one expand), then a literal-array explode
+    pivots wide→long — no per-column jobs, no second scan."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _DQ_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"d_{c}"))
+    wide = o.agg(F.count("*").alias("n_rows"), *aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"n_{c}").cast("long").alias("null_cnt"),
+                F.col(f"d_{c}").cast("long").alias("distinct_cnt"),
+            )
+            for c in _DQ_COLS
+        ]
+    )
+    return wide.select(
+        F.col("n_rows").cast("long").alias("n_rows"), F.explode(pairs).alias("p")
+    ).select("n_rows", "p.column", "p.null_cnt", "p.distinct_cnt")
+
+
+def _sql_dq_profile() -> str:
+    cols = ",\n  ".join(
+        f"{{'col': '{c}', 'nc': count(*) FILTER (WHERE {c} IS NULL), "
+        f"'dc': count(DISTINCT {c})}}"
+        for c in _DQ_COLS
+    )
+    return f"""
+WITH w AS (
+  SELECT count(*) AS n_rows,
+         [{cols}] AS pairs
+  FROM orders)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       p.col AS "column",
+       CAST(p.nc AS BIGINT) AS null_cnt,
+       CAST(p.dc AS BIGINT) AS distinct_cnt
+FROM (SELECT n_rows, unnest(pairs) AS p FROM w)"""
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation counts (the Deequ check suite): primary-key
+    uniqueness, referential integrity (orders→customer via a left_anti —
+    no row-multiplying join), domain membership, and value-range checks.
+    Each check is one aggregate over one scan; the violation TABLE (not a
+    boolean) is what a quarantine step consumes."""
+    return dq_checks_frames(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+def dq_checks_frames(o: DataFrame, customer: DataFrame) -> DataFrame:
+    """Core of :func:`q_dq_checks` over explicit orders/customer frames."""
+    cust = customer.select("c_custkey")
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
+    )
+    orphans = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    bad_status = o.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+        F.count("*").alias("v")
+    )
+    bad_price = o.filter(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    ).agg(F.count("*").alias("v"))
+
+    def tag(df, name):
+        return df.select(F.lit(name).alias("check"), F.col("v").cast("long").alias("violations"))
+
+    return (
+        tag(dup_pk, "pk_unique_o_orderkey")
+        .unionByName(tag(orphans, "fk_orders_customer"))
+        .unionByName(tag(bad_status, "domain_o_orderstatus"))
+        .unionByName(tag(bad_price, "range_o_totalprice_positive"))
+    )
+
+
+SQL_DQ_CHECKS = """
+SELECT 'pk_unique_o_orderkey' AS "check",
+       CAST(COALESCE((SELECT sum(c) FROM (
+         SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0)
+         AS BIGINT) AS violations
+UNION ALL
+SELECT 'fk_orders_customer',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'domain_o_orderstatus',
+       (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+UNION ALL
+SELECT 'range_o_totalprice_positive',
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice IS NULL OR o_totalprice <= 0)"""
+
+
 # --- market-basket pair mining (bounded per-basket explode) ----------------
 
 BASKET_MIN_SUPPORT = 2
@@ -1029,6 +1147,8 @@ QUERIES = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "skyline_parts": (q_skyline_parts, SQL_SKYLINE),
     "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
+    "dq_profile": (q_dq_profile, _sql_dq_profile()),
+    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
     "part_brand_regex": (q_part_brands, SQL_PART_BRANDS),
