@@ -227,6 +227,43 @@ def _sql_kde() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Moran's I (operators/spatial_stats.py)
+# ---------------------------------------------------------------------------
+
+MORAN_CELL = 4000
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spatial autocorrelation of tile density on the 4 km grid:
+    the four exact integer components of Moran's I (rook weights,
+    occupied cells) — I = (n/W)·(num/den), division left to the caller
+    so no cross-engine rounding surface exists. The hotspot-clustered
+    tile placement makes I strongly positive."""
+    from .operators import spatial_stats
+
+    t = dg.tiles_df(spark, CFG)
+    cells = (
+        t.select(
+            F.expr(f"cx div {MORAN_CELL}").alias("ci"),
+            F.expr(f"cy div {MORAN_CELL}").alias("cj"),
+        )
+        .groupBy("ci", "cj")
+        .agg(F.count("*").alias("x"))
+    )
+    return spatial_stats.morans_i_components(cells)
+
+
+def _sql_morans_i() -> str:
+    from .operators import spatial_stats
+
+    cte = f"""{dg.tiles_sql(CFG)},
+mcells AS (
+  SELECT cx // {MORAN_CELL} AS ci, cy // {MORAN_CELL} AS cj, count(*) AS x
+  FROM tiles_geo GROUP BY 1, 2)"""
+    return spatial_stats.morans_i_sql(cte, "mcells")
+
+
+# ---------------------------------------------------------------------------
 # corridor join (operators/corridor.py)
 # ---------------------------------------------------------------------------
 
@@ -1720,6 +1757,7 @@ QUERIES = {
     "idw_surface": (q_idw, SQL_IDW),
     "kde_density_surface": (q_kde_surface, _sql_kde()),
     "corridor_join_segments": (q_corridor_join, _sql_corridor()),
+    "morans_i_tiles": (q_morans_i, _sql_morans_i()),
     "tile_footprint_cells": (q_tile_cells, SQL_TILE_CELLS),
     "pyramid_rollup": (q_pyramid_rollup, SQL_PYRAMID),
     "tile_pixel_stats": (q_tile_pixel_stats, SQL_TILE_PIXEL_STATS),
