@@ -92,3 +92,63 @@ den AS (SELECT count(*) AS n_cells, sum(u * u) AS moran_den FROM u)
 SELECT CAST(n_cells AS BIGINT) AS n_cells, CAST(w_pairs AS BIGINT) AS w_pairs,
        moran_num, moran_den
 FROM den CROSS JOIN num"""
+
+
+def local_moran_components(
+    cells: DataFrame, x: str = "x", ci: str = "ci", cj: str = "cj"
+) -> DataFrame:
+    """Local Moran (LISA, Anselin 1995) exact components per cell:
+    ``(ci, cj, u, nbr_sum_u, n_nbrs)`` with u = n·x − Σx as in
+    :func:`morans_i_components`; the local statistic is
+    I_i ∝ u_i · Σ_{j∈N(i)} u_j — hot spots (HH), cold spots (LL) and
+    outliers (HL/LH) read directly off the two signs, no division and no
+    float anywhere. Same shape: 1-row broadcast, ×4 offset explode, one
+    cell equi-join, one map-combined sum; cells with no occupied
+    neighbor report ``n_nbrs = 0`` and ``nbr_sum_u = 0``."""
+    base = cells.select(
+        F.col(ci).alias("ci"), F.col(cj).alias("cj"), F.col(x).cast("long").alias("x")
+    )
+    tot = base.agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
+    u = base.crossJoin(F.broadcast(tot)).select(
+        "ci", "cj", (F.col("n") * F.col("x") - F.col("sx")).alias("u")
+    )
+    off = F.explode(
+        F.expr("array(struct(1 AS di, 0 AS dj), struct(-1 AS di, 0 AS dj), "
+               "struct(0 AS di, 1 AS dj), struct(0 AS di, -1 AS dj))")
+    ).alias("o")
+    # each occupied cell RECEIVES its neighbors' u via the reversed offsets
+    nbr = u.select("ci", "cj", "u", off).select(
+        (F.col("ci") + F.col("o.di")).alias("ci"),
+        (F.col("cj") + F.col("o.dj")).alias("cj"),
+        F.col("u").alias("u_nbr"),
+    )
+    lag = nbr.join(u.select("ci", "cj"), ["ci", "cj"]).groupBy("ci", "cj").agg(
+        F.sum("u_nbr").alias("nbr_sum_u"), F.count("*").alias("n_nbrs")
+    )
+    return u.join(lag, ["ci", "cj"], "left").select(
+        "ci",
+        "cj",
+        F.col("u").cast("long").alias("u"),
+        F.coalesce("nbr_sum_u", F.lit(0)).cast("long").alias("nbr_sum_u"),
+        F.coalesce("n_nbrs", F.lit(0)).cast("long").alias("n_nbrs"),
+    )
+
+
+def local_moran_sql(cells_cte: str, cells_alias: str, x: str = "x") -> str:
+    """DuckDB mirror of :func:`local_moran_components`."""
+    return f"""WITH {cells_cte},
+tot AS (SELECT count(*) AS n, sum({x}) AS sx FROM {cells_alias}),
+u AS (
+  SELECT ci, cj, t.n * c.{x} - t.sx AS u
+  FROM {cells_alias} c CROSS JOIN tot t),
+nbr AS (
+  SELECT u.ci + o.di AS ci, u.cj + o.dj AS cj, u.u AS u_nbr
+  FROM u CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(di, dj)),
+lag AS (
+  SELECT n.ci, n.cj, sum(n.u_nbr) AS nbr_sum_u, count(*) AS n_nbrs
+  FROM nbr n JOIN u ON u.ci = n.ci AND u.cj = n.cj
+  GROUP BY n.ci, n.cj)
+SELECT u.ci, u.cj, CAST(u.u AS BIGINT) AS u,
+       CAST(COALESCE(l.nbr_sum_u, 0) AS BIGINT) AS nbr_sum_u,
+       CAST(COALESCE(l.n_nbrs, 0) AS BIGINT) AS n_nbrs
+FROM u LEFT JOIN lag l ON l.ci = u.ci AND l.cj = u.cj"""

@@ -263,6 +263,34 @@ mcells AS (
     return spatial_stats.morans_i_sql(cte, "mcells")
 
 
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell LISA components over the same 4 km tile-density grid:
+    hot spots / cold spots / outliers from the signs of (u, nbr_sum_u) —
+    no division, no float."""
+    from .operators import spatial_stats
+
+    t = dg.tiles_df(spark, CFG)
+    cells = (
+        t.select(
+            F.expr(f"cx div {MORAN_CELL}").alias("ci"),
+            F.expr(f"cy div {MORAN_CELL}").alias("cj"),
+        )
+        .groupBy("ci", "cj")
+        .agg(F.count("*").alias("x"))
+    )
+    return spatial_stats.local_moran_components(cells)
+
+
+def _sql_local_moran() -> str:
+    from .operators import spatial_stats
+
+    cte = f"""{dg.tiles_sql(CFG)},
+mcells AS (
+  SELECT cx // {MORAN_CELL} AS ci, cy // {MORAN_CELL} AS cj, count(*) AS x
+  FROM tiles_geo GROUP BY 1, 2)"""
+    return spatial_stats.local_moran_sql(cte, "mcells")
+
+
 # ---------------------------------------------------------------------------
 # corridor join (operators/corridor.py)
 # ---------------------------------------------------------------------------
@@ -1758,6 +1786,7 @@ QUERIES = {
     "kde_density_surface": (q_kde_surface, _sql_kde()),
     "corridor_join_segments": (q_corridor_join, _sql_corridor()),
     "morans_i_tiles": (q_morans_i, _sql_morans_i()),
+    "local_moran_cells": (q_local_moran, _sql_local_moran()),
     "tile_footprint_cells": (q_tile_cells, SQL_TILE_CELLS),
     "pyramid_rollup": (q_pyramid_rollup, SQL_PYRAMID),
     "tile_pixel_stats": (q_tile_pixel_stats, SQL_TILE_PIXEL_STATS),

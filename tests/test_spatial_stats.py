@@ -71,3 +71,52 @@ def test_isolated_cells_have_no_pairs(spark):
     cells = {(0, 0): 3, (5, 5): 9}
     n, w, num, den = _run(spark, cells)
     assert (n, w, num) == (2, 0, 0) and den > 0
+
+
+# ---------------------------------------------------------------------------
+# local Moran (LISA)
+# ---------------------------------------------------------------------------
+
+
+def _brute_local(cells):
+    n = len(cells)
+    sx = sum(cells.values())
+    u = {k: n * v - sx for k, v in cells.items()}
+    out = {}
+    for (i, j), ui in u.items():
+        s = c = 0
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (i + di, j + dj)
+            if nb in u:
+                s += u[nb]
+                c += 1
+        out[(i, j)] = (ui, s, c)
+    return out
+
+
+def _run_local(spark, cells):
+    df = spark.createDataFrame(
+        [(i, j, x) for (i, j), x in cells.items()], "ci long, cj long, x long"
+    )
+    rows = spatial_stats.local_moran_components(df).collect()
+    return {(r["ci"], r["cj"]): (r["u"], r["nbr_sum_u"], r["n_nbrs"]) for r in rows}
+
+
+@settings(max_examples=12, deadline=None)
+@given(cells=cells_st)
+def test_local_moran_matches_brute_force(spark, cells):
+    assert _run_local(spark, cells) == _brute_local(cells)
+
+
+def test_local_moran_hotspot_signs(spark):
+    # a 2×2 high block in a low field: block cells have u>0 AND positive lag
+    cells = {(i, j): 1 for i in range(4) for j in range(4)}
+    for i in (1, 2):
+        for j in (1, 2):
+            cells[(i, j)] = 50
+    got = _run_local(spark, cells)
+    for k in ((1, 1), (1, 2), (2, 1), (2, 2)):
+        u, lag, c = got[k]
+        assert u > 0 and lag > 0 and c == 4  # HH hot spot
+    u, lag, c = got[(0, 0)]
+    assert u < 0 and lag < 0  # LL corner far from the block
