@@ -240,3 +240,50 @@ def interval_coverage(
             F.max(hi).cast("long").alias("span_hi"),
         )
     )
+
+
+def mann_kendall_s(
+    obs: DataFrame,
+    keys: tuple[str, ...],
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Mann-Kendall trend statistic per key group — the standard
+    non-parametric monotonic-trend test of environmental time series
+    (Mann 1945; Kendall 1975; the change-monitoring companion to the
+    engine's change_detection query):
+
+        S = Σ_{i<j} sign(v_j − v_i)   over the time-ordered series
+
+    S is a bounded integer (|S| ≤ C(n,2)); significance (the variance
+    normalization) is the caller's scalar once (n, S) are known, so the
+    engine ships no float. Total order inside a group is (ts, value) —
+    the engine's usual deterministic tie rule.
+
+    Scale shape: like :func:`ewma`, the statistic is inherently
+    pairwise PER KEY, so it runs as one order-pinned fold over the
+    group's sorted series — O(L²) per group in the interpreter, for
+    resampled/tick-grid series lengths (document bound; a thousand-tick
+    series is ~5·10⁵ sign() calls, still trivial). One hash aggregate,
+    no window, no join."""
+    kc = [F.col(k) for k in keys]
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ts).alias("ts"), F.col(value).alias("v")))
+    )
+    s_expr = F.expr(
+        "aggregate(transform(_series, (a, i) -> "
+        "  aggregate(slice(_series, i + 2, size(_series) - i - 1), "
+        "            CAST(0 AS BIGINT), "
+        "            (acc, b) -> acc + CASE WHEN b.v > a.v THEN 1 "
+        "                                   WHEN b.v < a.v THEN -1 ELSE 0 END)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        obs.groupBy(*kc)
+        .agg(arr.alias("_series"))
+        .select(
+            *kc,
+            F.size("_series").cast("long").alias("n_obs"),
+            s_expr.alias("mk_s"),
+        )
+    )

@@ -905,6 +905,56 @@ FROM filled WHERE tick = 1"""
 
 
 
+def _ewma_obs(spark: SparkSession) -> DataFrame:
+    t = dg.tiles_df(spark, CFG).filter(F.col("tile_k") < CFG.n_media_tiles)
+    cells = raster.tile_footprints(t, LEVEL).select("media_ref", "cell")
+    return (
+        t.select(
+            "media_ref",
+            F.col("tile_k").cast("long").alias("ts_h"),
+            (dg.ihash_col(F.col("tile_k"), EWMA_VSEED) % 10000).alias("v"),
+        )
+        .join(cells, "media_ref")
+        .select("cell", "ts_h", "v")
+    )
+
+
+_SQL_EWMA_OBS = f"""obs AS (
+  SELECT c.cell, CAST(t.tile_k AS BIGINT) AS ts_h,
+         {{vexpr}} % 10000 AS v
+  FROM tiles_geo t JOIN cells c USING (media_ref)
+  WHERE t.tile_k < {{n_media}})"""
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend statistic S per footprint cell's
+    acquisition-value series (operators/temporal.py::mann_kendall_s):
+    exact integer pairwise sign sum, one order-pinned fold per cell —
+    the non-parametric trend test a change-monitoring pipeline runs."""
+    from .operators import temporal
+
+    return temporal.mann_kendall_s(
+        _ewma_obs(spark), keys=("cell",), ts="ts_h", value="v"
+    )
+
+
+def _sql_mann_kendall() -> str:
+    obs = _SQL_EWMA_OBS.format(
+        vexpr=dg.ihash_sql("t.tile_k", EWMA_VSEED), n_media=CFG.n_media_tiles
+    )
+    return f"""WITH {dg.tiles_sql(CFG)}, {_sql_cells_cte(LEVEL)},
+{obs},
+r AS (SELECT cell, v, row_number() OVER (PARTITION BY cell ORDER BY ts_h, v) AS rn
+      FROM obs),
+s AS (SELECT a.cell,
+             sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS mk_s
+      FROM r a JOIN r b ON b.cell = a.cell AND b.rn > a.rn GROUP BY a.cell),
+n AS (SELECT cell, count(*) AS n_obs FROM obs GROUP BY cell)
+SELECT n.cell, CAST(n.n_obs AS BIGINT) AS n_obs,
+       CAST(COALESCE(s.mk_s, 0) AS BIGINT) AS mk_s
+FROM n LEFT JOIN s USING (cell)"""
+
+
 def q_campaign_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-instrument union length of the campaign windows
     (operators/temporal.py::interval_coverage): the duty-cycle /
@@ -945,15 +995,8 @@ def q_ewma_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell — the hypertable smoothing pass after resampling."""
     from .operators import temporal
 
-    t = dg.tiles_df(spark, CFG).filter(F.col("tile_k") < CFG.n_media_tiles)
-    cells = raster.tile_footprints(t, LEVEL).select("media_ref", "cell")
-    obs = t.select(
-        "media_ref",
-        F.col("tile_k").cast("long").alias("ts_h"),
-        (dg.ihash_col(F.col("tile_k"), EWMA_VSEED) % 10000).alias("v"),
-    ).join(cells, "media_ref")
     return temporal.ewma(
-        obs.select("cell", "ts_h", "v"),
+        _ewma_obs(spark),
         keys=("cell",),
         ts="ts_h",
         value="v",
@@ -1803,6 +1846,7 @@ QUERIES = {
     "gap_fill_locf": (q_gap_fill, SQL_GAP_FILL),
     "ewma_series": (q_ewma_series, SQL_EWMA),
     "campaign_coverage": (q_campaign_coverage, SQL_CAMPAIGN_COVERAGE),
+    "mann_kendall_trend": (q_mann_kendall, _sql_mann_kendall()),
     "range_join_campaigns": (q_range_join_campaigns, SQL_RANGE_JOIN),
     "change_detection": (q_change_detection, SQL_CHANGE_DETECTION),
     "series_per_cell": (q_series_per_cell, SQL_SERIES),

@@ -177,3 +177,58 @@ def test_interval_coverage_edges(spark):
     assert got[1] == (10, 2, 0, 10)
     assert got[2] == (10, 2, 0, 15)
     assert got[3] == (10, 2, 0, 10)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend statistic (operators/temporal.py::mann_kendall_s)
+# ---------------------------------------------------------------------------
+
+
+def _mk_simulate(rows):
+    series: dict = {}
+    for k, t, v in rows:
+        series.setdefault(k, []).append((t, v))
+    out = {}
+    for k, sv in series.items():
+        vals = [v for _, v in sorted(sv)]
+        s = 0
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        out[k] = (len(vals), s)
+    return out
+
+
+def _mk_run(spark, rows):
+    from geotiff_scalable_analysis_pipeline_spark.operators.temporal import (
+        mann_kendall_s,
+    )
+
+    df = spark.createDataFrame(rows, "cell long, ts_h long, v long")
+    got = mann_kendall_s(df, keys=("cell",), ts="ts_h", value="v")
+    return {r["cell"]: (r["n_obs"], r["mk_s"]) for r in got.collect()}
+
+
+mk_rows_st = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 20)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1], r[2]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=mk_rows_st)
+def test_mann_kendall_matches_simulator(spark, rows):
+    assert _mk_run(spark, rows) == _mk_simulate(rows)
+
+
+def test_mann_kendall_known_trends(spark):
+    rows = (
+        [(0, t, t) for t in range(5)]          # strictly rising: S = C(5,2) = 10
+        + [(1, t, 10 - t) for t in range(5)]   # strictly falling: S = -10
+        + [(2, t, 7) for t in range(4)]        # constant: S = 0
+        + [(3, 0, 1)]                          # single obs: S = 0
+    )
+    got = _mk_run(spark, rows)
+    assert got == {0: (5, 10), 1: (5, -10), 2: (4, 0), 3: (1, 0)}
