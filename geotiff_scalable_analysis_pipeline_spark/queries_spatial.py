@@ -291,6 +291,80 @@ mcells AS (
     return spatial_stats.local_moran_sql(cte, "mcells")
 
 
+EHS_TB = 250  # acquisition-index width of one time bucket (8 buckets)
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot analysis (the ArcGIS space-time-cube workflow) as
+    a COMPOSITION of two engine operators: local Moran LISA components
+    over total tile density × the Mann-Kendall trend of each cell's
+    per-time-bucket counts. ``emerging-hot`` = spatial hot spot (u>0,
+    lag>0) with a rising density trend (S>0) — all integer signs, no
+    float, each building block independently oracle-checked elsewhere."""
+    from .operators import spatial_stats, temporal
+
+    t = dg.tiles_df(spark, CFG)
+    base = t.select(
+        F.expr(f"cx div {MORAN_CELL}").alias("ci"),
+        F.expr(f"cy div {MORAN_CELL}").alias("cj"),
+        F.expr(f"tile_k div {EHS_TB}").alias("tb"),
+    )
+    cnt = base.groupBy("ci", "cj", "tb").agg(F.count("*").alias("x"))
+    total = cnt.groupBy("ci", "cj").agg(F.sum("x").alias("x"))
+    lisa = spatial_stats.local_moran_components(total)
+    trend = temporal.mann_kendall_s(cnt, keys=("ci", "cj"), ts="tb", value="x")
+    cls = (
+        F.when(
+            (F.col("u") > 0) & (F.col("nbr_sum_u") > 0) & (F.col("mk_s") > 0),
+            "emerging-hot",
+        )
+        .when((F.col("u") > 0) & (F.col("nbr_sum_u") > 0), "hot")
+        .when((F.col("u") < 0) & (F.col("nbr_sum_u") < 0), "cold")
+        .otherwise("other")
+    )
+    return lisa.join(trend, ["ci", "cj"]).select(
+        "ci", "cj", "u", "nbr_sum_u", "n_obs", "mk_s", cls.alias("hotspot_class")
+    )
+
+
+def _sql_emerging_hotspots() -> str:
+    sign = "CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END"
+    return f"""WITH {dg.tiles_sql(CFG)},
+tb AS (
+  SELECT cx // {MORAN_CELL} AS ci, cy // {MORAN_CELL} AS cj,
+         tile_k // {EHS_TB} AS tb
+  FROM tiles_geo),
+cnt AS (SELECT ci, cj, tb, count(*) AS x FROM tb GROUP BY 1, 2, 3),
+total AS (SELECT ci, cj, sum(x) AS x FROM cnt GROUP BY 1, 2),
+tot AS (SELECT count(*) AS n, sum(x) AS sx FROM total),
+u AS (SELECT ci, cj, t.n * c.x - t.sx AS u FROM total c CROSS JOIN tot t),
+nbr AS (
+  SELECT u.ci + o.di AS ci, u.cj + o.dj AS cj, u.u AS u_nbr
+  FROM u CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(di, dj)),
+lag AS (
+  SELECT n.ci, n.cj, sum(n.u_nbr) AS nbr_sum_u, count(*) AS n_nbrs
+  FROM nbr n JOIN u ON u.ci = n.ci AND u.cj = n.cj GROUP BY n.ci, n.cj),
+r AS (SELECT ci, cj, x, row_number() OVER (PARTITION BY ci, cj ORDER BY tb, x) AS rn
+      FROM cnt),
+s AS (SELECT a.ci, a.cj, sum({sign}) AS mk_s
+      FROM r a JOIN r b ON b.ci = a.ci AND b.cj = a.cj AND b.rn > a.rn
+      GROUP BY a.ci, a.cj),
+n AS (SELECT ci, cj, count(*) AS n_obs FROM cnt GROUP BY 1, 2)
+SELECT u.ci, u.cj, CAST(u.u AS BIGINT) AS u,
+       CAST(COALESCE(l.nbr_sum_u, 0) AS BIGINT) AS nbr_sum_u,
+       CAST(n.n_obs AS BIGINT) AS n_obs,
+       CAST(COALESCE(s.mk_s, 0) AS BIGINT) AS mk_s,
+       CASE WHEN u.u > 0 AND COALESCE(l.nbr_sum_u, 0) > 0
+              AND COALESCE(s.mk_s, 0) > 0 THEN 'emerging-hot'
+            WHEN u.u > 0 AND COALESCE(l.nbr_sum_u, 0) > 0 THEN 'hot'
+            WHEN u.u < 0 AND COALESCE(l.nbr_sum_u, 0) < 0 THEN 'cold'
+            ELSE 'other' END AS hotspot_class
+FROM u
+LEFT JOIN lag l ON l.ci = u.ci AND l.cj = u.cj
+JOIN n ON n.ci = u.ci AND n.cj = u.cj
+LEFT JOIN s ON s.ci = u.ci AND s.cj = u.cj"""
+
+
 # ---------------------------------------------------------------------------
 # corridor join (operators/corridor.py)
 # ---------------------------------------------------------------------------
@@ -1830,6 +1904,7 @@ QUERIES = {
     "corridor_join_segments": (q_corridor_join, _sql_corridor()),
     "morans_i_tiles": (q_morans_i, _sql_morans_i()),
     "local_moran_cells": (q_local_moran, _sql_local_moran()),
+    "emerging_hotspots": (q_emerging_hotspots, _sql_emerging_hotspots()),
     "tile_footprint_cells": (q_tile_cells, SQL_TILE_CELLS),
     "pyramid_rollup": (q_pyramid_rollup, SQL_PYRAMID),
     "tile_pixel_stats": (q_tile_pixel_stats, SQL_TILE_PIXEL_STATS),
