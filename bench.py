@@ -419,6 +419,17 @@ def bench_spatial_analytics(spark):
     from geotiff_scalable_analysis_pipeline_spark.operators import corridor, density
 
     _force(density.kde_surface(p, cell=4000, radius=6000))
+    from geotiff_scalable_analysis_pipeline_spark.operators import spatial_stats
+
+    mcells = (
+        t.select(
+            F.expr("cx div 4000").alias("ci"), F.expr("cy div 4000").alias("cj")
+        )
+        .groupBy("ci", "cj")
+        .agg(F.count("*").alias("x"))
+    )
+    _force(spatial_stats.morans_i_components(mcells))
+    _force(spatial_stats.local_moran_components(mcells))
     _force(
         corridor.segment_distance_join(
             p.select("q_id", "qx", "qy"),
