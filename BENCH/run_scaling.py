@@ -65,6 +65,20 @@ QUERY_SCALES = json.loads(
 )
 DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "12g")  # see module docstring
 
+# Per-query JVM tuning for the sweep's fresh 12 GB JVMs. triangles: the
+# wedge stage's allocation rate makes ParallelGC's young-gen collections a
+# core-count-dependent tax (scale 2000 local[8]: 14.8 task-core-s of GC vs
+# ZERO at local[2] — the 2-core run stays under the collection threshold
+# for the stage's lifetime; scale 6000: 54.9 core-s even with -Xmn8g).
+# G1 on the sweep's PINNED 12 GB heap absorbs it entirely (GC 0.0 at both
+# levels and both scales, stage CPU flat 224.6 vs 234.8 core-s at scale
+# 6000) — the session default stays ParallelGC because the measured G1
+# pathology (region commit churn) only applies to large GROWING heaps,
+# which the sweep's Xms=Xmx pin rules out (session.py).
+QUERY_EXTRA_ENV = {
+    "triangles": {"SPARK_GC": "G1GC"},
+}
+
 
 def _pywork(_):
     s = 0
@@ -108,6 +122,10 @@ def _bwork(_):
 
     a = np.empty(200_000_000, dtype=np.uint8)
     b = np.empty_like(a)
+    a[:] = 1
+    b[:] = 2  # pre-fault both buffers — page-fault cost otherwise
+    # dominates the first pass and inverts the per-proc comparison
+    np.copyto(b, a)  # warm
     t0 = time.perf_counter()
     for _ in range(10):
         np.copyto(b, a)
@@ -147,6 +165,7 @@ def run_one(query: str, cpus: int, scale: int) -> dict:
         BENCH_STEADY="1",
         SPARK_DRIVER_MEM=DRIVER_MEM,
         SPARK_XMS=DRIVER_MEM,  # full heap pin — methodology opt-in (session.py)
+        **QUERY_EXTRA_ENV.get(query, {}),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

@@ -483,7 +483,10 @@ def bench_triangles(spark):
 
     n_nodes = max(2, int(300 * SCALE**0.5))
     _force(
-        tri.triangle_counts(dg.graph_edges_df(spark, n_nodes, int(1200 * SCALE)))
+        tri.triangle_counts(
+            dg.graph_edges_df(spark, n_nodes, int(1200 * SCALE)),
+            max_id=n_nodes - 1,  # generator ids are hash % n_nodes
+        )
     )
     return n_nodes
 

@@ -24,10 +24,21 @@ Shape:
    orientation is exactly what caps the hub blow-up that makes the
    unordered wedge join quadratic in hub degree ("the curse of the last
    reducer"). A rank-ordered ``v < w`` guard keeps each wedge once.
-4. Close: semi-shape equi-join of wedges against the oriented edge set
-   on the BOTH endpoints — each triangle found exactly once (at its
-   lowest-rank vertex), then exploded to its 3 member nodes and counted
-   with one map-combined aggregate.
+4. Close: LEFT SEMI join of the wedge stream against the oriented edge
+   set on ONE packed int64 key ``v·K + w`` — each triangle found exactly
+   once (at its lowest-rank vertex), then exploded to its 3 member nodes
+   and counted with one map-combined aggregate.
+
+The close-key packing is a measured contention fix, not cosmetics: with
+the natural 2-column ``(v, w)`` key the broadcast build is a compound-key
+UnsafeHashedRelation whose ~200 MB of pages every core probes at random —
+the stage's total CPU INFLATED 62.7 → 166.7 core-s going local[2] →
+local[8] at 266 M wedges (memory-latency contention; per-task durations
+uniform, zero GC, cores 94 % busy — the classic false "doesn't scale"
+shape). A single int64 key builds a keys-only LongHashedRelation a
+fraction of the size, and the same sweep measured the stage CPU FLAT
+(33.7 vs 35.8 core-s) across the two levels. On a multi-executor cluster
+the same packing shrinks the broadcast and halves probe cost.
 
 All joins are hash equi-joins on node keys; nothing is quadratic in the
 corpus; no window, no distinct beyond the initial canonicalization. The
@@ -49,20 +60,34 @@ def triangle_counts(
     src: str = "src",
     dst: str = "dst",
     broadcast_close: bool = True,
+    max_id: int | None = None,
 ) -> DataFrame:
     """Per-node triangle participation: ``(node, n_triangles)``, nodes with
     at least one triangle. Input may contain self-loops, duplicates, and
     both orientations; they do not change the answer.
 
-    ``broadcast_close`` (default): the closing membership test joins the
-    WEDGE STREAM (the big side — Σ C(d⁺,2) rows, orders of magnitude above
-    the edge count) against a BROADCAST of the oriented edge set, so the
-    wedges never shuffle — they are generated, filtered, and aggregated
-    inside one stage (measured: the shuffled close was 24.3 s of a 36 s
-    wall at 266 M wedges / 2.4 M edges; broadcasting removes an ~11 GB
-    exchange). Pass ``False`` when the simple edge set itself is too big
-    to broadcast (≳10⁸ edges) — the close then falls back to a
-    co-partitioned shuffle join, the wedge side wave-partitioned."""
+    ``broadcast_close`` (default): the closing membership test semi-joins
+    the WEDGE STREAM (the big side — Σ C(d⁺,2) rows, orders of magnitude
+    above the edge count) against a BROADCAST of the packed oriented edge
+    keys, so the wedges never shuffle — they are generated, filtered, and
+    aggregated inside one stage (measured: the shuffled close was 24.3 s
+    of a 36 s wall at 266 M wedges / 2.4 M edges; broadcasting removes an
+    ~11 GB exchange). Pass ``False`` when the simple edge set itself is
+    too big to broadcast (≳10⁸ edges) — the close then falls back to a
+    shuffled semi join on the same packed single-long key (8-byte key,
+    24-byte rows — the cheapest exchange the close can be).
+
+    ``max_id``: optional upper bound on node ids. When the caller knows it
+    (e.g. ids minted by ``row_number`` or a bounded generator), the rank/
+    key base ``K = max_id + 1`` is embedded as a literal, eliding an extra
+    scan of the edge set plus a 1-row broadcast — at bench scale 2000 that
+    sub-job is ~1 s of serial critical path per run. Unset, K is computed
+    with a one-row aggregate (correct for any input).
+
+    Overflow bound (both packings, rank ``d·K + id`` and close key
+    ``v·K + w``): needs K² < 2⁶³, i.e. < 3·10⁹ nodes — beyond any graph
+    this engine will see (revisit with DECIMAL ranks if it ever isn't).
+    """
     simple = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -79,24 +104,27 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
-    # total order: rank = d·K + id packed into ONE int64 (K > max id, from
-    # a 1-row aggregate broadcast as a tag join). A (degree, id) STRUCT
-    # comparison is semantically identical but struct compares run
+    # total order: rank = d·K + id packed into ONE int64. A (degree, id)
+    # STRUCT comparison is semantically identical but struct compares run
     # interpreted in the 10⁸-row wedge filter — measured 27.9 s → 18.2 s
-    # at 266 M wedges by switching to the scalar. Overflow bound:
-    # d·K + id < n² needs n < 3·10⁹ nodes for int64 — beyond any graph
-    # this engine will see (revisit with DECIMAL ranks if it ever isn't).
-    kdim = simple.agg(
-        (F.greatest(F.max("u"), F.max("v")) + 1).alias("_k")
+    # at 266 M wedges by switching to the scalar.
+    withk = (
+        simple.withColumn("_k", F.lit(int(max_id) + 1).cast("long"))
+        if max_id is not None
+        else simple.crossJoin(
+            F.broadcast(
+                simple.agg((F.greatest(F.max("u"), F.max("v")) + 1).alias("_k"))
+            )
+        )
     )
     oriented = (
-        simple.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        withk.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
-        .crossJoin(F.broadcast(kdim))
         .select(
             F.expr("CASE WHEN du*_k+u < dv*_k+v THEN u ELSE v END").alias("a"),
             F.expr("CASE WHEN du*_k+u < dv*_k+v THEN v ELSE u END").alias("b"),
             F.expr("greatest(du*_k+u, dv*_k+v)").alias("rb"),
+            F.col("_k"),
         )
     )
 
@@ -105,6 +133,7 @@ def triangle_counts(
             F.col("a").alias("w_src"),
             F.col("b").alias("w_v"),
             F.col("rb").alias("w_rv"),
+            F.col("_k"),
         ),
         "w_src",
     )
@@ -116,11 +145,20 @@ def triangle_counts(
         ),
         "w_src",
     )
-    wedges = e1.join(e2, "w_src").filter(F.col("w_rv") < F.col("w_rw"))
-    closing = oriented.select(F.col("a").alias("w_v"), F.col("b").alias("w_w"))
+    wedges = (
+        e1.join(e2, "w_src")
+        .filter(F.col("w_rv") < F.col("w_rw"))
+        .select(
+            "w_src",
+            "w_v",
+            "w_w",
+            (F.col("w_v") * F.col("_k") + F.col("w_w")).alias("w_key"),
+        )
+    )
+    closing = oriented.select((F.col("a") * F.col("_k") + F.col("b")).alias("w_key"))
     if broadcast_close:
         closing = F.broadcast(closing)
-    tri = wedges.join(closing, ["w_v", "w_w"]).select(
+    tri = wedges.join(closing, "w_key", "left_semi").select(
         F.col("w_src").alias("n1"), F.col("w_v").alias("n2"), F.col("w_w").alias("n3")
     )
     member = F.explode(F.array("n1", "n2", "n3")).alias("node")

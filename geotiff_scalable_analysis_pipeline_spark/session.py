@@ -65,9 +65,13 @@ def get_spark(
         # must not assume a bench box); the scaling methodology opts into a
         # full pin via SPARK_XMS (BENCH/run_scaling.py sets it to the heap
         # size so repeated measurements never pay heap-growth commits).
+        # SPARK_GC selects the collector (default ParallelGC per the note
+        # above; G1GC is safe ONLY with a pinned Xms=Xmx heap — the measured
+        # pathology was G1's region commit churn on a large GROWING heap)
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_XMS', '4g')} -XX:+UseParallelGC "
+            f"-Xms{os.environ.get('SPARK_XMS', '4g')} "
+            f"-XX:+Use{os.environ.get('SPARK_GC', 'ParallelGC')} "
             + os.environ.get("SPARK_EXTRA_JAVA_OPTS", ""),
         )
         .config("spark.ui.enabled", "false")

@@ -62,6 +62,18 @@ def test_triangle_free_graph_is_empty(spark):
     assert _run(spark, star) == {}
 
 
+def test_max_id_hint_parity_and_elides_rank_base_scan(spark):
+    # same answer with the literal rank base, and the plan loses the 1-row
+    # kdim aggregate's tag join entirely (one fewer scan + broadcast on the
+    # critical path — the point of the hint)
+    edges = [(a, b) for a, b in combinations(range(6), 2)] + [(0, 1), (5, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hinted = triangles.triangle_counts(df, max_id=5)
+    assert {r["node"]: r["n_triangles"] for r in hinted.collect()} == _brute(edges)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_plan_has_no_cartesian(spark):
     df = spark.range(200).select(
         (F.col("id") * 7 % 40).alias("src"), (F.col("id") * 13 % 40).alias("dst")
