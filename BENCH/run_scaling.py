@@ -154,6 +154,46 @@ def bandwidth_ceiling() -> dict:
     }
 
 
+def _lwork(_):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    table = np.arange(45_000_000, dtype=np.int64)  # 360 MB working set
+    idx = rng.integers(0, table.size, 20_000_000)
+    table[idx[:1000]] += 0  # pre-fault (same lesson as _bwork)
+    t0 = time.perf_counter()
+    s = 0
+    for _ in range(4):
+        s += int(table[idx].sum())  # random gather — latency/MLP bound
+    return time.perf_counter() - t0
+
+
+def latency_ceiling() -> dict:
+    """Strong-scaling ceiling for RANDOM-ACCESS-bound work: per-process
+    throughput of 20 M random int64 gathers into a 360 MB table (the size
+    class of a corpus-scale broadcast hash relation). Distinct from the
+    streaming probe: pointer-chasing is limited by memory-level
+    parallelism and shared LLC/DRAM queue depth, which CAN degrade with
+    active cores while streaming bandwidth holds (measured on this VM:
+    triangles close-probe CPU inflated 2.7× from 2→8 cores while the
+    memcpy probe scaled cleanly — BENCH/BASELINE.md round-4 notes). On a
+    real N→4N cluster the executor's cores-per-node is CONSTANT across
+    levels, so this term is level-invariant there; on the cores-on-one-box
+    proxy it shows up as anti-scaling. Best-of-3 per level."""
+    thr = {}
+    for n in (1, LO, HI):
+        best = float("inf")
+        for _ in range(3):
+            with mp.Pool(n) as p:
+                r = p.map(_lwork, range(n))
+            best = min(best, max(r))
+        thr[n] = 80_000_000 / best / 1e6  # M gathers/s per process
+    return {
+        "per_proc_gathers_mps": {str(n): round(v, 1) for n, v in thr.items()},
+        "latency_scaling_ceiling_lo_hi": round(thr[HI] / thr[LO], 3),
+    }
+
+
 def run_one(query: str, cpus: int, scale: int) -> dict:
     """One fresh-JVM bench.py run: warm + one timed rep of a single query."""
     env = dict(
@@ -186,6 +226,8 @@ def main():
     ceiling = cal["strong_scaling_ceiling_lo_hi"]
     bw = bandwidth_ceiling()
     bw_ceiling = bw["bandwidth_scaling_ceiling_lo_hi"]
+    lat = latency_ceiling()
+    lat_ceiling = lat["latency_scaling_ceiling_lo_hi"]
     ratio = HI / LO
 
     # Pairing: measured sweeps showed the host's noise windows shift on a
@@ -363,20 +405,33 @@ def main():
         "Pair efficiencies above 1.0 are host-noise draws (the canary logs "
         "the windows); the median over paired reps is the reported figure.",
         "",
-        "## Memory-bandwidth ceiling (streaming-stage bound, this VM)",
+        "## Memory-subsystem ceilings (streaming vs random-access, this VM)",
         "",
-        "| procs | per-proc memcpy GB/s |",
-        "|---|---|",
-        *(f"| {n} | {v} |" for n, v in bw["per_proc_copy_gbps"].items()),
+        "| procs | per-proc memcpy GB/s | per-proc random gathers M/s |",
+        "|---|---|---|",
+        *(
+            f"| {n} | {v} | {lat['per_proc_gathers_mps'].get(n, '—')} |"
+            for n, v in bw["per_proc_copy_gbps"].items()
+        ),
         "",
-        f"A stage bound by DRAM BANDWIDTH (streaming 10⁸+ short-lived rows "
-        f"through a join, e.g. the triangle wedge stream) shares one "
-        f"socket's bandwidth across cores: its {LO}→{HI} ceiling on this "
-        f"VM is **{bw_ceiling}**, far below the compute ceiling "
-        f"{ceiling}. On a real N→4N cluster bandwidth scales WITH nodes — "
-        f"this is the one resource the cores-on-one-box proxy cannot "
-        f"scale. Bandwidth-bound rows are therefore reported with "
-        f"eff/bandwidth-ceiling alongside the raw figure.",
+        f"Two distinct memory regimes, probed separately (pre-faulted "
+        f"buffers — page faults otherwise dominate the first pass): "
+        f"STREAMING (memcpy) scales {LO}→{HI} at **{bw_ceiling}** on this "
+        f"VM — not a limiter. RANDOM ACCESS (20 M int64 gathers into a "
+        f"360 MB table, the size class of a corpus-scale broadcast hash "
+        f"relation) scales at **{lat_ceiling}** — pointer-chasing is bound "
+        f"by memory-level parallelism and shared LLC/DRAM queue depth, "
+        f"which degrade with active cores. A stage probing a large "
+        f"broadcast relation inherits this term (measured directly on the "
+        f"triangles close: stage CPU inflated 62.7→166.7 core-s from "
+        f"local[{LO}] to local[{HI}] with the 2-column key — see PERF.md; "
+        f"packing the key to one int64 shrank the relation and flattened "
+        f"the CPU at moderate sizes). On a real N→4N cluster the executor's "
+        f"CORES-PER-NODE is constant across levels, so this per-box term is "
+        f"level-invariant there; on the cores-on-one-box proxy it appears "
+        f"as anti-scaling. Rows whose dominant stage probes a broadcast of "
+        f"this size class are therefore read against the random-access "
+        f"ceiling, not the compute ceiling.",
     ]
     (REPO / "BENCH" / "BASELINE.md").write_text("\n".join(md) + "\n")
     print(
@@ -387,6 +442,7 @@ def main():
                 "headline_throughput_tiles_docs_per_sec": headline_thr,
                 "hw_ceiling": ceiling,
                 "bw_ceiling": bw_ceiling,
+                "latency_ceiling": lat_ceiling,
             }
         )
     )

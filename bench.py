@@ -450,6 +450,7 @@ def bench_graph(spark):
     join work grows linearly and the iterative rounds dominate)."""
     from geotiff_scalable_analysis_pipeline_spark.operators import (
         graph_bfs,
+        kcore,
         pagerank as pr,
         triangles as tri,
     )
@@ -468,7 +469,8 @@ def bench_graph(spark):
     _force(pr.pagerank(spark, edges, n_nodes=n_nodes, iters=10))
     _force(graph_bfs.bfs_hops(edges, sources, max_hops=4))
     _force(graph_bfs.sssp_weighted(wedges, sources, iters=5))
-    _force(tri.triangle_counts(edges))
+    _force(tri.triangle_counts(edges, max_id=n_nodes - 1))
+    _force(kcore.k_core(edges, k=5))
     return n_nodes
 
 
@@ -482,10 +484,15 @@ def bench_triangles(spark):
     from geotiff_scalable_analysis_pipeline_spark.operators import triangles as tri
 
     n_nodes = max(2, int(300 * SCALE**0.5))
+    n_edges = int(1200 * SCALE)
     _force(
         tri.triangle_counts(
-            dg.graph_edges_df(spark, n_nodes, int(1200 * SCALE)),
+            dg.graph_edges_df(spark, n_nodes, n_edges),
             max_id=n_nodes - 1,  # generator ids are hash % n_nodes
+            # keep each close slice ≲3 M keys — past that the broadcast hash
+            # map outgrows the LLC and random probes stall on DRAM latency
+            # (operators/triangles.py close_splits docstring)
+            close_splits=max(1, -(-n_edges // 3_000_000)),
         )
     )
     return n_nodes

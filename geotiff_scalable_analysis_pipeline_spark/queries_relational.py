@@ -1084,6 +1084,50 @@ def _sql_triangles(n_nodes: int = _PR_NODES) -> str:
     )
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (operators/triangles.py):
+    exact int64 triangle + degree counts, ONE double division — the
+    graph-cohesion surface derived from the degree-ordered wedge join."""
+    from . import datagen as dg
+    from .operators import triangles
+
+    return triangles.clustering_coefficient(dg.graph_edges_df(spark, _PR_NODES))
+
+
+def _sql_clustering(n_nodes: int = _PR_NODES) -> str:
+    from . import datagen as dg
+    from .operators import triangles
+
+    return triangles.clustering_coefficient_sql(
+        dg.graph_edges_sql(n_nodes).strip(), "gedges"
+    )
+
+
+# --- k-core decomposition (data-dependent-round peel fixpoint) -------------
+
+_KCORE_K = 5  # on the 300-node driver graph: 252-node core after 5 cascading
+_KCORE_UNROLL = 8  # peel rounds (pinned by test_kcore.py); oracle unrolls 8
+
+
+def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-core of the deterministic edge list (operators/kcore.py):
+    iterative peel to the fixpoint — the graph family's data-dependent-
+    round operator alongside dedup_cc, here oracle-paired bit-exactly."""
+    from . import datagen as dg
+    from .operators import kcore
+
+    return kcore.k_core(dg.graph_edges_df(spark, _PR_NODES), k=_KCORE_K)
+
+
+def _sql_kcore(n_nodes: int = _PR_NODES) -> str:
+    from . import datagen as dg
+    from .operators import kcore
+
+    return kcore.k_core_sql(
+        dg.graph_edges_sql(n_nodes).strip(), "gedges", k=_KCORE_K, rounds=_KCORE_UNROLL
+    )
+
+
 # --- PageRank (iterative graph algorithm, exact integer arithmetic) --------
 
 
@@ -1126,6 +1170,8 @@ QUERIES = {
     "bfs_reachable_hops": (q_bfs_hops, _sql_bfs()),
     "sssp_weighted_dists": (q_sssp_weighted, _sql_sssp()),
     "triangle_counts": (q_triangle_counts, _sql_triangles()),
+    "clustering_coefficient": (q_clustering_coefficient, _sql_clustering()),
+    "kcore_membership": (q_kcore_membership, _sql_kcore()),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "hll_distinct_orders": (q_hll_distinct_orders, _sql_hll()),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),

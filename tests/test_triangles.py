@@ -74,6 +74,59 @@ def test_max_id_hint_parity_and_elides_rank_base_scan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@settings(max_examples=6, deadline=None)
+@given(edges=edges_st, splits=st.integers(2, 4))
+def test_close_splits_parity(spark, edges, splits):
+    # the R-way branch split is a pure execution strategy: identical result
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangles.triangle_counts(df, close_splits=splits).collect()
+    }
+    assert got == _brute(edges)
+
+
+def test_close_splits_plan_has_r_semi_joins(spark):
+    df = spark.range(300).select(
+        (F.col("id") * 7 % 60).alias("src"), (F.col("id") * 13 % 60).alias("dst")
+    )
+    plan = (
+        triangles.triangle_counts(df, close_splits=3, max_id=59)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("LeftSemi") == 3
+    assert "CartesianProduct" not in plan
+
+
+def _brute_coeff(edges):
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    tri = _brute(edges)
+    out = {}
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        if d >= 2:
+            t = tri.get(n, 0)
+            out[n] = (t, d, (2 * t) / (d * (d - 1)))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=edges_st)
+def test_clustering_coefficient_matches_brute_force(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = triangles.clustering_coefficient(df).collect()
+    got = {r["node"]: (r["n_triangles"], r["degree"], r["coeff"]) for r in rows}
+    # float equality is EXACT here: one IEEE division of exact integers
+    assert got == _brute_coeff(edges)
+
+
 def test_plan_has_no_cartesian(spark):
     df = spark.range(200).select(
         (F.col("id") * 7 % 40).alias("src"), (F.col("id") * 13 % 40).alias("dst")
