@@ -1128,6 +1128,35 @@ def _sql_kcore(n_nodes: int = _PR_NODES) -> str:
     )
 
 
+# --- butterfly counting (bipartite 4-cycles over a REAL table) -------------
+
+
+def q_copurchase_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part butterfly counts in the order↔part bipartite graph from
+    lineitem (operators/butterflies.py): the co-purchase-density motif —
+    parts sitting in many 2×2 bicliques are bought together with the same
+    partners repeatedly. Wedges over ORDERS (each order's C(n_parts, 2)
+    part pairs — basket-bounded, the cheap side), pair counts keyed by
+    the packed int64 part pair."""
+    from .operators import butterflies
+
+    e = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("v")
+    )
+    return butterflies.butterfly_counts(e, wedge_over="left")
+
+
+def _sql_butterflies() -> str:
+    from .operators import butterflies
+
+    return butterflies.butterfly_counts_sql(
+        "SELECT l_orderkey AS u, l_partkey AS v FROM lineitem",
+        "u",
+        "v",
+        wedge_over="left",
+    )
+
+
 # --- PageRank (iterative graph algorithm, exact integer arithmetic) --------
 
 
@@ -1172,6 +1201,7 @@ QUERIES = {
     "triangle_counts": (q_triangle_counts, _sql_triangles()),
     "clustering_coefficient": (q_clustering_coefficient, _sql_clustering()),
     "kcore_membership": (q_kcore_membership, _sql_kcore()),
+    "copurchase_butterflies": (q_copurchase_butterflies, _sql_butterflies()),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "hll_distinct_orders": (q_hll_distinct_orders, _sql_hll()),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
