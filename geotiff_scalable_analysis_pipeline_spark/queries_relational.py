@@ -1157,6 +1157,32 @@ def _sql_butterflies() -> str:
     )
 
 
+# --- two-sample rank tests (drift / cohort comparison, exact) --------------
+
+
+def q_rank_tests_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U + Kolmogorov-Smirnov D between the value
+    distributions of 'click' vs 'purchase' events (operators/ranktests.py)
+    — exact integer rank statistics, one final double division for D."""
+    from .operators import ranktests
+
+    return ranktests.rank_tests_2sample(
+        _t(spark, sf_dir, "events"), "event_type", "value", "click", "purchase"
+    )
+
+
+def _sql_rank_tests() -> str:
+    from .operators import ranktests
+
+    return ranktests.rank_tests_2sample_sql(
+        "SELECT event_type, value FROM events",
+        "event_type",
+        "value",
+        "click",
+        "purchase",
+    )
+
+
 # --- PageRank (iterative graph algorithm, exact integer arithmetic) --------
 
 
@@ -1202,6 +1228,7 @@ QUERIES = {
     "clustering_coefficient": (q_clustering_coefficient, _sql_clustering()),
     "kcore_membership": (q_kcore_membership, _sql_kcore()),
     "copurchase_butterflies": (q_copurchase_butterflies, _sql_butterflies()),
+    "rank_tests_click_purchase": (q_rank_tests_events, _sql_rank_tests()),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "hll_distinct_orders": (q_hll_distinct_orders, _sql_hll()),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),

@@ -1,0 +1,89 @@
+"""Exact two-sample rank tests (operators/ranktests.py) — reference-
+implementation parity (midrank U, KS sup-distance) on tied integer data,
+the 2U identity, empty-group and NULL-value edges."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geotiff_scalable_analysis_pipeline_spark.operators import ranktests
+
+
+def _ref(a_vals, b_vals):
+    """Reference midrank Mann-Whitney (2×-scaled) + KS numerator."""
+    both = sorted([(v, "a") for v in a_vals] + [(v, "b") for v in b_vals])
+    n = len(both)
+    # 2×midranks: positions i (1-based); ties share sum of positions / count
+    r2a = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and both[j][0] == both[i][0]:
+            j += 1
+        # midrank of the tie block [i, j) is (i+1 + j) / 2 → 2×midrank = i+1+j
+        r2a += sum(1 for k in range(i, j) if both[k][1] == "a") * (i + 1 + j)
+        i = j
+    na, nb = len(a_vals), len(b_vals)
+    u2a = r2a - na * (na + 1)
+    # KS numerator over distinct values
+    ks = 0
+    ca = cb = 0
+    for v in sorted(set(a_vals) | set(b_vals)):
+        ca += sum(1 for x in a_vals if x == v)
+        cb += sum(1 for x in b_vals if x == v)
+        ks = max(ks, abs(ca * nb - cb * na))
+    return na, nb, u2a, 2 * na * nb - u2a, ks
+
+
+def _run(spark, a_vals, b_vals, extra=()):
+    rows = (
+        [("a", float(v)) for v in a_vals]
+        + [("b", float(v)) for v in b_vals]
+        + list(extra)
+    )
+    df = spark.createDataFrame(rows, "grp string, val double")
+    r = ranktests.rank_tests_2sample(df, "grp", "val", "a", "b").collect()[0]
+    return r
+
+
+vals_st = st.lists(st.integers(0, 9), min_size=1, max_size=25)
+
+
+@settings(max_examples=12, deadline=None)
+@given(a=vals_st, b=vals_st)
+def test_matches_reference_with_ties(spark, a, b):
+    r = _run(spark, a, b)
+    na, nb, u2a, u2b, ks = _ref(a, b)
+    assert (r["n_a"], r["n_b"], r["u2_a"], r["u2_b"], r["ks_num"]) == (
+        na,
+        nb,
+        u2a,
+        u2b,
+        ks,
+    )
+    assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
+    assert r["ks_d"] == ks / (na * nb)  # one IEEE division — exact equality
+
+
+def test_identical_distributions(spark):
+    r = _run(spark, [1, 2, 3], [1, 2, 3])
+    assert r["u2_a"] == r["u2_b"] == 9  # 2U = n²  when distributions tie out
+    assert r["ks_num"] == 0 and r["ks_d"] == 0.0
+
+
+def test_disjoint_distributions_max_separation(spark):
+    r = _run(spark, [1, 2], [10, 20, 30])
+    assert r["u2_a"] == 0 and r["u2_b"] == 12
+    assert r["ks_d"] == 1.0
+
+
+def test_empty_group_gives_null_ks_d(spark):
+    r = _run(spark, [1, 2], [])
+    assert r["n_b"] == 0 and r["ks_d"] is None
+
+
+def test_null_values_and_other_groups_ignored(spark):
+    extra = [("c", 999.0), ("a", None), ("b", None)]
+    r = _run(spark, [1, 2], [3], extra=extra)
+    assert (r["n_a"], r["n_b"]) == (2, 1)
