@@ -1157,6 +1157,62 @@ def _sql_butterflies() -> str:
     )
 
 
+# --- deterministic sampling (reproducible corpus down-sampling) ------------
+
+_SAMPLE_RATES = {"O": 150_000, "F": 50_000}  # ppm per order status
+
+
+def q_orders_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-status hash-rate sample of orders
+    (operators/sampling.py): membership is a pure function of the order
+    key — reproducible at any parallelism, unlike df.sample."""
+    from .operators import sampling
+
+    return sampling.stratified_rate_sample(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "o_orderkey",
+        "o_orderstatus",
+        _SAMPLE_RATES,
+        default_ppm=10_000,
+    )
+
+
+def _sql_sample_stratified() -> str:
+    from .operators import sampling
+
+    return sampling.stratified_rate_sample_sql(
+        "SELECT o_orderkey, o_orderstatus FROM orders",
+        "o_orderkey",
+        "o_orderstatus",
+        _SAMPLE_RATES,
+        default_ppm=10_000,
+    )
+
+
+def q_orders_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 25 orders per status, smallest-hash-first — the rank-limit
+    (WindowGroupLimit) plan, so no task sorts a whole stratum."""
+    from .operators import sampling
+
+    return sampling.stratified_fixed_sample(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "o_orderkey",
+        "o_orderstatus",
+        n_per_stratum=25,
+    )
+
+
+def _sql_sample_fixed() -> str:
+    from .operators import sampling
+
+    return sampling.stratified_fixed_sample_sql(
+        "SELECT o_orderkey, o_orderstatus FROM orders",
+        "o_orderkey",
+        "o_orderstatus",
+        n_per_stratum=25,
+    )
+
+
 # --- two-sample rank tests (drift / cohort comparison, exact) --------------
 
 
@@ -1229,6 +1285,8 @@ QUERIES = {
     "kcore_membership": (q_kcore_membership, _sql_kcore()),
     "copurchase_butterflies": (q_copurchase_butterflies, _sql_butterflies()),
     "rank_tests_click_purchase": (q_rank_tests_events, _sql_rank_tests()),
+    "orders_sample_stratified": (q_orders_sample_stratified, _sql_sample_stratified()),
+    "orders_sample_fixed": (q_orders_sample_fixed, _sql_sample_fixed()),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "hll_distinct_orders": (q_hll_distinct_orders, _sql_hll()),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
