@@ -287,3 +287,71 @@ def mann_kendall_s(
             s_expr.alias("mk_s"),
         )
     )
+
+
+def ols_trend(
+    obs: DataFrame,
+    keys: tuple[str, ...],
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Least-squares linear trend per key group over the TIME-ORDERED
+    series, with the regressor t = 0..n−1 (rank in series) — the
+    parametric companion to :func:`mann_kendall_s`: slope-per-step of a
+    regular/resampled series (pair with the gap-fill operator for
+    irregular data). Exact integer components, one final division:
+
+        slope_num = n·Σ(t·v) − Σt·Σv
+        slope_den = n·Σt² − (Σt)²        (Σt, Σt² closed-form from n)
+        slope     = slope_num / slope_den  (ONE IEEE division; NULL n<2)
+
+    Using the rank regressor keeps every sum int64-bounded (raw epoch
+    timestamps as t would push n·Σ(t·v) past int64 at corpus scale) and
+    makes the statistic invariant to the series' absolute time origin.
+    Total order inside a group is (ts, value) — the engine's
+    deterministic tie rule, shared with the MK fold.
+
+    Scale shape: one hash aggregate (order-pinned fold over the sorted
+    series — O(L) per group, cheaper than MK's O(L²)); no window, no
+    join. Values must be integers (the exactness contract).
+    """
+    kc = [F.col(k) for k in keys]
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ts).alias("ts"), F.col(value).alias("v")))
+    )
+    sum_v = F.expr(
+        "aggregate(_series, CAST(0 AS BIGINT), (acc, x) -> acc + x.v)"
+    )
+    sum_tv = F.expr(
+        "aggregate(transform(_series, (x, i) -> CAST(i AS BIGINT) * x.v), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    n = F.col("n_obs")
+    # integer DIV, not float division: n(n−1)(2n−1) is exactly divisible by
+    # 6 but exceeds double's 2⁵³ integer range for series beyond ~2·10⁵
+    sum_t = F.expr("n_obs * (n_obs - 1) DIV 2")
+    sum_tt = F.expr("n_obs * (n_obs - 1) * (2 * n_obs - 1) DIV 6")
+    num = (n * F.col("_sum_tv") - sum_t * F.col("_sum_v")).alias("slope_num")
+    den = (n * sum_tt - sum_t * sum_t).alias("slope_den")
+    return (
+        obs.groupBy(*kc)
+        .agg(arr.alias("_series"))
+        .select(
+            *kc,
+            F.size("_series").cast("long").alias("n_obs"),
+            sum_v.alias("_sum_v"),
+            sum_tv.alias("_sum_tv"),
+        )
+        .select(
+            *kc,
+            "n_obs",
+            F.col("_sum_v").alias("sum_v"),
+            num,
+            den,
+            F.when(
+                F.col("n_obs") >= 2,
+                (n * F.col("_sum_tv") - sum_t * F.col("_sum_v")).cast("double")
+                / (n * sum_tt - sum_t * sum_t).cast("double"),
+            ).alias("slope"),
+        )
+    )

@@ -1000,6 +1000,43 @@ _SQL_EWMA_OBS = f"""obs AS (
   WHERE t.tile_k < {{n_media}})"""
 
 
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend slope per footprint cell's acquisition-value
+    series (operators/temporal.py::ols_trend): exact integer slope
+    components over the rank regressor, one IEEE division for the slope
+    — the parametric companion to the Mann-Kendall query, same series."""
+    from .operators import temporal
+
+    return temporal.ols_trend(_ewma_obs(spark), keys=("cell",), ts="ts_h", value="v")
+
+
+def _sql_ols_trend() -> str:
+    obs = _SQL_EWMA_OBS.format(
+        vexpr=dg.ihash_sql("t.tile_k", EWMA_VSEED), n_media=CFG.n_media_tiles
+    )
+    # independent formulation: Σt/Σt² by direct window-rank summation,
+    # cross-checking the engine's closed-form n(n−1)/2, n(n−1)(2n−1)/6
+    return f"""WITH {dg.tiles_sql(CFG)}, {_sql_cells_cte(LEVEL)},
+{obs},
+r AS (SELECT cell, v,
+             row_number() OVER (PARTITION BY cell ORDER BY ts_h, v) - 1 AS t
+      FROM obs),
+a AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(SUM(v) AS BIGINT) AS sum_v,
+             CAST(SUM(t * v) AS BIGINT) AS sum_tv,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM r GROUP BY cell)
+SELECT cell, n_obs, sum_v,
+       n_obs * sum_tv - st * sum_v AS slope_num,
+       n_obs * stt - st * st AS slope_den,
+       CASE WHEN n_obs >= 2
+            THEN CAST(n_obs * sum_tv - st * sum_v AS DOUBLE)
+               / CAST(n_obs * stt - st * st AS DOUBLE)
+            END AS slope
+FROM a"""
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotonic-trend statistic S per footprint cell's
     acquisition-value series (operators/temporal.py::mann_kendall_s):
@@ -1922,6 +1959,7 @@ QUERIES = {
     "ewma_series": (q_ewma_series, SQL_EWMA),
     "campaign_coverage": (q_campaign_coverage, SQL_CAMPAIGN_COVERAGE),
     "mann_kendall_trend": (q_mann_kendall, _sql_mann_kendall()),
+    "ols_trend_cells": (q_ols_trend, _sql_ols_trend()),
     "range_join_campaigns": (q_range_join_campaigns, SQL_RANGE_JOIN),
     "change_detection": (q_change_detection, SQL_CHANGE_DETECTION),
     "series_per_cell": (q_series_per_cell, SQL_SERIES),

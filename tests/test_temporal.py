@@ -232,3 +232,47 @@ def test_mann_kendall_known_trends(spark):
     )
     got = _mk_run(spark, rows)
     assert got == {0: (5, 10), 1: (5, -10), 2: (4, 0), 3: (1, 0)}
+
+
+def _ols_simulate(rows):
+    series: dict = {}
+    for k, t, v in rows:
+        series.setdefault(k, []).append((t, v))
+    out = {}
+    for k, sv in series.items():
+        vals = [v for _, v in sorted(sv)]
+        n = len(vals)
+        sv_, stv = sum(vals), sum(i * v for i, v in enumerate(vals))
+        st_, stt = n * (n - 1) // 2, n * (n - 1) * (2 * n - 1) // 6
+        num, den = n * stv - st_ * sv_, n * stt - st_ * st_
+        out[k] = (n, sv_, num, den, num / den if n >= 2 else None)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=mk_rows_st)
+def test_ols_trend_matches_simulator(spark, rows):
+    from geotiff_scalable_analysis_pipeline_spark.operators.temporal import ols_trend
+
+    df = spark.createDataFrame(rows, "cell long, ts_h long, v long")
+    got = {
+        r["cell"]: (r["n_obs"], r["sum_v"], r["slope_num"], r["slope_den"], r["slope"])
+        for r in ols_trend(df, keys=("cell",), ts="ts_h", value="v").collect()
+    }
+    # slope compare is EXACT: one IEEE division of identical integers
+    assert got == _ols_simulate(rows)
+
+
+def test_ols_known_slopes(spark):
+    from geotiff_scalable_analysis_pipeline_spark.operators.temporal import ols_trend
+
+    rows = (
+        [(0, t, 3 * t + 7) for t in range(6)]  # exact line: slope 3
+        + [(1, t, 9) for t in range(4)]        # constant: slope 0
+        + [(2, 0, 5)]                          # single obs: NULL slope, den 0
+    )
+    df = spark.createDataFrame(rows, "cell long, ts_h long, v long")
+    got = {r["cell"]: r for r in ols_trend(df, ("cell",), "ts_h", "v").collect()}
+    assert got[0]["slope"] == 3.0
+    assert got[1]["slope"] == 0.0
+    assert got[2]["slope"] is None and got[2]["slope_den"] == 0
