@@ -355,3 +355,66 @@ def ols_trend(
             ).alias("slope"),
         )
     )
+
+
+def cusum(
+    obs: DataFrame,
+    keys: tuple[str, ...],
+    ts: str,
+    value: str,
+    target: int,
+    slack: int = 0,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Tabular (two-sided) CUSUM change detection per key group — the
+    classic Page (1954) sequential drift detector, the alarm companion to
+    :func:`ewma` smoothing and the :func:`mann_kendall_s` trend test:
+
+    * ``hiₜ = max(0, hiₜ₋₁ + vₜ − target − slack)``   (upward drift)
+    * ``loₜ = max(0, loₜ₋₁ + target − slack − vₜ)``   (downward drift)
+
+    starting from 0 — all exact int64 (``target``/``slack`` are caller
+    integers; float CUSUM would drift across engines). ``threshold`` (h)
+    adds an ``alarm`` flag ``hi ≥ h OR lo ≥ h`` per observation; the
+    decision rule stays in-plan so a monitoring sink can filter on it.
+
+    The recurrence is inherently sequential per key — one order-pinned
+    fold over the group's (ts, value)-sorted series, same contract and
+    bounds as :func:`ewma` (resample unbounded streams first).
+
+    Output: keys + ``(ts, value, cusum_hi, cusum_lo[, alarm])`` per
+    observation.
+    """
+    kc = [F.col(k) for k in keys]
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ts).alias("ts"), F.col(value).alias("v")))
+    )
+    step_hi = f"greatest(CAST(0 AS BIGINT), acc.ph + x.v - {target} - {slack})"
+    step_lo = f"greatest(CAST(0 AS BIGINT), acc.pl + {target} - {slack} - x.v)"
+    fold = F.expr(
+        "aggregate(_series, "
+        "named_struct('out', CAST(array() AS ARRAY<STRUCT<ts: BIGINT, v: BIGINT, hi: BIGINT, lo: BIGINT>>), "
+        "             'ph', CAST(0 AS BIGINT), 'pl', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct("
+        f"  'out', array_append(acc.out, named_struct('ts', x.ts, 'v', x.v, 'hi', {step_hi}, 'lo', {step_lo})), "
+        f"  'ph', {step_hi}, 'pl', {step_lo}), "
+        "acc -> acc.out)"
+    )
+    out = (
+        obs.groupBy(*kc)
+        .agg(arr.alias("_series"))
+        .select(*kc, F.explode(fold).alias("_e"))
+        .select(
+            *kc,
+            F.col("_e.ts").alias(ts),
+            F.col("_e.v").alias(value),
+            F.col("_e.hi").alias("cusum_hi"),
+            F.col("_e.lo").alias("cusum_lo"),
+        )
+    )
+    if threshold is not None:
+        out = out.withColumn(
+            "alarm",
+            (F.col("cusum_hi") >= threshold) | (F.col("cusum_lo") >= threshold),
+        )
+    return out

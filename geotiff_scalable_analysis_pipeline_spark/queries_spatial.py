@@ -1117,6 +1117,55 @@ def q_ewma_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSUM_TARGET, CUSUM_SLACK, CUSUM_H = 5000, 500, 3000
+
+
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM drift detection (Page 1954) over each
+    footprint cell's acquisition-value series
+    (operators/temporal.py::cusum): exact integer hi/lo statistics with
+    an in-plan alarm rule — the sequential change detector a monitoring
+    pipeline runs after resampling, companion to the EWMA/Mann-Kendall/
+    OLS queries over the same series."""
+    from .operators import temporal
+
+    return temporal.cusum(
+        _ewma_obs(spark),
+        keys=("cell",),
+        ts="ts_h",
+        value="v",
+        target=CUSUM_TARGET,
+        slack=CUSUM_SLACK,
+        threshold=CUSUM_H,
+    )
+
+
+def _sql_cusum() -> str:
+    obs = _SQL_EWMA_OBS.format(
+        vexpr=dg.ihash_sql("t.tile_k", EWMA_VSEED), n_media=CFG.n_media_tiles
+    )
+    up = f"greatest(0, e.hi + r.v - {CUSUM_TARGET} - {CUSUM_SLACK})"
+    dn = f"greatest(0, e.lo + {CUSUM_TARGET} - {CUSUM_SLACK} - r.v)"
+    return f"""WITH RECURSIVE {dg.tiles_sql(CFG)}, {_sql_cells_cte(LEVEL)},
+{obs},
+ranked AS (
+  SELECT cell, ts_h, v,
+         row_number() OVER (PARTITION BY cell ORDER BY ts_h, v) AS rn
+  FROM obs),
+e(cell, rn, ts_h, v, hi, lo) AS (
+  SELECT cell, rn, ts_h, v,
+         greatest(0, v - {CUSUM_TARGET} - {CUSUM_SLACK}),
+         greatest(0, {CUSUM_TARGET} - {CUSUM_SLACK} - v)
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.cell, r.rn, r.ts_h, r.v, {up}, {dn}
+  FROM ranked r JOIN e ON e.cell = r.cell AND r.rn = e.rn + 1)
+SELECT cell, ts_h, v, CAST(hi AS BIGINT) AS cusum_hi,
+       CAST(lo AS BIGINT) AS cusum_lo,
+       (hi >= {CUSUM_H} OR lo >= {CUSUM_H}) AS alarm
+FROM e"""
+
+
 SQL_EWMA = f"""WITH RECURSIVE {dg.tiles_sql(CFG)}, {_sql_cells_cte(LEVEL)},
 obs AS (
   SELECT c.cell, CAST(t.tile_k AS BIGINT) AS ts_h,
@@ -1957,6 +2006,7 @@ QUERIES = {
     "asof_acquisitions": (q_asof_acquisitions, SQL_ASOF),
     "gap_fill_locf": (q_gap_fill, SQL_GAP_FILL),
     "ewma_series": (q_ewma_series, SQL_EWMA),
+    "cusum_alarms": (q_cusum_alarms, _sql_cusum()),
     "campaign_coverage": (q_campaign_coverage, SQL_CAMPAIGN_COVERAGE),
     "mann_kendall_trend": (q_mann_kendall, _sql_mann_kendall()),
     "ols_trend_cells": (q_ols_trend, _sql_ols_trend()),

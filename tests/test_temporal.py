@@ -276,3 +276,51 @@ def test_ols_known_slopes(spark):
     assert got[0]["slope"] == 3.0
     assert got[1]["slope"] == 0.0
     assert got[2]["slope"] is None and got[2]["slope_den"] == 0
+
+
+def _cusum_simulate(rows, target, slack, h):
+    series: dict = {}
+    for k, t, v in rows:
+        series.setdefault(k, []).append((t, v))
+    out = []
+    for k, sv in series.items():
+        hi = lo = 0
+        for t, v in sorted(sv):
+            hi = max(0, hi + v - target - slack)
+            lo = max(0, lo + target - slack - v)
+            out.append((k, t, v, hi, lo, hi >= h or lo >= h))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=mk_rows_st)
+def test_cusum_matches_simulator(spark, rows):
+    from geotiff_scalable_analysis_pipeline_spark.operators.temporal import cusum
+
+    df = spark.createDataFrame(rows, "cell long, ts_h long, v long")
+    got = sorted(
+        (r["cell"], r["ts_h"], r["v"], r["cusum_hi"], r["cusum_lo"], r["alarm"])
+        for r in cusum(
+            df, ("cell",), "ts_h", "v", target=10, slack=2, threshold=15
+        ).collect()
+    )
+    assert got == _cusum_simulate(rows, 10, 2, 15)
+
+
+def test_cusum_known_alarm_and_reset(spark):
+    from geotiff_scalable_analysis_pipeline_spark.operators.temporal import cusum
+
+    # flat at target, then a sustained +5 shift: hi ramps 2 per step once
+    # past the slack; resets stay at 0 on the flat prefix
+    rows = [(0, t, 10) for t in range(3)] + [(0, t, 15) for t in range(3, 8)]
+    df = spark.createDataFrame(rows, "cell long, ts_h long, v long")
+    r = {
+        x["ts_h"]: (x["cusum_hi"], x["cusum_lo"], x["alarm"])
+        for x in cusum(df, ("cell",), "ts_h", "v", 10, 3, 6).collect()
+    }
+    assert r[2] == (0, 0, False)           # in-control
+    assert r[3] == (2, 0, False) and r[5] == (6, 0, True)  # drift accumulates
+    assert r[7] == (10, 0, True)
+    # no threshold → no alarm column
+    cols = cusum(df, ("cell",), "ts_h", "v", 10).columns
+    assert "alarm" not in cols
