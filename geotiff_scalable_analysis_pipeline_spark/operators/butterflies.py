@@ -70,11 +70,11 @@ def butterfly_counts(
         # one 2-row aggregate: Σ C(d,2) per side (the KDD'18 side rule)
         du = e.groupBy("u").agg(F.count("*").alias("d"))
         dv = e.groupBy("v").agg(F.count("*").alias("d"))
-        wedge_cost = lambda d: F.coalesce(  # noqa: E731
-            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0)
+        wedge_cost = F.coalesce(
+            F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0).cast("long")
         )
-        cu = du.agg(wedge_cost("d")).first()[0]
-        cv = dv.agg(wedge_cost("d")).first()[0]
+        cu = du.agg(wedge_cost).first()[0]
+        cv = dv.agg(wedge_cost).first()[0]
         wedge_over = "left" if cu <= cv else "right"
     if wedge_over not in ("left", "right"):
         raise ValueError(f"wedge_over must be left|right|auto; got {wedge_over}")
