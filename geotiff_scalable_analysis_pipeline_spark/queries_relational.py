@@ -1157,6 +1157,86 @@ def _sql_butterflies() -> str:
     )
 
 
+# --- grouped Pearson correlation, exact components -------------------------
+
+
+def q_brand_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between line quantity and extended
+    price — in the engine's exact-component form (same discipline as
+    Moran's I): prices become exact CENTS, the five sums accumulate in
+    decimal128 (Σc² crosses int64 at corpus scale), and the output is
+    ``corr_num = n·Σxy − Σx·Σy`` with the two denominators, all exact;
+    the DRIVER row reduces them to int64-safe exact statistics —
+    ``corr_sign`` and ``r2_ppm = ⌊10⁶·num²/(dx·dy)⌋`` via ONE decimal
+    floor-division (no float anywhere: a first cut emitted r² as a
+    double of double-casts and DuckDB disagreed by 1 ulp — and decimal
+    columns beyond 2⁶³ degrade to float64 in pandas, breaking the value
+    hash; all-integer output sidesteps both).
+
+    Scale shape: broadcast part dim join + one map-combined aggregate.
+    """
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    a = j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d38("q")).alias("sx"),
+        F.sum(d38("c")).alias("sy"),
+        F.sum(d38("q") * F.col("c")).alias("sxy"),
+        F.sum(d38("q") * F.col("q")).alias("sxx"),
+        F.sum(d38("c") * F.col("c")).alias("syy"),
+    )
+    num = (d38("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    dx = (d38("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    dy = (d38("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
+    return a.select(
+        "p_brand",
+        "n",
+        num.alias("_num"),
+        dx.alias("_dx"),
+        dy.alias("_dy"),
+    ).select(
+        "p_brand",
+        "n",
+        F.signum("_num").cast("long").alias("corr_sign"),
+        F.when(
+            (F.col("_dx") > 0) & (F.col("_dy") > 0),
+            F.expr("CAST((_num * _num * 1000000) div (_dx * _dy) AS BIGINT)"),
+        ).alias("r2_ppm"),
+    )
+
+
+SQL_BRAND_CORR = """WITH j AS (
+  SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS q,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+a AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS HUGEINT) AS sx, CAST(sum(c) AS HUGEINT) AS sy,
+         sum(CAST(q AS HUGEINT) * c) AS sxy,
+         sum(CAST(q AS HUGEINT) * q) AS sxx,
+         sum(CAST(c AS HUGEINT) * c) AS syy
+  FROM j GROUP BY 1),
+c AS (
+  SELECT p_brand, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dx,
+         n * syy - sy * sy AS dy
+  FROM a)
+SELECT p_brand, n,
+       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS corr_sign,
+       CASE WHEN dx > 0 AND dy > 0
+            THEN CAST((num * num * 1000000) // (dx * dy) AS BIGINT)
+       END AS r2_ppm
+FROM c"""
+
+
 # --- deterministic sampling (reproducible corpus down-sampling) ------------
 
 _SAMPLE_RATES = {"O": 150_000, "F": 50_000}  # ppm per order status
@@ -1287,6 +1367,7 @@ QUERIES = {
     "rank_tests_click_purchase": (q_rank_tests_events, _sql_rank_tests()),
     "orders_sample_stratified": (q_orders_sample_stratified, _sql_sample_stratified()),
     "orders_sample_fixed": (q_orders_sample_fixed, _sql_sample_fixed()),
+    "brand_qty_price_corr": (q_brand_qty_price_corr, SQL_BRAND_CORR),
     "kmv_distinct_users": (q_kmv_distinct_users, SQL_KMV_DISTINCT),
     "hll_distinct_orders": (q_hll_distinct_orders, _sql_hll()),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
