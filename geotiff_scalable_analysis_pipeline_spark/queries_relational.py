@@ -1103,6 +1103,76 @@ def _sql_clustering(n_nodes: int = _PR_NODES) -> str:
     )
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the deterministic graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over the DIRECTED edge list
+    (both orientations of each simple edge, so the statistic is symmetric
+    by construction) — do high-degree nodes attach to high-degree nodes?
+    Same all-integer output discipline as `brand_qty_price_corr`:
+    ``corr_sign`` + ``r2_ppm`` via one decimal floor-division, no float."""
+    from . import datagen as dg
+    from .operators.triangles import _degrees, _simple_graph
+
+    simple = _simple_graph(dg.graph_edges_df(spark, _PR_NODES), "src", "dst")
+    deg = _degrees(simple)
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
+    both = simple.join(du, "u").join(dv, "v")
+    pairs = both.select(F.col("du").alias("x"), F.col("dv").alias("y")).unionAll(
+        both.select(F.col("dv").alias("x"), F.col("du").alias("y"))
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("x") * F.col("y")).alias("sxy"),
+        F.sum(d38("x") * F.col("x")).alias("sxx"),
+    )
+    # symmetric pairs: sy = sx, syy = sxx — dx = dy
+    num = (d38("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    dx = (d38("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    return a.select("n", num.alias("_num"), dx.alias("_dx")).select(
+        "n",
+        F.signum("_num").cast("long").alias("corr_sign"),
+        F.when(
+            F.col("_dx") > 0,
+            F.expr("CAST((_num * _num * 1000000) div (_dx * _dx) AS BIGINT)"),
+        ).alias("r2_ppm"),
+    )
+
+
+def _sql_assortativity(n_nodes: int = _PR_NODES) -> str:
+    from . import datagen as dg
+
+    return f"""WITH {dg.graph_edges_sql(n_nodes).strip()},
+simple AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM gedges WHERE src <> dst GROUP BY 1, 2),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM simple UNION ALL SELECT v FROM simple) GROUP BY 1),
+pairs AS (
+  SELECT d1.d AS x, d2.d AS y
+  FROM simple JOIN deg d1 ON d1.node = simple.u JOIN deg d2 ON d2.node = simple.v
+  UNION ALL
+  SELECT d2.d, d1.d
+  FROM simple JOIN deg d1 ON d1.node = simple.u JOIN deg d2 ON d2.node = simple.v),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pairs),
+c AS (SELECT n, n * sxy - sx * sx AS num, n * sxx - sx * sx AS dx FROM a)
+SELECT n,
+       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS corr_sign,
+       CASE WHEN dx > 0
+            THEN CAST((num * num * 1000000) // (dx * dx) AS BIGINT)
+       END AS r2_ppm
+FROM c"""
+
+
 # --- k-core decomposition (data-dependent-round peel fixpoint) -------------
 
 _KCORE_K = 5  # on the 300-node driver graph: 252-node core after 5 cascading
@@ -1363,6 +1433,7 @@ QUERIES = {
     "triangle_counts": (q_triangle_counts, _sql_triangles()),
     "clustering_coefficient": (q_clustering_coefficient, _sql_clustering()),
     "kcore_membership": (q_kcore_membership, _sql_kcore()),
+    "degree_assortativity": (q_degree_assortativity, _sql_assortativity()),
     "copurchase_butterflies": (q_copurchase_butterflies, _sql_butterflies()),
     "rank_tests_click_purchase": (q_rank_tests_events, _sql_rank_tests()),
     "orders_sample_stratified": (q_orders_sample_stratified, _sql_sample_stratified()),

@@ -70,3 +70,32 @@ def test_degenerate_group_yields_null_r2(spark):
         ).alias("dx")
     ).collect()[0]
     assert int(r["dx"]) == 0
+
+
+def test_assortativity_matches_python_bigint_reference(spark):
+    """degree_assortativity vs an unbounded-int reference on the same
+    DuckDB-generated deterministic edge list."""
+    from geotiff_scalable_analysis_pipeline_spark import datagen as dg
+    from geotiff_scalable_analysis_pipeline_spark.queries_relational import (
+        _PR_NODES,
+        q_degree_assortativity,
+    )
+
+    con = duckdb.connect()
+    edges = con.execute(
+        "WITH " + dg.graph_edges_sql(_PR_NODES).strip() + " SELECT src, dst FROM gedges"
+    ).fetchall()
+    simple = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    deg: dict[int, int] = {}
+    for u, v in simple:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs = [(deg[u], deg[v]) for u, v in simple] + [(deg[v], deg[u]) for u, v in simple]
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    num, dx = n * sxy - sx * sx, n * sxx - sx * sx
+    want = (n, (num > 0) - (num < 0), (num * num * 1_000_000) // (dx * dx))
+    r = q_degree_assortativity(spark, "unused").collect()[0]
+    assert (r["n"], r["corr_sign"], r["r2_ppm"]) == want
