@@ -115,8 +115,13 @@ def distance_join(
         pa = cpu_dense_repartition(pa, "cell")
         pb = cpu_dense_repartition(pb, "cell")
 
-    dx = F.col(ax) - F.col(bx)
-    dy = F.col(ay) - F.col(by)
+    # int64-pinned arithmetic (ADVICE r4): coordinates are integers by
+    # contract (the dx²+dy² predicate and IDW's integer division depend on
+    # it), but without this cast a caller passing 32-bit int columns would
+    # get silent wraparound in the inputs' native width — pin to long, a
+    # no-op for the in-repo int64 callers
+    dx = F.col(ax).cast("long") - F.col(bx).cast("long")
+    dy = F.col(ay).cast("long") - F.col(by).cast("long")
     d2 = (dx * dx + dy * dy).alias("dist_sq")
     r2 = float(radius) * float(radius)
     out_cols = [*a.columns, *b.columns]

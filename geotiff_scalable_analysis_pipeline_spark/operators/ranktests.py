@@ -15,14 +15,29 @@ count of strictly smaller values. KS from the same scan:
     ks_num = max_x | cumIncl_a(x)·n_b − cumIncl_b(x)·n_a |
     D = ks_num / (n_a·n_b)        (the ONE double division, IEEE-exact)
 
-Scale shape: one map-combined count keyed by value, then ONE window over
-the DISTINCT-VALUE table ordered by value. That window is unpartitioned —
-acceptable by the same contract as the skyline's bucket pass: the window
-input is the distinct-value table, which for quantized domains (sensor
-DNs, cent prices, scaled scores) is bounded regardless of corpus size;
-re-bucket into the two-phase exclusive-running-sum (skyline_2d) if a
-continuous domain ever makes it corpus-sized. Values are only ORDERED
-and grouped, never added — float values are safe as keys.
+Scale shape (round-5 rework, VERDICT r4 #4): one map-combined count
+keyed by value, then a TWO-PHASE prefix scan — the skyline_2d pattern,
+made domain-agnostic.  Rounds 1–4 ran ONE unpartitioned window over the
+distinct-value table, bounded only by a documented quantized-domain
+contract; for a continuous value domain at corpus scale that table is
+corpus-sized and the contract silently broke.  Now:
+
+1. the distinct-value table is ``repartitionByRange(P, val)`` — Spark's
+   own sampled range partitioner gives P sorted, non-overlapping value
+   ranges for ANY orderable domain (no bucket-width tuning, no libm
+   monotonicity hazard);
+2. within-range prefix sums run under ``Window.partitionBy(pid)`` —
+   fully partitioned, P-way parallel;
+3. the only global-order window runs over the P-row per-range totals
+   table (cardinality = the partition count, data-INDEPENDENT by
+   construction — the boundedness the r4 contract only documented), and
+   is broadcast back.
+
+Correctness does not depend on where the range boundaries land: prefix
+sums are associative over the ordered concatenation of ranges, and each
+distinct value lands in exactly one range (pinned by a
+partition-count-invariance test).  Values are only ORDERED and grouped,
+never added — float values are safe as keys.
 """
 
 from __future__ import annotations
@@ -37,13 +52,19 @@ def rank_tests_2sample(
     value: str,
     group_a: str,
     group_b: str,
+    split_partitions: int | None = None,
 ) -> DataFrame:
     """One row: ``(n_a, n_b, u2_a, u2_b, ks_num, ks_d)`` comparing the
     ``value`` distributions of ``group == group_a`` vs ``group_b``.
     ``u2_* = 2·U_*`` and ``ks_num`` are exact int64; ``ks_d`` is the one
     double division ks_num / (n_a·n_b). Identity ``u2_a + u2_b =
     2·n_a·n_b`` holds exactly (pinned in tests). Rows in neither group
-    are ignored; NULL values are ignored."""
+    are ignored; NULL values are ignored.  ``split_partitions`` sets the
+    range-split width P (default: ``spark.sql.shuffle.partitions``);
+    the result is invariant to it."""
+    spark = df.sparkSession
+    if split_partitions is None:
+        split_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cnt = (
         df.filter(F.col(group).isin(group_a, group_b) & F.col(value).isNotNull())
         .groupBy(F.col(value).alias("val"))
@@ -52,19 +73,56 @@ def rank_tests_2sample(
             F.sum(F.when(F.col(group) == group_b, 1).otherwise(0)).alias("nb"),
         )
     )
-    w_excl = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
-    w_incl = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
-    w_full = Window.orderBy("val").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # phase 1: P sorted value ranges; pid is monotone in val across ranges
+    ranged = cnt.repartitionByRange(split_partitions, "val").withColumn(
+        "pid", F.spark_partition_id()
     )
-    per_val = cnt.select(
+    w_excl = (
+        Window.partitionBy("pid").orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.partitionBy("pid").orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = ranged.select(
+        "pid",
         "na",
         "nb",
-        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w_excl), F.lit(0)).alias("cb"),
-        F.sum("na").over(w_incl).alias("ca"),
-        F.sum("nb").over(w_incl).alias("cbi"),
-        F.sum("na").over(w_full).alias("ta"),
-        F.sum("nb").over(w_full).alias("tb"),
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w_excl), F.lit(0)).alias("lcb"),
+        F.sum("na").over(w_incl).alias("lca"),
+        F.sum("nb").over(w_incl).alias("lcbi"),
+    )
+    # phase 2: cross-range exclusive prefixes over the P-row totals table —
+    # a deliberate single-partition window whose input cardinality is the
+    # split width P, data-independent by construction.  The partition key is
+    # the constant pid&0 (a bare lit(0) would be constant-folded out of the
+    # spec, reintroducing the WindowExec no-partition warning).
+    ptot = ranged.groupBy("pid").agg(
+        F.sum("na").alias("pna"), F.sum("nb").alias("pnb")
+    )
+    w_p = (
+        Window.partitionBy(F.col("pid").bitwiseAND(F.lit(0)))
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pprev = ptot.select(
+        "pid",
+        F.coalesce(F.sum(F.col("pna") + F.col("pnb")).over(w_p), F.lit(0)).alias("pcb"),
+        F.coalesce(F.sum("pna").over(w_p), F.lit(0)).alias("pca"),
+        F.coalesce(F.sum("pnb").over(w_p), F.lit(0)).alias("pcbi"),
+    )
+    tot = ptot.agg(F.sum("pna").alias("ta"), F.sum("pnb").alias("tb"))
+    per_val = (
+        loc.join(F.broadcast(pprev), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            (F.col("pcb") + F.col("lcb")).alias("cb"),
+            (F.col("pca") + F.col("lca")).alias("ca"),
+            (F.col("pcbi") + F.col("lcbi")).alias("cbi"),
+            "ta",
+            "tb",
+        )
     )
     return per_val.agg(
         F.max("ta").cast("long").alias("n_a"),

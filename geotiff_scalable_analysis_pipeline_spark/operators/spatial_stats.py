@@ -90,7 +90,8 @@ num AS (
   FROM nbr n JOIN u ON u.ci = n.ci AND u.cj = n.cj),
 den AS (SELECT count(*) AS n_cells, sum(u * u) AS moran_den FROM u)
 SELECT CAST(n_cells AS BIGINT) AS n_cells, CAST(w_pairs AS BIGINT) AS w_pairs,
-       moran_num, moran_den
+       CAST(moran_num AS DECIMAL(38,0)) AS moran_num,
+       CAST(moran_den AS DECIMAL(38,0)) AS moran_den
 FROM den CROSS JOIN num"""
 
 

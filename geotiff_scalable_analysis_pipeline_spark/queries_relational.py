@@ -917,7 +917,16 @@ def skyline_2d(
         .orderBy(x)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wbkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # deliberate single-partition window: its input is the bucket-min table,
+    # whose cardinality is price-range/bwidth — a constant, not data-sized.
+    # The partition key is the constant bkt&0 (a bare lit(0) would be
+    # constant-folded out of the spec, reintroducing the WindowExec
+    # no-partition warning); the explicit spec states the bounded contract.
+    wbkt = (
+        Window.partitionBy(F.col("bkt").bitwiseAND(F.lit(0)))
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     bprev = (
         perx.groupBy("bkt")
         .agg(F.min("min_size").alias("bmin"))
@@ -1131,13 +1140,31 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetric pairs: sy = sx, syy = sxx — dx = dy
     num = (d38("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
     dx = (d38("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
-    return a.select("n", num.alias("_num"), dx.alias("_dx")).select(
-        "n",
-        F.signum("_num").cast("long").alias("corr_sign"),
-        F.when(
-            F.col("_dx") > 0,
-            F.expr("CAST((_num * _num * 1000000) div (_dx * _dx) AS BIGINT)"),
-        ).alias("r2_ppm"),
+    # same overflow-safe common-power-of-ten reduction as
+    # q_brand_qty_price_corr (ADVICE r4): dx·dx crosses 38 digits once
+    # dx > 10^19 (reachable at web-graph edge counts); both engines reduce
+    # |num| and dx by 10^k, k = max(0, maxdigits − 16), before squaring.
+    return (
+        a.select("n", num.alias("_num"), dx.alias("_dx"))
+        .withColumn("_a", F.expr("CAST(abs(_num) AS DECIMAL(38,0))"))
+        .withColumn(
+            "_k",
+            F.expr(
+                "greatest(0, greatest(length(CAST(_a AS STRING)), "
+                "length(CAST(_dx AS STRING))) - 16)"
+            ),
+        )
+        .withColumn("_p", F.expr("CAST(concat('1', repeat('0', _k)) AS DECIMAL(38,0))"))
+        .withColumn("_ar", F.expr("CAST(_a div _p AS DECIMAL(38,0))"))
+        .withColumn("_dxr", F.expr("CAST(_dx div _p AS DECIMAL(38,0))"))
+        .select(
+            "n",
+            F.signum("_num").cast("long").alias("corr_sign"),
+            F.when(
+                (F.col("_dx") > 0) & (F.col("_dxr") > 0),
+                F.expr("CAST((_ar * _ar * 1000000) div (_dxr * _dxr) AS BIGINT)"),
+            ).alias("r2_ppm"),
+        )
     )
 
 
@@ -1163,14 +1190,24 @@ a AS (
          sum(CAST(x AS HUGEINT) * y) AS sxy,
          sum(CAST(x AS HUGEINT) * x) AS sxx
   FROM pairs),
-c AS (SELECT n, n * sxy - sx * sx AS num, n * sxx - sx * sx AS dx FROM a)
+c AS (SELECT n, n * sxy - sx * sx AS num, n * sxx - sx * sx AS dx FROM a),
+r AS (
+  SELECT n, num, dx, abs(num) AS a,
+         greatest(0, greatest(length(CAST(abs(num) AS VARCHAR)),
+                              length(CAST(dx AS VARCHAR))) - 16) AS k
+  FROM c),
+s AS (
+  SELECT n, num, dx,
+         a  // CAST(concat('1', repeat('0', k)) AS HUGEINT) AS ar,
+         dx // CAST(concat('1', repeat('0', k)) AS HUGEINT) AS dxr
+  FROM r)
 SELECT n,
        CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
          AS corr_sign,
-       CASE WHEN dx > 0
-            THEN CAST((num * num * 1000000) // (dx * dx) AS BIGINT)
+       CASE WHEN dx > 0 AND dxr > 0
+            THEN CAST((ar * ar * 1000000) // (dxr * dxr) AS BIGINT)
        END AS r2_ppm
-FROM c"""
+FROM s"""
 
 
 # --- k-core decomposition (data-dependent-round peel fixpoint) -------------
@@ -1264,20 +1301,47 @@ def q_brand_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (d38("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
     dx = (d38("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
     dy = (d38("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
-    return a.select(
-        "p_brand",
-        "n",
-        num.alias("_num"),
-        dx.alias("_dx"),
-        dy.alias("_dy"),
-    ).select(
-        "p_brand",
-        "n",
-        F.signum("_num").cast("long").alias("corr_sign"),
-        F.when(
-            (F.col("_dx") > 0) & (F.col("_dy") > 0),
-            F.expr("CAST((_num * _num * 1000000) div (_dx * _dy) AS BIGINT)"),
-        ).alias("r2_ppm"),
+    # Overflow-safe squaring (ADVICE r4): num²·10⁶ and dx·dy cross 38 digits
+    # once any component exceeds ~10^16 (reachable at full TPC-H scale), where
+    # Spark yields NULL but DuckDB HUGEINT raises — divergent failure.  Both
+    # sides therefore reduce num/dx/dy by the SAME power of ten before
+    # squaring: k = max(0, maxdigits − 16) with digits read off the decimal
+    # string (no libm), so every post-reduction operand has ≤16 digits —
+    # ar²·10⁶ < 10³⁸ and dxr·dyr < 10³² by construction.  The common k cancels
+    # exactly in the ratio; truncation error is ≤2·10⁻⁷ relative while
+    # operands keep ≥7 digits (ppm output unaffected).  All reduced operands
+    # are non-negative (a = |num|; dx, dy ≥ 0 by Cauchy-Schwarz), so Spark's
+    # truncating div and DuckDB's flooring // agree.  r2_ppm is NULL when a
+    # denominator underflows the reduction (dy ≥ 10¹⁶·dx or vice versa — a
+    # degenerate, essentially-constant axis).
+    return (
+        a.select(
+            "p_brand", "n", num.alias("_num"), dx.alias("_dx"), dy.alias("_dy")
+        )
+        .withColumn("_a", F.expr("CAST(abs(_num) AS DECIMAL(38,0))"))
+        .withColumn(
+            "_k",
+            F.expr(
+                "greatest(0, greatest(length(CAST(_a AS STRING)), "
+                "length(CAST(_dx AS STRING)), length(CAST(_dy AS STRING))) - 16)"
+            ),
+        )
+        .withColumn("_p", F.expr("CAST(concat('1', repeat('0', _k)) AS DECIMAL(38,0))"))
+        .withColumn("_ar", F.expr("CAST(_a div _p AS DECIMAL(38,0))"))
+        .withColumn("_dxr", F.expr("CAST(_dx div _p AS DECIMAL(38,0))"))
+        .withColumn("_dyr", F.expr("CAST(_dy div _p AS DECIMAL(38,0))"))
+        .select(
+            "p_brand",
+            "n",
+            F.signum("_num").cast("long").alias("corr_sign"),
+            F.when(
+                (F.col("_dx") > 0)
+                & (F.col("_dy") > 0)
+                & (F.col("_dxr") > 0)
+                & (F.col("_dyr") > 0),
+                F.expr("CAST((_ar * _ar * 1000000) div (_dxr * _dyr) AS BIGINT)"),
+            ).alias("r2_ppm"),
+        )
     )
 
 
@@ -1297,14 +1361,26 @@ c AS (
          n * sxy - sx * sy AS num,
          n * sxx - sx * sx AS dx,
          n * syy - sy * sy AS dy
-  FROM a)
+  FROM a),
+r AS (
+  SELECT p_brand, n, num, dx, dy, abs(num) AS a,
+         greatest(0, greatest(length(CAST(abs(num) AS VARCHAR)),
+                              length(CAST(dx AS VARCHAR)),
+                              length(CAST(dy AS VARCHAR))) - 16) AS k
+  FROM c),
+s AS (
+  SELECT p_brand, n, num, dx, dy,
+         a  // CAST(concat('1', repeat('0', k)) AS HUGEINT) AS ar,
+         dx // CAST(concat('1', repeat('0', k)) AS HUGEINT) AS dxr,
+         dy // CAST(concat('1', repeat('0', k)) AS HUGEINT) AS dyr
+  FROM r)
 SELECT p_brand, n,
        CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
          AS corr_sign,
-       CASE WHEN dx > 0 AND dy > 0
-            THEN CAST((num * num * 1000000) // (dx * dy) AS BIGINT)
+       CASE WHEN dx > 0 AND dy > 0 AND dxr > 0 AND dyr > 0
+            THEN CAST((ar * ar * 1000000) // (dxr * dyr) AS BIGINT)
        END AS r2_ppm
-FROM c"""
+FROM s"""
 
 
 # --- deterministic sampling (reproducible corpus down-sampling) ------------

@@ -13,6 +13,20 @@ from geotiff_scalable_analysis_pipeline_spark.queries_relational import (
 SF = "/root/testdata/sf0.001"
 
 
+def _r2_ppm_reduced(num: int, dx: int, dy: int):
+    """Bigint mirror of the engine's overflow-safe squaring (ADVICE r4):
+    reduce |num|/dx/dy by the SAME 10^k, k = max(0, maxdigits − 16), before
+    squaring — the common k cancels in the ratio; NULL when a denominator
+    underflows the reduction."""
+    a = abs(num)
+    k = max(0, max(len(str(a)), len(str(dx)), len(str(dy))) - 16)
+    p = 10**k
+    ar, dxr, dyr = a // p, dx // p, dy // p
+    if dx > 0 and dy > 0 and dxr > 0 and dyr > 0:
+        return (ar * ar * 1_000_000) // (dxr * dyr)
+    return None
+
+
 def _reference():
     con = duckdb.connect()
     rows = con.execute(
@@ -35,8 +49,7 @@ def _reference():
         num = n * sxy - sx * sy
         dx, dy = n * sxx - sx * sx, n * syy - sy * sy
         sign = (num > 0) - (num < 0)
-        r2_ppm = (num * num * 1_000_000) // (dx * dy) if dx > 0 and dy > 0 else None
-        out[b] = (n, sign, r2_ppm)
+        out[b] = (n, sign, _r2_ppm_reduced(num, dx, dy))
     return out
 
 
@@ -96,6 +109,40 @@ def test_assortativity_matches_python_bigint_reference(spark):
     sxy = sum(x * y for x, y in xs)
     sxx = sum(x * x for x, _ in xs)
     num, dx = n * sxy - sx * sx, n * sxx - sx * sx
-    want = (n, (num > 0) - (num < 0), (num * num * 1_000_000) // (dx * dx))
+    want = (n, (num > 0) - (num < 0), _r2_ppm_reduced(num, dx, dx))
     r = q_degree_assortativity(spark, "unused").collect()[0]
     assert (r["n"], r["corr_sign"], r["r2_ppm"]) == want
+
+
+def test_huge_scale_no_overflow_and_engines_agree(spark, tmp_path):
+    """ADVICE r4 regression: with 10¹⁰-scale quantities and 10¹⁰-scale
+    prices, num ≈ 6·10²² — the pre-round-5 formula's num²·10⁶ crossed 38
+    digits, so Spark yielded NULL while DuckDB HUGEINT raised (divergent
+    failure).  The reduced formula must (a) run on both engines, (b) agree
+    exactly, and (c) return 10⁶ ppm for this perfectly-correlated input."""
+    import duckdb as dk
+    import pyspark.sql.functions as F
+
+    from geotiff_scalable_analysis_pipeline_spark.queries_relational import (
+        SQL_BRAND_CORR,
+    )
+
+    li = spark.createDataFrame(
+        [(1, float(q) * 1e10, float(q) * 1e10) for q in (1, 2, 3)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    pt = spark.createDataFrame([(1, "Brand#XL")], "p_partkey long, p_brand string")
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    pt.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+    got = q_brand_qty_price_corr(spark, str(tmp_path)).collect()[0]
+    assert (got["corr_sign"], got["r2_ppm"]) == (1, 1_000_000)
+
+    con = dk.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+    _brand, dn, dsign, dr2 = con.execute(SQL_BRAND_CORR).fetchall()[0]
+    assert (dsign, dr2) == (got["corr_sign"], got["r2_ppm"])
+    assert dn == got["n"] == 3
