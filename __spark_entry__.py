@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 # (tests/test_entry_contract.py).
 _PRIORITY_R5 = [
     "morans_i_tiles",          # r4 red (type repr) — re-check the fix
+    "warp_mosaic_gcp_bilinear_full",  # new r5: full-precision GCP bilinear
     # --- never driver-checked (graph / relational additions) ---
     "pagerank_ranks", "bfs_reachable_hops", "sssp_weighted_dists",
     "triangle_counts", "clustering_coefficient", "kcore_membership",

@@ -186,19 +186,28 @@ def warp_np_gcp(
     if method == "nearest":
         vals = s[:, np.clip(rs, 0, H - 1), np.clip(cs, 0, W - 1)]
         return vals, valid
-    if method != "bilinear":
+    if method not in ("bilinear", "bilinear_full"):
         raise ValueError(f"unknown resampling method {method!r}")
 
-    d = 2 * src_ps
     Lsq = L * L
     hp = src_ps * Lsq  # half source pixel in D-scaled units
     mU = U - hp
     mV = V - hp
     ix0 = (mU + BIAS * D) // D - BIAS
     iy0 = (mV + BIAS * D) // D - BIAS
-    # exact remainder ∈ [0, D) re-quantized HALF_UP to 2·src_ps units ∈ [0, d]
-    fx = (mU - D * ix0 + Lsq // 2) // Lsq
-    fy = (mV - D * iy0 + Lsq // 2) // Lsq
+    if method == "bilinear_full":
+        # full-precision weights: the exact deformed remainder ∈ [0, D),
+        # no re-quantization — the interpolated value is scaled by D²
+        # (true GCP-bilinear semantics at 1/L² intra-pixel resolution;
+        # callers must carry chunk sums as hi/lo int64 pairs, see
+        # warp_mosaic_stats_gcp_full)
+        d, fx, fy = D, mU - D * ix0, mV - D * iy0
+    else:
+        # exact remainder ∈ [0, D) re-quantized HALF_UP to 2·src_ps units
+        # ∈ [0, d] — keeps downstream int64 sums small
+        d = 2 * src_ps
+        fx = (mU - D * ix0 + Lsq // 2) // Lsq
+        fy = (mV - D * iy0 + Lsq // 2) // Lsq
     cx0 = np.clip(ix0, 0, W - 1)
     cx1 = np.clip(ix0 + 1, 0, W - 1)
     cy0 = np.clip(iy0, 0, H - 1)
@@ -293,6 +302,82 @@ def warp_mosaic_stats(
         )
 
     return cand.groupBy("chx", "chy").applyInPandas(mosaic, WARP_STATS_SCHEMA)
+
+
+WARP_STATS_SPLIT_SCHEMA = (
+    "chx long, chy long, band int, px_cnt long, "
+    "sum_hi long, sum_lo long, max_v long, n_sources long"
+)
+
+
+def warp_mosaic_stats_gcp_full(
+    tiles_meta: DataFrame,
+    media: DataFrame,
+    chunk_px: int,
+    dst_ps: int,
+    gs: int,
+) -> DataFrame:
+    """Full-precision GCP-bilinear variant of :func:`warp_mosaic_stats_gcp`
+    (reference data.py:174-195 resampling=bilinear, without the HALF_UP
+    weight re-quantization of ``method="bilinear"``): interpolation weights
+    keep the exact deformed remainder at 1/L² intra-pixel resolution, so
+    every sampled value is the exact integer ``D²·bilinear(v)``.
+
+    With D ≈ 2·10⁶ a per-pixel value reaches DN·D² ≈ 4·10¹⁶ — safe in
+    int64 — but a chunk SUM of them is not; the chunk sums are therefore
+    emitted as an exact (hi, lo) int64 pair with
+    ``sum_v = sum_hi·2³² + sum_lo`` (the decomposition is per-pixel —
+    hi = v >> 32, lo = v & (2³²−1) — so both sums stay far inside int64
+    and the DuckDB oracle reproduces them bit-for-bit without HUGEINT in
+    an output position)."""
+    import pandas as pd
+
+    ext = chunk_px * dst_ps
+    cand = chunk_candidates(tiles_meta, chunk_px, dst_ps).join(
+        media.select("media_ref", "payload", "gcp_du", "gcp_dv"), "media_ref"
+    )
+
+    def mosaic(key, pdf):
+        from ..formats import tiff
+
+        chx, chy = int(key[0]), int(key[1])
+        dst_x0, dst_y1 = chx * ext, (chy + 1) * ext
+        buf = None
+        for payload, du, dv in zip(pdf["payload"], pdf["gcp_du"], pdf["gcp_dv"]):
+            arr, prof = tiff.decode(bytes(payload))
+            vals, valid = warp_np_gcp(
+                arr,
+                np.asarray([list(row) for row in du], dtype=np.int64),
+                np.asarray([list(row) for row in dv], dtype=np.int64),
+                gs,
+                int(prof.tiepoint[0]),
+                int(prof.tiepoint[1]),
+                int(prof.pixel_scale[0]),
+                dst_x0,
+                dst_y1,
+                dst_ps,
+                chunk_px,
+                chunk_px,
+                "bilinear_full",
+            )
+            if buf is None:
+                buf = np.zeros_like(vals)
+            np.maximum(buf, vals, out=buf, where=valid[None, :, :])
+        nb = buf.shape[0]
+        return pd.DataFrame(
+            {
+                "chx": [chx] * nb,
+                "chy": [chy] * nb,
+                "band": list(range(nb)),
+                "px_cnt": [chunk_px * chunk_px] * nb,
+                "sum_hi": (buf >> 32).sum(axis=(1, 2)).tolist(),
+                "sum_lo": (buf & 0xFFFFFFFF).sum(axis=(1, 2)).tolist(),
+                "max_v": buf.max(axis=(1, 2)).tolist(),
+                "n_sources": [len(pdf)] * nb,
+            }
+        )
+
+    return cand.groupBy("chx", "chy").applyInPandas(mosaic, WARP_STATS_SPLIT_SCHEMA)
 
 
 def warp_mosaic_stats_gcp(

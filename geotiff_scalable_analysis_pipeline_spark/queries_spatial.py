@@ -1692,6 +1692,14 @@ def q_warp_mosaic_gcp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warp.warp_mosaic_stats_gcp(t, m, WARP_CHUNK, WARP_DPS, GCP_GS, "bilinear")
 
 
+def q_warp_mosaic_gcp_bilinear_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-precision GCP bilinear (reference data.py:174-195
+    resampling=bilinear): weights at the exact deformed remainder, no
+    HALF_UP re-quantization; chunk sums as exact (hi, lo) int64 pairs."""
+    t, m = _gcp_warp_inputs(spark)
+    return warp.warp_mosaic_stats_gcp_full(t, m, WARP_CHUNK, WARP_DPS, GCP_GS)
+
+
 def _sql_warp_gcp(method: str = "nearest") -> str:
     cfg = WARP_CFG
     ps, dps, ch, gs, gn = cfg.px_size, WARP_DPS, WARP_CHUNK, GCP_GS, _GCP_GN
@@ -1706,13 +1714,22 @@ def _sql_warp_gcp(method: str = "nearest") -> str:
         bil_cols = ""
         val = dg.dn_sql("d.tile_k", "b.band", "d.rs", "d.cs")
     else:
-        # HALF_UP re-quantization of the deformed remainder to 2·ps units —
-        # mirrors warp_np_gcp's bilinear branch bit-for-bit (warp.py)
         ix0 = f"((U - {hp} + {bias * D}) // {D} - {bias})"
         iy0 = f"((V - {hp} + {bias * D}) // {D} - {bias})"
+        if method == "bilinear_full":
+            # full-precision weights: the exact deformed remainder ∈ [0, D),
+            # no re-quantization — mirrors warp_np_gcp's bilinear_full branch
+            fx_expr = f"U - {hp} - {D}*{ix0}"
+            fy_expr = f"V - {hp} - {D}*{iy0}"
+            d = D
+        else:
+            # HALF_UP re-quantization of the deformed remainder to 2·ps
+            # units — mirrors warp_np_gcp's bilinear branch bit-for-bit
+            fx_expr = f"(U - {hp} - {D}*{ix0} + {Lsq // 2}) // {Lsq}"
+            fy_expr = f"(V - {hp} - {D}*{iy0} + {Lsq // 2}) // {Lsq}"
         bil_cols = (
-            f", (U - {hp} - {D}*{ix0} + {Lsq // 2}) // {Lsq} AS fx"
-            f", (V - {hp} - {D}*{iy0} + {Lsq // 2}) // {Lsq} AS fy"
+            f", {fx_expr} AS fx"
+            f", {fy_expr} AS fy"
             f", GREATEST(LEAST({ix0}, {w - 1}), 0) AS cx0"
             f", GREATEST(LEAST({ix0} + 1, {w - 1}), 0) AS cx1"
             f", GREATEST(LEAST({iy0}, {w - 1}), 0) AS cy0"
@@ -1725,6 +1742,15 @@ def _sql_warp_gcp(method: str = "nearest") -> str:
             f" + d.fy * (({d} - d.fx) * {dn('d.cy1', 'd.cx0')}"
             f" + d.fx * {dn('d.cy1', 'd.cx1')}))"
         )
+    if method == "bilinear_full":
+        # per-pixel hi/lo split keeps both sums inside BIGINT — no HUGEINT
+        # in an output position (DRIVER_CHECKS.md type discipline)
+        sum_cols = (
+            "CAST(sum(COALESCE(v.v, 0) // 4294967296) AS BIGINT) AS sum_hi,\n"
+            "       CAST(sum(COALESCE(v.v, 0) % 4294967296) AS BIGINT) AS sum_lo,"
+        )
+    else:
+        sum_cols = "CAST(sum(COALESCE(v.v, 0)) AS BIGINT) AS sum_v,"
     return f"""WITH {dg.tiles_sql(cfg)},
 media AS (SELECT * FROM tiles_geo WHERE tile_k < {cfg.n_media_tiles}),
 cand AS (
@@ -1768,7 +1794,7 @@ vals AS (
   GROUP BY d.chx, d.chy, b.band, d.rr, d.cc),
 nsrc AS (SELECT chx, chy, count(*) AS n_sources FROM cand GROUP BY chx, chy)
 SELECT p.chx, p.chy, CAST(p.band AS INTEGER) AS band, count(*) AS px_cnt,
-       CAST(sum(COALESCE(v.v, 0)) AS BIGINT) AS sum_v,
+       {sum_cols}
        CAST(max(COALESCE(v.v, 0)) AS BIGINT) AS max_v,
        n.n_sources
 FROM pix p
@@ -1780,6 +1806,7 @@ GROUP BY p.chx, p.chy, p.band, n.n_sources"""
 
 SQL_WARP_GCP = _sql_warp_gcp()
 SQL_WARP_GCP_BILINEAR = _sql_warp_gcp("bilinear")
+SQL_WARP_GCP_BILINEAR_FULL = _sql_warp_gcp("bilinear_full")
 
 
 # ---------------------------------------------------------------------------
@@ -2022,6 +2049,10 @@ QUERIES = {
     "warp_mosaic_bilinear": (q_warp_mosaic_bilinear, SQL_WARP_BILINEAR),
     "warp_mosaic_gcp": (q_warp_mosaic_gcp, SQL_WARP_GCP),
     "warp_mosaic_gcp_bilinear": (q_warp_mosaic_gcp_bilinear, SQL_WARP_GCP_BILINEAR),
+    "warp_mosaic_gcp_bilinear_full": (
+        q_warp_mosaic_gcp_bilinear_full,
+        SQL_WARP_GCP_BILINEAR_FULL,
+    ),
     "temporal_stack_frames": (q_temporal_stack, SQL_TEMPORAL_STACK),
     "global_class_probs": (q_global_class_probs, _sql_global_class_probs()),
     "class_metrics": (q_class_metrics, _sql_class_metrics()),

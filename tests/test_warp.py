@@ -194,10 +194,12 @@ def test_gcp_zero_offsets_equal_affine_bilinear():
         assert np.array_equal(va[:, ok_a], vg[:, ok_g])
 
 
-def _gcp_bilinear_oracle_pixel(src, du, dv, gs, src_x0, src_y1, ps, x, y):
+def _gcp_bilinear_oracle_pixel(src, du, dv, gs, src_x0, src_y1, ps, x, y, full=False):
     """Exact-rational scalar reference for one GCP bilinear dest pixel:
-    continuous deformed position via fractions.Fraction, remainder quantized
-    HALF_UP to 2·ps units — independent of warp_np_gcp's int64 lattice."""
+    continuous deformed position via fractions.Fraction; the remainder is
+    quantized HALF_UP to 2·ps units (``full=False``, the overflow-safe
+    path) or kept exact at the full D = 2·ps·(2·ps·gs)² weight scale
+    (``full=True``) — independent of warp_np_gcp's int64 lattice."""
     import math
     from fractions import Fraction as Fr
 
@@ -218,10 +220,18 @@ def _gcp_bilinear_oracle_pixel(src, du, dv, gs, src_x0, src_y1, ps, x, y):
     vv = v + off(du) / 2
     cs, rs = math.floor(uu), math.floor(vv)
     valid = 0 <= cs < W and 0 <= rs < H
-    d = 2 * ps
     ix0, iy0 = math.floor(uu - Fr(1, 2)), math.floor(vv - Fr(1, 2))
-    fx = math.floor((uu - Fr(1, 2) - ix0) * d + Fr(1, 2))
-    fy = math.floor((vv - Fr(1, 2) - iy0) * d + Fr(1, 2))
+    if full:
+        L = 2 * ps * gs
+        d = 2 * ps * L * L
+        fx = (uu - Fr(1, 2) - ix0) * d
+        fy = (vv - Fr(1, 2) - iy0) * d
+        assert fx.denominator == 1 and fy.denominator == 1  # exact in 1/D units
+        fx, fy = int(fx), int(fy)
+    else:
+        d = 2 * ps
+        fx = math.floor((uu - Fr(1, 2) - ix0) * d + Fr(1, 2))
+        fy = math.floor((vv - Fr(1, 2) - iy0) * d + Fr(1, 2))
     g = lambda r, c: int(src[cl(r, 0, H - 1), cl(c, 0, W - 1)])
     val = (d - fy) * ((d - fx) * g(iy0, ix0) + fx * g(iy0, ix0 + 1)) + fy * (
         (d - fx) * g(iy0 + 1, ix0) + fx * g(iy0 + 1, ix0 + 1)
@@ -260,3 +270,40 @@ def test_gcp_bilinear_matches_exact_fraction_oracle(seed, dx, dy):
             assert valid[r, c] == want_ok, (r, c)
             if want_ok:
                 assert vals[0, r, c] == want_v, (r, c, vals[0, r, c], want_v)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    dx=st.integers(-40, 40),
+    dy=st.integers(-40, 40),
+)
+def test_gcp_bilinear_full_matches_exact_fraction_oracle(seed, dx, dy):
+    """Full-precision GCP bilinear (round 5): the exact deformed remainder
+    IS the weight — every sampled value equals the rational reference's
+    D²·bilinear(v) with no quantization anywhere."""
+    from geotiff_scalable_analysis_pipeline_spark.operators.warp import warp_np_gcp
+
+    rng = np.random.default_rng(seed)
+    ps, gs, w = 10, 16, 32
+    src = rng.integers(0, 10001, size=(1, w, w), dtype=np.int64)
+    du = rng.integers(-3, 4, size=(3, 3)).astype(np.int64)
+    dv = rng.integers(-3, 4, size=(3, 3)).astype(np.int64)
+    src_x0, src_y1 = 500, 1200
+    dst_x0, dst_y1, dps, n = 500 + dx, 1200 + dy, 5, 16
+    vals, valid = warp_np_gcp(
+        src, du, dv, gs, src_x0, src_y1, ps, dst_x0, dst_y1, dps, n, n, "bilinear_full"
+    )
+    from fractions import Fraction as Fr
+
+    for r in range(n):
+        for c in range(n):
+            x = Fr(2 * dst_x0 + (2 * c + 1) * dps, 2)
+            y = Fr(2 * dst_y1 - (2 * r + 1) * dps, 2)
+            want_v, want_ok = _gcp_bilinear_oracle_pixel(
+                src[0], du, dv, gs, src_x0, src_y1, ps, x, y, full=True
+            )
+            assert valid[r, c] == want_ok, (r, c)
+            if want_ok:
+                assert vals[0, r, c] == want_v, (r, c, vals[0, r, c], want_v)
+                assert 0 <= vals[0, r, c] < (2 * ps * (2 * ps * gs) ** 2) ** 2 * 10001
