@@ -84,6 +84,7 @@ BENCH_TABLES = {
     "corridor": {"points"},
     "graph": set(),
     "triangles": set(),
+    "ranktests": {"rank_events"},
 }
 
 # DBSCAN eps. Default shrinks as 1/sqrt(SCALE) so the expected
@@ -100,6 +101,12 @@ DBSCAN_MIN_PTS = 4
 # docs for the BENCH_SCALE-scaled dedup bench (the sf tables the other text
 # queries read do NOT scale with BENCH_SCALE)
 N_TEXT_DOCS = int(5_000 * SCALE)
+
+# rows for the BENCH_SCALE-scaled two-sample rank-test bench: a CONTINUOUS
+# value domain (~n distinct doubles), the case the round-5 two-phase range
+# split exists for — the distinct-value table is corpus-sized, so the old
+# single unpartitioned window would funnel the whole corpus through one task
+N_RANK_EVENTS = int(1_000_000 * SCALE)
 
 # zones per side for the BENCH_SCALE-scaled overlay bench (the golden 90-zone
 # layers are dims; candidate-pair work grows ~quadratically in this count)
@@ -130,6 +137,20 @@ def setup_corpus(spark, names):
             gen(spark, dg.GoldenConfig(n_rect_zones=N_OVR_ZONES)).repartition(
                 16
             ).write.mode("overwrite").parquet(str(CORPUS / table))
+        elif table == "rank_events":
+            # deterministic continuous-valued two-group events: xxhash64
+            # pseudo-randomness (no rand() — reproducible at any
+            # parallelism); ~n distinct double values
+            df = spark.range(N_RANK_EVENTS).select(
+                F.when(F.pmod("id", F.lit(5)) < 2, F.lit("click"))
+                .otherwise(F.lit("purchase"))
+                .alias("grp"),
+                (
+                    F.pmod(F.xxhash64("id"), F.lit(1_000_000_000)).cast("double")
+                    / F.lit(1000.0)
+                ).alias("val"),
+            )
+            df.repartition(32).write.mode("overwrite").parquet(str(CORPUS / table))
         elif table == "dedup_docs":
             # written as <dir>/documents.parquet so queries_text callables
             # (which take an sf_dir) can read it directly. 32 output files:
@@ -527,6 +548,22 @@ def bench_dbscan(spark):
     return N_POINTS
 
 
+def bench_ranktests(spark):
+    """Scaling-evidence surface for the round-5 two-phase rank-test rework
+    (operators/ranktests.py): Mann-Whitney U + KS D over a continuous value
+    domain — distinct-value table ≈ corpus-sized, so the pre-round-5 single
+    unpartitioned window would have serialized the whole corpus through one
+    task; the range-split form keeps the per-value scan P-way parallel."""
+    from geotiff_scalable_analysis_pipeline_spark.operators import ranktests
+
+    _force(
+        ranktests.rank_tests_2sample(
+            _t(spark, "rank_events"), "grp", "val", "click", "purchase"
+        )
+    )
+    return N_RANK_EVENTS
+
+
 BENCHES = {
     "pip_zonal": bench_pip_zonal,
     "knn": bench_knn,
@@ -543,6 +580,7 @@ BENCHES = {
 # scaling-evidence-only surface: not part of the default suite (it measures
 # the same minhash/simhash code paths dedup_suite already times at sf scale)
 EXTRA_BENCHES = {
+    "ranktests": bench_ranktests,
     "dedup_text": bench_dedup_text,
     "dbscan": bench_dbscan,
     "corridor": bench_corridor,

@@ -15,36 +15,74 @@ count of strictly smaller values. KS from the same scan:
     ks_num = max_x | cumIncl_a(x)·n_b − cumIncl_b(x)·n_a |
     D = ks_num / (n_a·n_b)        (the ONE double division, IEEE-exact)
 
-Scale shape (round-5 rework, VERDICT r4 #4): one map-combined count
-keyed by value, then a TWO-PHASE prefix scan — the skyline_2d pattern,
-made domain-agnostic.  Rounds 1–4 ran ONE unpartitioned window over the
-distinct-value table, bounded only by a documented quantized-domain
-contract; for a continuous value domain at corpus scale that table is
-corpus-sized and the contract silently broke.  Now:
+Scale shape (round-5 rework, VERDICT r4 #4).  Rounds 1–4 ran ONE
+unpartitioned window over the distinct-value table, bounded only by a
+documented quantized-domain contract; for a continuous value domain at
+corpus scale that table is corpus-sized and the contract silently broke.
+The rework exploits that the OUTPUT is one global row, so the per-value
+scan can fold to ONE PARTIAL ROW PER RANGE:
 
-1. the distinct-value table is ``repartitionByRange(P, val)`` — Spark's
-   own sampled range partitioner gives P sorted, non-overlapping value
-   ranges for ANY orderable domain (no bucket-width tuning, no libm
-   monotonicity hazard);
-2. within-range prefix sums run under ``Window.partitionBy(pid)`` —
-   fully partitioned, P-way parallel;
-3. the only global-order window runs over the P-row per-range totals
-   table (cardinality = the partition count, data-INDEPENDENT by
-   construction — the boundedness the r4 contract only documented), and
-   is broadcast back.
+1. ``(ta, tb)`` — the two group totals — are one map-combined count
+   (2-int driver collect, the engine's bounded-collect class);
+2. the raw (value, is_a) pairs are ``repartitionByRange(P, val)`` —
+   Spark's own sampled range partitioner gives P sorted, non-overlapping
+   value ranges for ANY orderable domain (no bucket-width tuning, no
+   libm monotonicity hazard; ties never straddle a range) — then sorted
+   within ranges: ONE corpus shuffle of 9-byte rows total, and NO
+   per-value hash aggregate anywhere (nearly-all-distinct keys make
+   partial aggregation a spill machine — measured 3× worse walls);
+3. one vectorized Arrow pass per range (``mapInPandas`` over the sorted
+   rows: tie-block boundaries via a != shift — no re-sort —
+   add.reduceat + cumsum) folds each range to a SINGLE partial row
+   ``(pid, pna, pnb, r2a_loc, h_max, h_min)``, where r2a_loc is the
+   U-sum with range-local prefixes and h(x) = lca(x)·tb − lcbi(x)·ta is
+   the KS linear form with the global coefficients.  Cross-range
+   prefixes enter algebraically afterwards:
+     Σ_x na·(2·cb)        = Σ_p [r2a_loc_p + 2·PCB_p·n_a,p]
+     max_x |C_p + h(x)|   = max_p greatest(C_p + h_max_p, −C_p − h_min_p)
+   with PCB_p / C_p from exclusive sums over the P-row partials table —
+   the only global-order window, cardinality = the split width P,
+   data-INDEPENDENT by construction;
+4. everything downstream of the fold touches P rows, not the corpus.
+
+Three rejected alternatives, all measured on fresh-JVM N→4N pairs at
+60 M rows (PERF.md session 5): a global ``groupBy(val)`` + per-range
+windows (LO 104-120 s / HI 38-48 s — the agg's partial-aggregation maps
+explode on the all-distinct domain); a partition-local ``groupBy(val)``
+on the range exchange (best pair efficiency 0.89 but LO 246 s — the
+same maps spill inside 2 fat tasks); per-ROW range-frame windows with
+no aggregate (HI 71 s — double corpus shuffle + WindowExec constants).
+The shipped form has the best walls at BOTH levels (HI 31.5 s /
+LO 82.4 s) and the fewest corpus shuffles (one).  Its measured pair
+efficiency (~0.65) is bounded by the sandbox's JVM→Arrow row feed,
+which degrades per worker ~3× from 2→8 co-located workers (measured
+0.5 vs 1.6 M rows/s/worker, batch-size-invariant; loopback TCP itself
+scales cleanly at 2.5→16 GB/s, so it is conversion CPU hitting the
+shared-memory-latency ceiling, the triangles-probe contention class) —
+a per-BOX term that is level-invariant on a real N→4N cluster where
+cores-per-node is constant (BENCH/BASELINE.md "memory-subsystem
+ceilings").
+
+Numeric contract (unchanged from the window formulation): the statistics
+themselves must fit int64 — ks_num ≤ n_a·n_b and 2·R_a ≤ 2·n² already
+bound the OUTPUT, and every intermediate here (h, r2a_loc, 2·PCB·na) is
+bounded by those same products, so the operator is exact whenever its
+results are representable, i.e. n_a·n_b < 2⁶³ and n² < 2⁶², the
+pre-existing contract.
 
 Correctness does not depend on where the range boundaries land: prefix
-sums are associative over the ordered concatenation of ranges, and each
-distinct value lands in exactly one range (pinned by a
-partition-count-invariance test).  Values are only ORDERED and grouped,
-never added — float values are safe as keys.
+sums are associative over the ordered concatenation of ranges, equal
+values land in exactly one range, and the result is pinned invariant to
+the split width P by test.  Values are only ORDERED and grouped, never
+added — float values are safe as keys.  Python-side per-range buffers
+hold one range's rows (val float64 + flag int8 ≈ 9 B/row), the same
+bounded-by-partition-size class as the engine's applyInPandas kernels.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
 
 def rank_tests_2sample(
     df: DataFrame,
@@ -65,74 +103,103 @@ def rank_tests_2sample(
     spark = df.sparkSession
     if split_partitions is None:
         split_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    cnt = (
-        df.filter(F.col(group).isin(group_a, group_b) & F.col(value).isNotNull())
-        .groupBy(F.col(value).alias("val"))
-        .agg(
-            F.sum(F.when(F.col(group) == group_a, 1).otherwise(0)).alias("na"),
-            F.sum(F.when(F.col(group) == group_b, 1).otherwise(0)).alias("nb"),
+    src = df.filter(
+        F.col(group).isin(group_a, group_b) & F.col(value).isNotNull()
+    ).select(
+        F.col(value).alias("val"),
+        F.when(F.col(group) == group_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("tinyint")
+        .alias("ais"),
+    )
+    # group totals: one map-combined 2-int aggregate (bounded driver collect)
+    trow = src.agg(
+        F.sum("ais").alias("ta"), F.sum(1 - F.col("ais")).alias("tb")
+    ).collect()[0]
+    ta = int(trow["ta"] or 0)
+    tb = int(trow["tb"] or 0)
+
+    ranged = src.repartitionByRange(split_partitions, "val").sortWithinPartitions(
+        "val"
+    )
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        vals: list = []
+        ais: list = []
+        for pdf in batches:
+            if len(pdf):
+                vals.append(pdf["val"].to_numpy())
+                ais.append(pdf["ais"].to_numpy(dtype="int64"))
+        if not vals:
+            return
+        v = np.concatenate(vals)
+        a = np.concatenate(ais)
+        # tie-block boundaries off the sorted range (no re-sort)
+        starts = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
+        na = np.add.reduceat(a, starts)
+        cnt = np.diff(np.append(starts, len(v)))
+        nb = cnt - na
+        # range-local prefixes (exclusive combined, inclusive per group)
+        lcb = np.cumsum(cnt) - cnt
+        lca = np.cumsum(na)
+        lcbi = np.cumsum(nb)
+        r2a_loc = int((na * (2 * lcb + cnt + 1)).sum())
+        h = lca * tb - lcbi * ta
+        yield pd.DataFrame(
+            {
+                "pid": [TaskContext.get().partitionId()],
+                "pna": [int(na.sum())],
+                "pnb": [int(nb.sum())],
+                "r2a_loc": [r2a_loc],
+                "h_max": [int(h.max())],
+                "h_min": [int(h.min())],
+            }
         )
+
+    part = ranged.mapInPandas(
+        _partials, "pid int, pna long, pnb long, r2a_loc long, h_max long, h_min long"
     )
-    # phase 1: P sorted value ranges; pid is monotone in val across ranges
-    ranged = cnt.repartitionByRange(split_partitions, "val").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_excl = (
-        Window.partitionBy("pid").orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_incl = (
-        Window.partitionBy("pid").orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
-    )
-    loc = ranged.select(
-        "pid",
-        "na",
-        "nb",
-        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w_excl), F.lit(0)).alias("lcb"),
-        F.sum("na").over(w_incl).alias("lca"),
-        F.sum("nb").over(w_incl).alias("lcbi"),
-    )
-    # phase 2: cross-range exclusive prefixes over the P-row totals table —
-    # a deliberate single-partition window whose input cardinality is the
-    # split width P, data-independent by construction.  The partition key is
-    # the constant pid&0 (a bare lit(0) would be constant-folded out of the
-    # spec, reintroducing the WindowExec no-partition warning).
-    ptot = ranged.groupBy("pid").agg(
-        F.sum("na").alias("pna"), F.sum("nb").alias("pnb")
-    )
+
+    # cross-range exclusive prefixes over the P-row partials table — a
+    # deliberate single-partition window whose input cardinality is the
+    # split width P, data-independent by construction.  The partition key
+    # is the constant pid&0 (a bare lit(0) would be constant-folded out of
+    # the spec, reintroducing the WindowExec no-partition warning).
     w_p = (
         Window.partitionBy(F.col("pid").bitwiseAND(F.lit(0)))
         .orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    pprev = ptot.select(
-        "pid",
+    fin = part.select(
+        "pna",
+        "pnb",
+        "r2a_loc",
+        "h_max",
+        "h_min",
         F.coalesce(F.sum(F.col("pna") + F.col("pnb")).over(w_p), F.lit(0)).alias("pcb"),
         F.coalesce(F.sum("pna").over(w_p), F.lit(0)).alias("pca"),
         F.coalesce(F.sum("pnb").over(w_p), F.lit(0)).alias("pcbi"),
+    ).withColumn(
+        # C_p + h ranges over this range's per-value KS linear form
+        "c",
+        F.col("pca") * F.lit(tb) - F.col("pcbi") * F.lit(ta),
+    ).select(
+        "pna",
+        "pnb",
+        (F.col("r2a_loc") + 2 * F.col("pcb") * F.col("pna")).alias("r2a_part"),
+        F.greatest(
+            F.col("c") + F.col("h_max"), -(F.col("c") + F.col("h_min"))
+        ).alias("ks_part"),
     )
-    tot = ptot.agg(F.sum("pna").alias("ta"), F.sum("pnb").alias("tb"))
-    per_val = (
-        loc.join(F.broadcast(pprev), "pid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "na",
-            "nb",
-            (F.col("pcb") + F.col("lcb")).alias("cb"),
-            (F.col("pca") + F.col("lca")).alias("ca"),
-            (F.col("pcbi") + F.col("lcbi")).alias("cbi"),
-            "ta",
-            "tb",
-        )
-    )
-    return per_val.agg(
-        F.max("ta").cast("long").alias("n_a"),
-        F.max("tb").cast("long").alias("n_b"),
-        F.sum(F.col("na") * (2 * F.col("cb") + F.col("na") + F.col("nb") + 1))
-        .cast("long")
-        .alias("r2_a"),
-        F.max(F.abs(F.col("ca") * F.col("tb") - F.col("cbi") * F.col("ta")))
-        .cast("long")
-        .alias("ks_num"),
+    return fin.agg(
+        F.sum("pna").cast("long").alias("n_a"),
+        F.sum("pnb").cast("long").alias("n_b"),
+        F.sum("r2a_part").cast("long").alias("r2_a"),
+        F.max("ks_part").cast("long").alias("ks_num"),
     ).select(
         "n_a",
         "n_b",

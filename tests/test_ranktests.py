@@ -132,10 +132,35 @@ def test_no_data_sized_unpartitioned_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "pid" in line, f"window not keyed by range id: {line}"
-            # a partitioned Window prints `], [partition spec], [order spec]`
-            # (three bracket groups); an unpartitioned one only two — this
+            # a Window node prints `], [partition spec], [order spec]` (or
+            # just `], [partition spec]` when there is no ORDER BY).  An
+            # UNpartitioned ordered window prints a single trailing group
+            # whose content is the order spec (contains ASC/DESC) — this
             # catches Catalyst constant-folding the partition key away (a
             # bare lit(0) key IS folded; the pid&0 key is not)
-            assert re.search(r"\], \[[^\]]+\], \[", line), (
-                f"partition spec folded away: {line}"
-            )
+            groups = re.findall(r"\[([^\[\]]*)\]", line)
+            last = groups[-1] if groups else ""
+            if "ASC" in last or "DESC" in last:
+                assert re.search(r"\], \[[^\]]+\], \[", line), (
+                    f"partition spec folded away: {line}"
+                )
+
+
+def test_single_corpus_shuffle_and_range_fold(spark):
+    """Plan pin for the round-5 shape: exactly ONE corpus-sized exchange
+    (the range partitioner), the sorted Arrow fold on top of it, and no
+    hash aggregate keyed by the value domain (the all-distinct spill
+    machine the rework removed)."""
+    df = spark.createDataFrame(
+        [("a", float(i % 97)) for i in range(200)]
+        + [("b", float(i % 89)) for i in range(150)],
+        "grp string, val double",
+    )
+    out = ranktests.rank_tests_2sample(df, "grp", "val", "a", "b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(val" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning(val" not in plan, (
+        "value table re-shuffled by hash:\n" + plan
+    )
+    assert "keys=[val" not in plan, "per-value hash aggregate present:\n" + plan
