@@ -787,6 +787,65 @@ sizes AS (SELECT rep_id, count(*) AS csize FROM rep GROUP BY rep_id)
 SELECT r.doc_id, r.rep_id, s.csize FROM rep r JOIN sizes s USING (rep_id)"""
 
 
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — the collapse
+    step that follows component building in a real dedup pipeline
+    (CCNet/Gopher keep-the-longest policy): for every MinHash duplicate
+    cluster keep the LONGEST member (ties → smallest doc_id), report the
+    kept doc, its length, the cluster size, and how many docs the
+    collapse drops.  Singleton clusters pass through (n_dropped = 0), so
+    summing ``csize`` reproduces the corpus count and summing
+    ``n_dropped`` is the dedup ratio numerator.
+
+    Scale shape: reuses the O(log n) star-contraction components
+    (operators/dedup_cc.py), then two rep-keyed map-combined aggregates
+    (max length; min doc_id among the max-length members) — the
+    max-then-min two-pass makes the tie-break explicit instead of
+    leaning on an engine's unspecified arg_max tie order."""
+    comps = q_minhash_dedup_components(spark, sf_dir)  # doc_id, rep_id, csize
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    j = comps.join(docs, "doc_id")
+    mx = j.groupBy("rep_id").agg(F.max("n_chars").alias("kept_chars"))
+    kept = (
+        j.join(mx, "rep_id")
+        .filter(F.col("n_chars") == F.col("kept_chars"))
+        .groupBy("rep_id", "kept_chars")
+        .agg(F.min("doc_id").alias("kept_doc"))
+    )
+    sizes = comps.groupBy("rep_id").agg(F.count("*").alias("csize"))
+    return kept.join(sizes, "rep_id").select(
+        "rep_id",
+        "kept_doc",
+        "kept_chars",
+        F.col("csize").cast("long").alias("csize"),
+        (F.col("csize") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+SQL_DEDUP_KEEP_LONGEST = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+sym AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node),
+rep AS (SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node),
+sizes AS (SELECT rep_id, count(*) AS csize FROM rep GROUP BY rep_id),
+j AS (SELECT r.rep_id, r.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM rep r JOIN documents d USING (doc_id)),
+mx AS (SELECT rep_id, max(n_chars) AS kept_chars FROM j GROUP BY rep_id),
+kept AS (
+  SELECT j.rep_id, m.kept_chars, min(j.doc_id) AS kept_doc
+  FROM j JOIN mx m ON m.rep_id = j.rep_id AND j.n_chars = m.kept_chars
+  GROUP BY j.rep_id, m.kept_chars)
+SELECT k.rep_id, k.kept_doc, k.kept_chars,
+       CAST(s.csize AS BIGINT) AS csize,
+       CAST(s.csize - 1 AS BIGINT) AS n_dropped
+FROM kept k JOIN sizes s USING (rep_id)"""
+
+
 def q_embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup, end to end: LSH bucket candidate
     edges with exact int64-quantized cosine ≥ τ
@@ -1913,6 +1972,7 @@ QUERIES = {
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_STREAMING_DEDUP),
     "minhash_dedup_components": (q_minhash_dedup_components, SQL_MINHASH_DEDUP_COMPONENTS),
+    "dedup_keep_longest": (q_dedup_keep_longest, SQL_DEDUP_KEEP_LONGEST),
     "embedding_neardup_components": (
         q_embedding_neardup_components,
         SQL_EMBEDDING_NEARDUP_COMPONENTS,

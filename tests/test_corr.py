@@ -114,6 +114,41 @@ def test_assortativity_matches_python_bigint_reference(spark):
     assert (r["n"], r["corr_sign"], r["r2_ppm"]) == want
 
 
+def test_reduction_tracks_exact_rational_r2():
+    """Property: wherever the reduced operands keep ≥8 significant digits,
+    the overflow-safe r2_ppm is within 2 ppm units of the exact rational
+    10⁶·num²/(dx·dy) — across magnitudes up to 10²⁵ (far beyond the old
+    formula's 38-digit ceiling). Cauchy-Schwarz (num² ≤ dx·dy) pins the
+    generated inputs to the statistically reachable region."""
+    import math
+    import random
+
+    rng = random.Random(20260820)
+    checked = 0
+    for _ in range(500):
+        dx = rng.randint(1, 10 ** rng.randint(1, 25))
+        dy = rng.randint(1, 10 ** rng.randint(1, 25))
+        bound = math.isqrt(dx * dy)
+        num = rng.randint(-bound, bound)
+        red = _r2_ppm_reduced(num, dx, dy)
+        k = max(
+            0,
+            max(len(str(abs(num))), len(str(dx)), len(str(dy))) - 16,
+        )
+        digits_kept = min(
+            len(str(abs(num))), len(str(dx)), len(str(dy))
+        ) - k
+        if red is None:
+            # only the documented underflow case may return NULL
+            assert any(v // 10**k == 0 for v in (dx, dy))
+            continue
+        exact = num * num * 1_000_000 / (dx * dy)
+        if digits_kept >= 8:
+            assert abs(red - exact) <= 2, (num, dx, dy, red, exact)
+            checked += 1
+    assert checked > 50  # the bound was actually exercised
+
+
 def test_huge_scale_no_overflow_and_engines_agree(spark, tmp_path):
     """ADVICE r4 regression: with 10¹⁰-scale quantities and 10¹⁰-scale
     prices, num ≈ 6·10²² — the pre-round-5 formula's num²·10⁶ crossed 38
