@@ -188,6 +188,105 @@ SELECT doc_id,
 FROM t"""
 
 
+# context-window chunking: W-token windows advancing by S = W − O (overlap O)
+CHUNK_W, CHUNK_O = 32, 8
+_CHUNK_S = CHUNK_W - CHUNK_O
+
+
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the doc→training-sample splitter of a RAG /
+    pretraining pipeline: each document becomes overlapping ``CHUNK_W``-token
+    windows advancing by ``CHUNK_W − CHUNK_O`` tokens (the tail window may
+    be short; a ≤W-token doc is exactly one window).  Emits per chunk the
+    exact token span plus an order-sensitive rolling fingerprint, so chunk
+    identity is verifiable without shipping the token arrays.
+
+    Scale shape: pure Catalyst — tokens from one split, the window index
+    from ``sequence``/``explode`` (the number of windows is a closed-form
+    integer, no window function), per-chunk stats from higher-order array
+    functions over ``slice``.  Map-only until any downstream aggregation;
+    the explode factor is bounded by doc length / S."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    code = lambda t: (F.length(t).cast("long") * 31 + F.ascii(t).cast("long"))
+    base = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+    )
+    nc = F.when(F.col("n") <= CHUNK_W, F.lit(1)).otherwise(
+        F.expr(f"(n - {CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S} + 1")
+    ).cast("long")
+    chunks = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * _CHUNK_S).alias("start_tok"),
+        F.least(F.lit(CHUNK_W), F.col("n") - F.col("chunk_id") * _CHUNK_S).alias(
+            "len_toks"
+        ),
+        "toks",
+    )
+    sl = F.slice("toks", F.col("start_tok") + 1, F.col("len_toks"))
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.col("len_toks").cast("long").alias("len_toks"),
+        F.aggregate(sl, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias(
+            "sum_chars"
+        ),
+        F.aggregate(
+            sl, F.lit(0).cast("long"), lambda a, t: (a * 131 + code(t)) % M31
+        ).alias("chunk_fp"),
+        F.when(
+            F.col("len_toks") > 0,
+            F.element_at("toks", (F.col("start_tok") + 1).cast("int")),
+        ).alias("first_tok"),
+        F.when(
+            F.col("len_toks") > 0,
+            F.element_at(
+                "toks", (F.col("start_tok") + F.col("len_toks")).cast("int")
+            ),
+        ).alias("last_tok"),
+    )
+
+
+SQL_DOC_CHUNK_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT b.doc_id, b.toks, b.n, r.i AS chunk_id
+  FROM b JOIN range(0, 4096) r(i)
+    ON r.i < CASE WHEN b.n <= {CHUNK_W} THEN 1
+                  ELSE (b.n - {CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1 END),
+s AS (
+  SELECT doc_id, chunk_id, chunk_id * {_CHUNK_S} AS start_tok,
+         least({CHUNK_W}, n - chunk_id * {_CHUNK_S}) AS len_toks,
+         toks[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S}
+              + least({CHUNK_W}, n - chunk_id * {_CHUNK_S})] AS sl,
+         toks
+  FROM c)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(len_toks AS BIGINT) AS len_toks,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(sl, x -> CAST(length(x) AS BIGINT))),
+              (a, b) -> a + b) AS sum_chars,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(sl, x -> CAST(length(x) * 31 + ascii(x) AS BIGINT))),
+              (a, b) -> (a * 131 + b) % {M31}) AS chunk_fp,
+  CASE WHEN len_toks > 0 THEN toks[start_tok + 1] END AS first_tok,
+  CASE WHEN len_toks > 0 THEN toks[start_tok + len_toks] END AS last_tok
+FROM s"""
+
+
 # ---------------------------------------------------------------------------
 # token ids + shingles (shared by minhash / jaccard / simhash)
 #
@@ -1973,6 +2072,7 @@ QUERIES = {
     "streaming_dedup_exact": (q_streaming_dedup_exact, SQL_STREAMING_DEDUP),
     "minhash_dedup_components": (q_minhash_dedup_components, SQL_MINHASH_DEDUP_COMPONENTS),
     "dedup_keep_longest": (q_dedup_keep_longest, SQL_DEDUP_KEEP_LONGEST),
+    "doc_chunk_windows": (q_doc_chunk_windows, SQL_DOC_CHUNK_WINDOWS),
     "embedding_neardup_components": (
         q_embedding_neardup_components,
         SQL_EMBEDDING_NEARDUP_COMPONENTS,

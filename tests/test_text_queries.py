@@ -117,3 +117,49 @@ def test_weighted_zonal_overlap_boundary_convention(spark):
     assert min(x1, maxx + 1) - max(x0, minx) == 5  # [5,10) ∩ [5,10) = 5
     # zone starting exactly at the tile's exclusive edge overlaps nothing
     assert max(0, min(x1, 11) - max(x0, 10)) == 0
+
+
+def test_chunk_windows_cover_and_overlap(spark, tmp_path):
+    """Chunk-rule invariants on synthetic docs spanning the edge sizes:
+    every token index is covered, consecutive windows overlap by exactly
+    CHUNK_O (except a short tail), a ≤W-token doc is one window, and the
+    emitted fingerprints/lengths are consistent with the slices."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_text import (
+        CHUNK_O,
+        CHUNK_W,
+        q_doc_chunk_windows,
+    )
+
+    sizes = [0, 1, CHUNK_W - 1, CHUNK_W, CHUNK_W + 1, 2 * CHUNK_W, 101]
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)), "en", "s", n)
+        for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_doc_chunk_windows(spark, str(tmp_path)).collect()
+    stride = CHUNK_W - CHUNK_O
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(sizes)))
+    for doc_id, n in enumerate(sizes):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        if n <= CHUNK_W:
+            assert len(chunks) == 1 and chunks[0]["len_toks"] == n
+        covered = set()
+        for r in chunks:
+            assert r["start_tok"] == r["chunk_id"] * stride
+            assert r["len_toks"] == min(CHUNK_W, n - r["start_tok"])
+            covered.update(range(r["start_tok"], r["start_tok"] + r["len_toks"]))
+            if r["len_toks"] > 0:
+                assert r["first_tok"] == f"t{doc_id}x{r['start_tok']}"
+                assert r["last_tok"] == (
+                    f"t{doc_id}x{r['start_tok'] + r['len_toks'] - 1}"
+                )
+        assert covered == set(range(n))
+        for a, b in zip(chunks, chunks[1:]):
+            got_overlap = a["start_tok"] + a["len_toks"] - b["start_tok"]
+            assert got_overlap == CHUNK_O or a["len_toks"] < CHUNK_W
