@@ -85,6 +85,7 @@ BENCH_TABLES = {
     "graph": set(),
     "triangles": set(),
     "ranktests": {"rank_events"},
+    "ranktests_quantized": {"rank_events_q"},
 }
 
 # DBSCAN eps. Default shrinks as 1/sqrt(SCALE) so the expected
@@ -137,16 +138,20 @@ def setup_corpus(spark, names):
             gen(spark, dg.GoldenConfig(n_rect_zones=N_OVR_ZONES)).repartition(
                 16
             ).write.mode("overwrite").parquet(str(CORPUS / table))
-        elif table == "rank_events":
-            # deterministic continuous-valued two-group events: xxhash64
-            # pseudo-randomness (no rand() — reproducible at any
-            # parallelism); ~n distinct double values
+        elif table in ("rank_events", "rank_events_q"):
+            # deterministic two-group events: xxhash64 pseudo-randomness (no
+            # rand() — reproducible at any parallelism). rank_events: ~n
+            # distinct double values (continuous domain); rank_events_q: the
+            # control with a 100k-value quantized domain — same rows, so a
+            # sweep pair isolates the per-distinct-value (Arrow fold) term
+            # from the scan/shuffle/sort term
+            mod = 1_000_000_000 if table == "rank_events" else 100_000
             df = spark.range(N_RANK_EVENTS).select(
                 F.when(F.pmod("id", F.lit(5)) < 2, F.lit("click"))
                 .otherwise(F.lit("purchase"))
                 .alias("grp"),
                 (
-                    F.pmod(F.xxhash64("id"), F.lit(1_000_000_000)).cast("double")
+                    F.pmod(F.xxhash64("id"), F.lit(mod)).cast("double")
                     / F.lit(1000.0)
                 ).alias("val"),
             )
@@ -564,6 +569,21 @@ def bench_ranktests(spark):
     return N_RANK_EVENTS
 
 
+def bench_ranktests_quantized(spark):
+    """Control for the ranktests N→4N row: identical operator and row
+    count over a 100k-distinct quantized domain — the per-distinct-value
+    Arrow fold shrinks to noise, so this measures the scan + range shuffle
+    + sort backbone alone (see BENCH/BASELINE.md round-5 annotation)."""
+    from geotiff_scalable_analysis_pipeline_spark.operators import ranktests
+
+    _force(
+        ranktests.rank_tests_2sample(
+            _t(spark, "rank_events_q"), "grp", "val", "click", "purchase"
+        )
+    )
+    return N_RANK_EVENTS
+
+
 BENCHES = {
     "pip_zonal": bench_pip_zonal,
     "knn": bench_knn,
@@ -581,6 +601,7 @@ BENCHES = {
 # the same minhash/simhash code paths dedup_suite already times at sf scale)
 EXTRA_BENCHES = {
     "ranktests": bench_ranktests,
+    "ranktests_quantized": bench_ranktests_quantized,
     "dedup_text": bench_dedup_text,
     "dbscan": bench_dbscan,
     "corridor": bench_corridor,

@@ -54,14 +54,19 @@ same maps spill inside 2 fat tasks); per-ROW range-frame windows with
 no aggregate (HI 71 s — double corpus shuffle + WindowExec constants).
 The shipped form has the best walls at BOTH levels (HI 31.5 s /
 LO 82.4 s) and the fewest corpus shuffles (one).  Its measured pair
-efficiency (~0.65) is bounded by the sandbox's JVM→Arrow row feed,
-which degrades per worker ~3× from 2→8 co-located workers (measured
-0.5 vs 1.6 M rows/s/worker, batch-size-invariant; loopback TCP itself
-scales cleanly at 2.5→16 GB/s, so it is conversion CPU hitting the
-shared-memory-latency ceiling, the triangles-probe contention class) —
-a per-BOX term that is level-invariant on a real N→4N cluster where
-cores-per-node is constant (BENCH/BASELINE.md "memory-subsystem
-ceilings").
+efficiency (0.65-0.76, median 0.70) is a sandbox memory-system bound,
+not a plan defect, established two ways: (a) the JVM→Arrow row feed
+degrades per worker ~3× from 2→8 co-located workers (0.5 vs 1.6 M
+rows/s/worker, batch-size-invariant; loopback TCP itself scales cleanly
+at 2.5→16 GB/s, so it is conversion CPU in the shared-memory regime);
+(b) a quantized-domain CONTROL with the identical operator and row count
+(100k distinct values — the Arrow fold shrinks to noise) lands in the
+SAME efficiency band, pinning the common cause on the shuffle/sort
+bandwidth demand of a 60 M-row pipeline against the sweep window's
+measured 0.257 streaming-bandwidth ceiling.  Both terms are per-BOX and
+level-invariant on a real N→4N cluster where cores-per-node is constant
+(BENCH/BASELINE.md "memory-subsystem ceilings"); compute-dense families
+measured 0.94 in the same windows.
 
 Numeric contract (unchanged from the window formulation): the statistics
 themselves must fit int64 — ks_num ≤ n_a·n_b and 2·R_a ≤ 2·n² already
