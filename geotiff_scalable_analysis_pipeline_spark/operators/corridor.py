@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.skew import cpu_dense_repartition
+from ..plans.skew import cpu_dense_repartition, small_enough_to_broadcast
 
 D38 = "CAST({} AS DECIMAL(38,0))"
 
@@ -98,8 +98,17 @@ def segment_distance_join(
     # few tasks. Pin an explicit wave-amortized width on BOTH sides — same
     # hash key and count, so the join adds no further exchange (same fix
     # as overlay/distance_join; BENCH/BASELINE.md round-4 provenance).
-    p = cpu_dense_repartition(p, "_ci", "_cj")
-    cover = cpu_dense_repartition(cover, "_ci", "_cj")
+    # Size gate (round 6): when even a conservative 256× bbox-cover fanout
+    # of the SEGMENT side fits under the broadcast threshold, skip the
+    # explicit exchanges — Catalyst/AQE then broadcasts the exploded cover
+    # (a small dim) and the point side never shuffles at all. The gate
+    # reads the pre-explode segment plan (Generate does not inflate
+    # Catalyst's estimate); the point side is deliberately NOT consulted —
+    # a big point layer against a big segment layer must keep the pinned
+    # width regardless of which side is bigger.
+    if not small_enough_to_broadcast(segments, fanout=256):
+        p = cpu_dense_repartition(p, "_ci", "_cj")
+        cover = cpu_dense_repartition(cover, "_ci", "_cj")
 
     j = (
         p.join(cover, ["_ci", "_cj"])

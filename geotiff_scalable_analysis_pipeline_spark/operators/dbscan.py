@@ -69,6 +69,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.skew import small_enough_to_broadcast
 from .dedup_cc import connected_components
 from .distance_join import distance_join
 
@@ -133,6 +134,12 @@ def dbscan(
     pts = points.select(
         F.col(id_col).alias("q_id"), F.col(x_col).alias("qx"), F.col(y_col).alias("qy")
     )
+    # one width decision for ALL ε-joins, taken from the base table whose
+    # size estimate is reliable (the later consumers' inputs run through
+    # checkpoint/broadcast lineage, which hides the true size from the
+    # estimator): small corpora skip the explicit wave-amortized exchanges
+    # so the pair joins plan/convert to broadcast (zero exchanges).
+    pin = not small_enough_to_broadcast(pts, fanout=9)
     if res >= 1:
         pts = pts.withColumn("fc", _fine_cell("qx", "qy", res))
 
@@ -143,7 +150,8 @@ def dbscan(
             if old in bb.columns:
                 bb = bb.withColumnRenamed(old, new)
         return distance_join(
-            a, bb, radius=eps, ax="qx", ay="qy", bx="px", by="py", level=level
+            a, bb, radius=eps, ax="qx", ay="qy", bx="px", by="py", level=level,
+            pin_width=pin,
         )
 
     # The ε-join is RECOMPUTED per consumer instead of materialized once:

@@ -44,7 +44,7 @@ from ..functions.cells import (
     lattice_col,
     morton_col,
 )
-from ..plans.skew import cpu_dense_repartition
+from ..plans.skew import cpu_dense_repartition, small_enough_to_broadcast
 
 
 def level_for_radius(radius: float) -> int:
@@ -65,6 +65,7 @@ def distance_join(
     by: str = "cy",
     level: int | None = None,
     broadcast_b: bool = False,
+    pin_width: bool | None = None,
 ) -> DataFrame:
     """All (a, b) pairs with ``(ax-bx)² + (ay-by)² <= radius²`` (closed).
 
@@ -72,6 +73,15 @@ def distance_join(
     integer coordinates). ``level`` defaults to :func:`level_for_radius`.
     ``broadcast_b``: hint when b is a small dim (its ≤9× exploded cover is
     broadcast and the big A side never shuffles).
+    ``pin_width``: force (True) or suppress (False) the wave-amortized
+    explicit exchanges; the default (None) decides from Catalyst's plan
+    size estimates — when either side (the B side charged its ≤9× explode
+    fanout) fits under the session broadcast threshold, the plain equi-join
+    is planned as a BroadcastHashJoin with ZERO exchanges, and forcing two
+    4×cores-wide exchanges onto it is pure overhead (measured ~5× on the
+    sf0.1 driver bench's dbscan). Operators whose inputs hide the true size
+    from the estimator (checkpoint lineage, in-plan generators) decide once
+    from their base table and pass the flag down.
     """
     lvl = level_for_radius(radius) if level is None else level
     if lvl > level_for_radius(radius):
@@ -112,8 +122,13 @@ def distance_join(
     if broadcast_b:
         pb = F.broadcast(pb)
     else:
-        pa = cpu_dense_repartition(pa, "cell")
-        pb = cpu_dense_repartition(pb, "cell")
+        if pin_width is None:
+            pin_width = not (
+                small_enough_to_broadcast(b, fanout=9) or small_enough_to_broadcast(a)
+            )
+        if pin_width:
+            pa = cpu_dense_repartition(pa, "cell")
+            pb = cpu_dense_repartition(pb, "cell")
 
     # int64-pinned arithmetic (ADVICE r4): coordinates are integers by
     # contract (the dx²+dy² predicate and IDW's integer division depend on

@@ -62,7 +62,7 @@ def idw(
     o_cols = [ox, oy, value] + ([oid] if oid else [])
     pairs = distance_join(
         q, obs.select(*o_cols), radius=radius, ax=qx, ay=qy, bx=ox, by=oy, level=level
-    )
+    )  # width/broadcast decision is distance_join's size-estimate gate
     # integer floor division (float `/` + cast can round across an integer
     # boundary and diverge from DuckDB's exact `//`); greatest(d², 1) keeps
     # the expression total — hit rows (d²=0) are masked by the WHEN guards

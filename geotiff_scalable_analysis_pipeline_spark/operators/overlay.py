@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cells import cell_id_col
-from ..plans.skew import cpu_dense_repartition
+from ..plans.skew import cpu_dense_repartition, small_enough_to_broadcast
 from .pip_join import DEFAULT_LEVEL, cover_cells_rect
 
 _GEOM = ("minx", "miny", "maxx", "maxy")
@@ -87,8 +87,18 @@ def overlay_rect_join(
         # REPARTITION shuffles are not AQE-skew-splittable; a single
         # pathologically hot cell serializes one task — remedies are a
         # finer level or plans/skew.py pre-salting, as in the PIP path.
-        ca = cpu_dense_repartition(ca, "cell")
-        cb = cpu_dense_repartition(cb, "cell")
+        # Size gate (round 6): when either layer's estimate — charged a
+        # conservative 64× cell-cover fanout for its bbox explode — fits
+        # under the broadcast threshold, skip the explicit exchanges and
+        # let Catalyst/AQE broadcast the small exploded cover (zero
+        # exchanges; the big layer never shuffles). Big-vs-big keeps the
+        # pinned width.
+        if not (
+            small_enough_to_broadcast(a, fanout=64)
+            or small_enough_to_broadcast(b, fanout=64)
+        ):
+            ca = cpu_dense_repartition(ca, "cell")
+            cb = cpu_dense_repartition(cb, "cell")
     j = ca.join(cb, "cell")
 
     rx = F.greatest("a_minx", "b_minx")

@@ -105,6 +105,51 @@ def salted_two_stage_count(df: DataFrame, key: str, plan: DataFrame, seed_col: s
     return partial.groupBy(key).agg(F.sum("c").alias("cnt"))
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes — driver-only, no
+    job. Parquet-scan-rooted plans derive it from the actual file bytes
+    (with column-pruning narrowing applied), so it is a reliable proxy for
+    input scale. Two caveats callers must own: ``explode``/``Generate``
+    nodes do NOT inflate the estimate (pass the known fanout explicitly to
+    :func:`small_enough_to_broadcast`), and RDD-backed plans
+    (``localCheckpoint`` lineage) report ``defaultSizeInBytes`` (huge) —
+    which safely degrades to "not small"."""
+    size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # py4j maps scala BigInt to a Python int for small values and to a
+    # JavaObject beyond the auto-conversion range
+    return size if isinstance(size, int) else int(size.toString())
+
+
+def broadcast_threshold_bytes(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` as plain bytes (≤0 when
+    auto-broadcast is disabled)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    raw = raw.strip().lower().removesuffix("b")
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if raw.endswith(suf):
+            raw, mult = raw[:-1], m
+            break
+    return int(raw) * mult
+
+
+def small_enough_to_broadcast(df: DataFrame, fanout: int = 1) -> bool:
+    """True when Catalyst's size estimate × ``fanout`` is under the
+    session's autoBroadcastJoinThreshold — i.e. a plain equi-join against
+    this side will be planned (or AQE-converted) as a BroadcastHashJoin
+    with NO exchange at all, making an explicit wave-amortized repartition
+    pure overhead (measured: the forced 4×cores-wide exchanges cost the
+    sf0.1 driver bench ~5× on dbscan whose whole input is ~100 KB).
+    Scale-adaptive by construction: the estimate grows with the input
+    bytes, so sweep/production corpora keep the explicit width; the
+    threshold is the session conf, so deployments tune one knob."""
+    try:
+        est = plan_size_bytes(df)
+    except Exception:  # estimate unavailable → conservative (not small)
+        return False
+    return 0 < fanout * est <= broadcast_threshold_bytes(df.sparkSession)
+
+
 def cpu_dense_repartition(df: DataFrame, *cols: str, waves: int = 4) -> DataFrame:
     """Pin a CPU-dense shuffle's width to ``waves × defaultParallelism``.
 

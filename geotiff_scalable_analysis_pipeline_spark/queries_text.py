@@ -1746,9 +1746,20 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE's byte-based coalescing serialized it to a 2-task stage at 600 k
     # docs (pair efficiency 0.325 N→4N); an explicit wave-amortized width
     # is exempt from coalescing and restores scaling (plans/skew.py).
-    from .plans.skew import cpu_dense_repartition
+    # Size gate (round 6): a corpus whose (token, tf) rows — charged an 8×
+    # struct-vs-text inflation on the documents estimate — fit under the
+    # broadcast threshold cannot produce CPU-dense tasks worth amortizing;
+    # skipping the exchange there saves a full 4×cores-wide shuffle stage
+    # on the small-scale driver bench while the 600 k-doc sweep shape is
+    # unchanged (its corpus estimate is far above the threshold).
+    from .plans.skew import cpu_dense_repartition, small_enough_to_broadcast
 
-    topk = cpu_dense_repartition(ranked, "doc_id").groupBy("doc_id").agg(
+    ranked_wide = (
+        ranked
+        if small_enough_to_broadcast(d, fanout=8)
+        else cpu_dense_repartition(ranked, "doc_id")
+    )
+    topk = ranked_wide.groupBy("doc_id").agg(
         F.slice(
             F.array_sort(F.collect_list("key")), 1, KEYWORDS_TOP_K
         ).alias("top")

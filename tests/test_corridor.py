@@ -120,7 +120,25 @@ def test_corridor_plan_has_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # the pair-predicate stage is CPU-dense/byte-light: the explicit
+    # small segment layer (round-6 size gate): the explicit exchanges are
+    # skipped and the exploded cover is broadcast — zero shuffles
+    assert "REPARTITION_BY_NUM" not in plan
+    assert "BroadcastHashJoin" in plan
+    # big-input shape (gate forced off via disabled auto-broadcast): the
+    # pair-predicate stage is CPU-dense/byte-light, so the explicit
     # wave-amortized repartition (exempt from AQE byte-coalescing) must
-    # stay in the plan — the bug class measured three times this round
-    assert "REPARTITION_BY_NUM" in plan
+    # stay in the plan — the bug class measured three times in round 4
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            corridor.segment_distance_join(p, s, radius=2000)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "REPARTITION_BY_NUM" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -178,15 +178,29 @@ def test_doc_keywords_topk_aggregate_is_wave_amortized(spark):
     (measured pair efficiency 0.325 N→4N). The fix pins an EXPLICIT
     repartition width (waves × defaultParallelism) on the aggregate input —
     exempt from AQE coalescing — so the plan must carry a user-specified
-    REPARTITION_BY_NUM exchange on doc_id."""
+    REPARTITION_BY_NUM exchange on doc_id. Round 6 added a size gate
+    (plans/skew.small_enough_to_broadcast): small corpora skip the
+    exchange, so the big-corpus shape is asserted with auto-broadcast
+    disabled (gate forced off) and the small-corpus shape with the session
+    default."""
     from geotiff_scalable_analysis_pipeline_spark.queries_text import q_doc_keywords
 
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = _plan(q_doc_keywords(spark, "/root/testdata/sf0.01"))
+        assert "REPARTITION_BY_NUM" in p
+        # the (token, df) dim is explicitly broadcast — AQE discovering it
+        # materializes both join-side shuffles first (measured 3× the wall)
+        assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p and "Python" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    # small-corpus branch: the explicit exchange is skipped (the groupBy's
+    # own partitioning suffices; no 4×cores-wide shuffle of a tiny frame)
     p = _plan(q_doc_keywords(spark, "/root/testdata/sf0.01"))
-    assert "REPARTITION_BY_NUM" in p
-    # the (token, df) dim is explicitly broadcast — AQE discovering it
-    # materializes both join-side shuffles first (measured 3× the wall)
-    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
-    assert "CartesianProduct" not in p and "Python" not in p
+    assert "REPARTITION_BY_NUM" not in p
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
 
 
 def test_kmv_sketch_bottom_k_is_partial_limited(spark):
@@ -256,14 +270,40 @@ def test_overview_pyramid_is_map_only(spark):
 def test_overlay_and_distance_join_pin_explicit_width(spark):
     """The CPU-dense pair-product joins must carry the user-specified
     wave-amortized repartition (exempt from AQE byte-coalescing, which
-    serialized overlay to a 0.708 N->4N pair before the fix)."""
+    serialized overlay to a 0.708 N->4N pair before the fix) — WHEN the
+    inputs are big. Round 6 added a size gate: the big-input shape is
+    asserted with auto-broadcast disabled (gate forced off); a second
+    block asserts small inputs skip the exchanges and plan a broadcast
+    join instead (zero exchanges on the pair stage)."""
     from geotiff_scalable_analysis_pipeline_spark.operators import (
         distance_join as dj,
         overlay as ov,
     )
 
     cfg = dg.GoldenConfig(n_rect_zones=50, n_points=50, n_tiles=200)
-    p1 = _plan(ov.overlay_rect_join(dg.rect_zones_df(spark, cfg), dg.rect_zones_b_df(spark, cfg)))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p1 = _plan(
+            ov.overlay_rect_join(dg.rect_zones_df(spark, cfg), dg.rect_zones_b_df(spark, cfg))
+        )
+        p2 = _plan(
+            dj.distance_join(
+                dg.points_df(spark, cfg),
+                dg.tiles_df(spark, cfg).select("media_ref", "cx", "cy"),
+                radius=3000,
+            )
+        )
+        for p in (p1, p2):
+            assert p.count("REPARTITION_BY_NUM") >= 2  # both join inputs pinned
+            assert "CartesianProduct" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    # small-input branch (session default threshold): no explicit
+    # exchanges; the pair join is a broadcast hash join
+    p1 = _plan(
+        ov.overlay_rect_join(dg.rect_zones_df(spark, cfg), dg.rect_zones_b_df(spark, cfg))
+    )
     p2 = _plan(
         dj.distance_join(
             dg.points_df(spark, cfg),
@@ -272,5 +312,6 @@ def test_overlay_and_distance_join_pin_explicit_width(spark):
         )
     )
     for p in (p1, p2):
-        assert p.count("REPARTITION_BY_NUM") >= 2  # both join inputs pinned
+        assert "REPARTITION_BY_NUM" not in p
+        assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
