@@ -163,6 +163,46 @@ def parent_col(cell: Column, steps: int = 1) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Spark-SQL string forms (round 6) — one F.expr parse instead of hundreds of
+# py4j round-trips. Building morton_col through Column operators costs
+# ~0.2 ms of driver↔JVM socket latency PER OPERATOR (measured: 58 ms per
+# morton_col call, ~0.4 s per pip_join construction — paid on every bench
+# rep); the string forms are byte-identical arithmetic (pinned by
+# tests/test_cells_geometry.py) parsed JVM-side in a single call. Analysis,
+# optimization and codegen see the same expression tree either way.
+# ---------------------------------------------------------------------------
+
+
+def morton_expr(ix: str, iy: str, level: int) -> str:
+    """Spark-SQL string computing the same Morton code as :func:`morton_col`
+    over the SQL expressions ``ix``/``iy`` (must be non-negative BIGINTs)."""
+    if level == 0:
+        return "CAST(0 AS BIGINT)"
+    terms = []
+    for b in range(level):
+        terms.append(f"shiftleft(shiftrightunsigned({ix}, {b}) & 1, {2 * b})")
+        terms.append(f"shiftleft(shiftrightunsigned({iy}, {b}) & 1, {2 * b + 1})")
+    return "(CAST(0 AS BIGINT) + " + " + ".join(terms) + ")"
+
+
+def lattice_expr(coord: str, level: int) -> str:
+    """Spark-SQL mirror of :func:`lattice_col` over the SQL expression
+    ``coord`` (numeric)."""
+    res = cell_res(level)
+    n = (1 << level) - 1
+    return (
+        f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST({n} AS BIGINT), "
+        f"CAST(FLOOR(({coord}) / {res!r}D) AS BIGINT)))"
+    )
+
+
+def cell_id_expr(x: str, y: str, level: int) -> str:
+    """Spark-SQL mirror of :func:`cell_id_col` over SQL expressions."""
+    m = morton_expr(lattice_expr(x, level), lattice_expr(y, level), level)
+    return f"(shiftleft({m}, {LEVEL_BITS}) + {level})"
+
+
+# ---------------------------------------------------------------------------
 # SQL mirror (DuckDB oracle) — same integer arithmetic, no engine code
 # ---------------------------------------------------------------------------
 

@@ -40,9 +40,9 @@ from ..functions.cells import (
     FRAME_SIZE,
     LEVEL_BITS,
     MAX_LEVEL,
-    cell_id_col,
-    lattice_col,
-    morton_col,
+    cell_id_expr,
+    lattice_expr,
+    morton_expr,
 )
 from ..plans.skew import cpu_dense_repartition, small_enough_to_broadcast
 
@@ -93,29 +93,25 @@ def distance_join(
         )
     n = 1 << lvl
 
+    # single-parse SQL-string forms (functions/cells.py round-6 note):
+    # identical expression trees, ~hundreds fewer py4j round-trips per call
     pa = a.withColumn(
-        "cell", cell_id_col(F.col(ax).cast("double"), F.col(ay).cast("double"), lvl)
+        "cell", F.expr(cell_id_expr(f"CAST(`{ax}` AS DOUBLE)", f"CAST(`{ay}` AS DOUBLE)", lvl))
     )
 
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
+    offsets = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
     )
-    ix = lattice_col(F.col(bx).cast("double"), lvl)
-    iy = lattice_col(F.col(by).cast("double"), lvl)
+    ix = lattice_expr(f"CAST(`{bx}` AS DOUBLE)", lvl)
+    iy = lattice_expr(f"CAST(`{by}` AS DOUBLE)", lvl)
     pb = (
-        b.withColumn("_o", F.explode(offsets))
-        .withColumn("_nx", ix + F.col("_o.dx"))
-        .withColumn("_ny", iy + F.col("_o.dy"))
-        .filter(
-            (F.col("_nx") >= 0) & (F.col("_nx") < n) & (F.col("_ny") >= 0) & (F.col("_ny") < n)
-        )
+        b.withColumn("_o", F.expr(f"explode(array({offsets}))"))
+        .withColumn("_nx", F.expr(f"{ix} + _o.dx"))
+        .withColumn("_ny", F.expr(f"{iy} + _o.dy"))
+        .filter(F.expr(f"_nx >= 0 AND _nx < {n} AND _ny >= 0 AND _ny < {n}"))
         .withColumn(
             "cell",
-            F.shiftleft(morton_col(F.col("_nx"), F.col("_ny"), lvl), LEVEL_BITS) + F.lit(lvl),
+            F.expr(f"shiftleft({morton_expr('_nx', '_ny', lvl)}, {LEVEL_BITS}) + {lvl}"),
         )
         .drop("_o", "_nx", "_ny")
     )

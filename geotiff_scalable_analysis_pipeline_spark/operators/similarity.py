@@ -39,14 +39,15 @@ def quantized_cosine(qa: str = "qa", qb: str = "qb", n2a: str = "n2a", n2b: str 
 
 
 def quantize(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """float32 array → exact int64 lattice (round(x·10⁶)) + squared norm."""
-    q = F.transform(vec_col, lambda x: F.round(x.cast("double") * QSCALE).cast("long"))
-    return df.select(
-        F.col(id_col),
-        q.alias("q"),
-        F.aggregate(
-            F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda s, v: s + v
-        ).alias("n2"),
+    """float32 array → exact int64 lattice (round(x·10⁶)) + squared norm.
+
+    Built as one selectExpr parse (round 6): the nested transform/aggregate
+    lambdas cost ~0.3 s of py4j round-trips per construction as Columns."""
+    q_sql = f"transform(`{vec_col}`, x -> CAST(round(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT))"
+    return df.selectExpr(
+        f"`{id_col}`",
+        f"{q_sql} AS q",
+        f"aggregate(transform({q_sql}, v -> v * v), CAST(0 AS BIGINT), (s, v) -> s + v) AS n2",
     )
 
 
@@ -68,18 +69,20 @@ def cosine_topk(
     """
     import pandas as pd
 
-    n_targets = targets.count()
-    if n_targets > max_targets:
+    # one Arrow fetch doubles as the size gate (limit(max+1), the dbscan
+    # cell-collect pattern) — replaces the former count() job + row-based
+    # collect() (two sequential driver actions, row-pickled transfer)
+    spark = queries.sparkSession
+    t_pd = targets.limit(max_targets + 1).toPandas()
+    if len(t_pd) > max_targets:
         raise ValueError(
             f"cosine_topk collects the target side to the driver; got "
-            f"{n_targets} targets > max_targets={max_targets}. Use lsh_topk "
+            f"> max_targets={max_targets} targets. Use lsh_topk "
             f"(LSH bucket join) for corpus-sized target sides."
         )
-    spark = queries.sparkSession
-    t = targets.collect()
-    t_ids = np.array([r[id_col] for r in t])
-    t_mat = np.array([r["q"] for r in t], dtype=np.int64)  # (N, d)
-    t_n2 = np.array([r["n2"] for r in t], dtype=np.int64)
+    t_ids = t_pd[id_col].to_numpy()
+    t_mat = np.stack(t_pd["q"].to_numpy()).astype(np.int64)  # (N, d)
+    t_n2 = t_pd["n2"].to_numpy(dtype=np.int64)
     order = np.argsort(t_ids)  # id-ascending for deterministic tie-break
     t_ids, t_mat, t_n2 = t_ids[order], t_mat[order], t_n2[order]
     bc = spark.sparkContext.broadcast((t_ids, t_mat, t_n2))

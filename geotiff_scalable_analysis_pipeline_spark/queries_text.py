@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .session import read_parquet
+
 P31 = 2147483647  # Mersenne prime 2^31-1 for minhash
 M31 = 2147483648  # 2^31 modulus for fingerprints
 
@@ -39,7 +41,7 @@ STOP_EN = ("the", "a", "of", "to", "and", "is")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,28 +362,26 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: band keys are shuffle keys (docs sharing a band bucket meet in
     one partition) — no all-pairs comparison ever materializes."""
     sh = _shingles(spark, sf_dir)
+    # SQL-string forms (round 6): one parse instead of ~100 py4j calls per
+    # construction; identical expression trees (oracle-paired values)
     aggs = [
-        F.min((F.col("code") * a + b) % P31).alias(f"mh{i}")
+        F.expr(f"min((code * {a} + {b}) % {P31}) AS mh{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
+    band_exprs = ", ".join(
+        "concat_ws(':', '{bi}', {cols})".format(
+            bi=bi,
+            cols=", ".join(
+                f"CAST(mh{bi * ROWS_PER_BAND + r} AS STRING)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for bi in range(N_BANDS)
+    )
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(bi),
-                        *[
-                            F.col(f"mh{bi * ROWS_PER_BAND + r}").cast("string")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                    for bi in range(N_BANDS)
-                ]
-            )
-        ).alias("band_key"),
+        F.explode(F.expr(f"array({band_exprs})")).alias("band_key"),
     )
     # SHUFFLE_HASH, not broadcast: Catalyst's size estimate puts the bands
     # frame under the broadcast threshold at bench scales, but a broadcast
@@ -522,24 +522,29 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-bit majority via plain aggregates: contrib sum for bit b is
     # Σ(±1) = 2·(#tokens with bit set) − n, so 16 sums of (h>>b)&1 plus one
     # count replace the previous 16× bit-explode + (doc_id, bit) groupBy —
-    # one map-side-combined shuffle instead of two over a 16×-inflated frame
+    # one map-side-combined shuffle instead of two over a 16×-inflated frame.
+    # Built as SQL strings (round 6): the 60-agg + 60-term-majority Column
+    # chain cost ~0.9 s of py4j round-trips PER CONSTRUCTION (paid every
+    # bench rep); one parse builds the identical expression tree.
     sig = (
         tid.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n"),
+            F.expr("count(*) AS n"),
             *[
-                F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+                F.expr(f"sum(shiftright(h, {b}) & 1) AS c{b}")
                 for b in range(SIMHASH_BITS)
             ],
         )
         .select(
             "doc_id",
-            sum(
-                F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(0)
-                for b in range(SIMHASH_BITS)
-            )
-            .cast("long")
-            .alias("simhash"),
+            F.expr(
+                "CAST("
+                + " + ".join(
+                    f"IF(c{b} * 2 > n, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
+                    for b in range(SIMHASH_BITS)
+                )
+                + " AS BIGINT) AS simhash"
+            ),
         )
     )
     width = SIMHASH_BITS // SIMHASH_BANDS
@@ -547,13 +552,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), width * i).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"shiftright(simhash, {width * i}) & {(1 << width) - 1}"
                     for i in range(SIMHASH_BANDS)
-                ]
+                )
+                + ")"
             )
         ).alias("band_idx", "band_val"),
     )
@@ -612,7 +617,7 @@ QSCALE = 1_000_000
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return e.select(
         "vec_id",
         "label",
@@ -628,7 +633,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Column-form implementation below and the SQL oracle."""
     from .operators import similarity
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     qv = similarity.quantize(e)
     return similarity.cosine_topk(qv, qv, k=TOPK)
 
@@ -689,7 +694,7 @@ SELECT vec_id, rank, other_id, cos FROM ranked WHERE rank <= {TOPK}"""
 def q_embedding_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label agreement: majority label among top-10 cosine neighbors."""
     topk = q_embedding_topk(spark, sf_dir)
-    labels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    labels = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("other_id"), F.col("label").alias("nbr_label")
     )
     return (
@@ -716,7 +721,7 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine nondeterminism."""
     from .operators import similarity
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_topk(e, k=TOPK)
 
 
@@ -778,7 +783,7 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB regenerates the identical cells, candidates, and scores."""
     from .operators import similarity
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(e, k=TOPK)
 
 
@@ -864,7 +869,7 @@ def q_minhash_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = q_minhash_lsh_pairs(spark, sf_dir).select(
         F.col("d1").alias("u"), F.col("d2").alias("v")
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").alias("node")
     )
     reps = connected_components(edges, docs)
@@ -902,7 +907,7 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-then-min two-pass makes the tie-break explicit instead of
     leaning on an engine's unspecified arg_max tie order."""
     comps = q_minhash_dedup_components(spark, sf_dir)  # doc_id, rep_id, csize
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
     j = comps.join(docs, "doc_id")
@@ -958,7 +963,7 @@ def q_embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFram
     from .operators import similarity
     from .operators.dedup_cc import connected_components
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     edges = similarity.lsh_neardup_pairs(e, NEARDUP_TAU).select(
         F.col("vec_id").alias("u"), F.col("other_id").alias("v")
     )
@@ -1837,10 +1842,10 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
     )
-    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    parts = read_parquet(spark, f"{sf_dir}/part.parquet").select(
         F.explode(F.split("p_name", " ")).alias("tok")
     )
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    events = read_parquet(spark, f"{sf_dir}/events.parquet").select(
         F.col("event_type").alias("tok")
     )
     return fastss_pairs(docs.unionByName(parts).unionByName(events))

@@ -89,3 +89,20 @@ def test_bbox_tree_matches_bruteforce():
             if minx[j] <= px[i] <= maxx[j] and miny[j] <= py[i] <= maxy[j]:
                 expect.add((i, j))
     assert got == expect
+
+
+def test_cell_expr_forms_match_column_forms(spark):
+    """The round-6 SQL-string builders (one F.expr parse — hundreds fewer
+    py4j round-trips per operator construction) must be bit-identical to
+    the Column forms at every level."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        ((F.col("id") * 2654435761) % 131072).cast("double").alias("x"),
+        ((F.col("id") * 40503) % 131072).cast("double").alias("y"),
+    )
+    for lvl in (0, 1, 5, 9, 16):
+        a = df.select(cells.cell_id_col(F.col("x"), F.col("y"), lvl).alias("c"))
+        b = df.select(F.expr(cells.cell_id_expr("x", "y", lvl)).alias("c"))
+        assert a.schema["c"].dataType == b.schema["c"].dataType
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
