@@ -190,11 +190,20 @@ def dbscan(
         # toPandas — row-based collect() of the edge list measured ~5 s of
         # pure driver serialization at 170 k edges, a serial share the N→4N
         # sweep sees directly. limit(max+1) doubles as the size gate (no
-        # separate count job).
-        rep_pd = cell_rep.limit(max_driver_cells + 1).toPandas()
+        # separate count job). Round 6: reps and edges fetch in ONE tagged
+        # union job instead of two sequential driver round-trips (both
+        # subtrees are lattice-bounded, so the rare over-gate case only
+        # wastes one bounded transfer before the distributed fallback).
+        tagged = (
+            cell_rep.limit(max_driver_cells + 1)
+            .select(F.lit(0).alias("kind"), F.col("fc").alias("a"), F.col("rep0").alias("b"))
+            .unionByName(cell_edges.select(F.lit(1).alias("kind"), "a", "b"))
+        )
+        pdf = tagged.toPandas()
+        rep_pd = pdf[pdf["kind"] == 0]
         if len(rep_pd) <= max_driver_cells:
-            reps = list(zip(rep_pd["fc"].tolist(), rep_pd["rep0"].tolist()))
-            e_pd = cell_edges.toPandas()
+            reps = list(zip(rep_pd["a"].tolist(), rep_pd["b"].tolist()))
+            e_pd = pdf[pdf["kind"] == 1]
             edges_l = list(zip(e_pd["a"].tolist(), e_pd["b"].tolist()))
             lab = _driver_union_find(edges_l, reps)
             map_df = points.sparkSession.createDataFrame(

@@ -140,14 +140,51 @@ def knn_join(
         F.col(ty).cast("long").alias("_ty"),
     ).persist()
     cached.append(tgt)
-    st = tgt.agg(
-        F.count("*").alias("n"),
-        F.min("_tx").alias("ux0"),
-        F.max("_tx").alias("ux1"),
-        F.min("_ty").alias("uy0"),
-        F.max("_ty").alias("uy1"),
-    ).first()
-    n_targets = int(st.n)
+    grid_rows = None
+    if level is not None:
+        # level known up front (the bench/caller-sized path): fold the
+        # stats action INTO the radius-oracle count-grid collect — one
+        # per-cell aggregate (≤65 k rows at GRID_MAX_LEVEL) yields the
+        # grid counts AND exact n/bbox (per-cell min/max aggregate the RAW
+        # coordinates, so clamped edge cells still report true extrema).
+        # One driver action instead of two sequential ones (round 6).
+        glevel0 = min(level, GRID_MAX_LEVEL)
+        res0 = cell_res(glevel0)
+        n0 = (1 << glevel0) - 1
+        lat0 = lambda c: F.greatest(  # noqa: E731
+            F.lit(0), F.least(F.lit(n0), F.floor(F.col(c) / F.lit(res0)).cast("long"))
+        )
+        cell_stats = (
+            tgt.select(lat0("_tx").alias("_ix"), lat0("_ty").alias("_iy"), "_tx", "_ty")
+            .groupBy("_ix", "_iy")
+            .agg(
+                F.count("*").alias("_c"),
+                F.min("_tx").alias("_x0"),
+                F.max("_tx").alias("_x1"),
+                F.min("_ty").alias("_y0"),
+                F.max("_ty").alias("_y1"),
+            )
+            .collect()
+        )
+        n_targets = sum(r["_c"] for r in cell_stats)
+        st = None
+        if n_targets:
+            bbox_units = (
+                min(r["_x0"] for r in cell_stats),
+                max(r["_x1"] for r in cell_stats),
+                min(r["_y0"] for r in cell_stats),
+                max(r["_y1"] for r in cell_stats),
+            )
+        grid_rows = cell_stats
+    else:
+        st = tgt.agg(
+            F.count("*").alias("n"),
+            F.min("_tx").alias("ux0"),
+            F.max("_tx").alias("ux1"),
+            F.min("_ty").alias("uy0"),
+            F.max("_ty").alias("uy1"),
+        ).first()
+        n_targets = int(st.n)
     if n_targets == 0:
         return (
             queries.select("q_id")
@@ -159,7 +196,8 @@ def knn_join(
                 F.lit(None).cast("long").alias("dist_sq"),
             )
         )
-    bbox_units = (int(st.ux0), int(st.ux1), int(st.uy0), int(st.uy1))
+    if st is not None:
+        bbox_units = (int(st.ux0), int(st.ux1), int(st.uy0), int(st.uy1))
     # Rescue-path contract: TARGETS must lie inside the Morton frame — the
     # radius oracle's cell-bounds proofs (disk counts, mindist lens prune)
     # assume every target sits inside the lattice cell it hashes to; an
@@ -206,7 +244,7 @@ def knn_join(
     spark.conf.set(p_key, str(n_part))
     try:
         if n_targets < BLOCK_PASS_MIN_TARGETS:
-            out = _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached)
+            out = _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached, grid_rows)
         else:
             finished, escalated = _block_knn(
                 queries.sparkSession, q, tgt, k, target_id, targets.schema[target_id].dataType,
@@ -219,7 +257,8 @@ def knn_join(
             # (blocks with fewer than k targets) get theirs from the
             # count-grid oracle.
             rescued = _oneshot_knn(
-                q.join(escalated, "q_id"), tgt, k, glevel, target_id, n_targets, dbg, cached
+                q.join(escalated, "q_id"), tgt, k, glevel, target_id, n_targets, dbg,
+                cached, grid_rows,
             )
             out = finished.unionByName(rescued)
 
@@ -475,7 +514,7 @@ def _block_knn(spark, q, tgt, k, target_id, target_id_type, bbox_units, n_target
 
 
 
-def _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached):
+def _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached, grid_rows=None):
     """Single-action exact kNN finish: per-query provably-sufficient radius →
     one disk explode → one cell equi-join → one aggregate top-k.
 
@@ -527,7 +566,7 @@ def _oneshot_knn(q, tgt, k, glevel, target_id, n_targets, dbg, cached):
     # the count grid is built unconditionally: besides the radius binary
     # search for unbounded queries, it prunes EMPTY cells from every query's
     # candidate emission (the collect stays ≤ 65 k rows at GRID_MAX_LEVEL)
-    rows = (
+    rows = grid_rows if grid_rows is not None else (
         tgt.select(lat_t("_tx").alias("_ix"), lat_t("_ty").alias("_iy"))
         .groupBy("_ix", "_iy")
         .agg(F.count("*").alias("_c"))

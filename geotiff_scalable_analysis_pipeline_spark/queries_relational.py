@@ -13,11 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .session import read_parquet
+from .session import read_parquet, read_parquet_dense
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    # dense reader: the sf tables are single-row-group files whose scans
+    # cannot split, serializing the first (filter/decimal/window-feed)
+    # stage; the size gate keeps wide production scans untouched
+    return read_parquet_dense(spark, f"{sf_dir}/{name}.parquet")
 
 
 _D = "decimal(18,2)"

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .session import read_parquet
+from .session import read_parquet, read_parquet_dense
 
 P31 = 2147483647  # Mersenne prime 2^31-1 for minhash
 M31 = 2147483648  # 2^31 modulus for fingerprints
@@ -41,7 +41,8 @@ STOP_EN = ("the", "a", "of", "to", "and", "is")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # dense reader: every consumer's first stage is CPU-dense tokenization
+    return read_parquet_dense(spark, f"{sf_dir}/documents.parquet")
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,7 +618,7 @@ QSCALE = 1_000_000
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    e = read_parquet_dense(spark, f"{sf_dir}/embeddings.parquet")
     return e.select(
         "vec_id",
         "label",
@@ -633,7 +634,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Column-form implementation below and the SQL oracle."""
     from .operators import similarity
 
-    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    e = read_parquet_dense(spark, f"{sf_dir}/embeddings.parquet")
     qv = similarity.quantize(e)
     return similarity.cosine_topk(qv, qv, k=TOPK)
 
@@ -694,7 +695,7 @@ SELECT vec_id, rank, other_id, cos FROM ranked WHERE rank <= {TOPK}"""
 def q_embedding_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label agreement: majority label among top-10 cosine neighbors."""
     topk = q_embedding_topk(spark, sf_dir)
-    labels = read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+    labels = read_parquet_dense(spark, f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("other_id"), F.col("label").alias("nbr_label")
     )
     return (
@@ -721,7 +722,7 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine nondeterminism."""
     from .operators import similarity
 
-    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    e = read_parquet_dense(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_topk(e, k=TOPK)
 
 
@@ -783,7 +784,7 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB regenerates the identical cells, candidates, and scores."""
     from .operators import similarity
 
-    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    e = read_parquet_dense(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(e, k=TOPK)
 
 
@@ -869,7 +870,7 @@ def q_minhash_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = q_minhash_lsh_pairs(spark, sf_dir).select(
         F.col("d1").alias("u"), F.col("d2").alias("v")
     )
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+    docs = read_parquet_dense(spark, f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").alias("node")
     )
     reps = connected_components(edges, docs)
@@ -907,7 +908,7 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-then-min two-pass makes the tie-break explicit instead of
     leaning on an engine's unspecified arg_max tie order."""
     comps = q_minhash_dedup_components(spark, sf_dir)  # doc_id, rep_id, csize
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+    docs = read_parquet_dense(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
     j = comps.join(docs, "doc_id")
@@ -963,7 +964,7 @@ def q_embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFram
     from .operators import similarity
     from .operators.dedup_cc import connected_components
 
-    e = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    e = read_parquet_dense(spark, f"{sf_dir}/embeddings.parquet")
     edges = similarity.lsh_neardup_pairs(e, NEARDUP_TAU).select(
         F.col("vec_id").alias("u"), F.col("other_id").alias("v")
     )
@@ -1842,10 +1843,10 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
     )
-    parts = read_parquet(spark, f"{sf_dir}/part.parquet").select(
+    parts = read_parquet_dense(spark, f"{sf_dir}/part.parquet").select(
         F.explode(F.split("p_name", " ")).alias("tok")
     )
-    events = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+    events = read_parquet_dense(spark, f"{sf_dir}/events.parquet").select(
         F.col("event_type").alias("tok")
     )
     return fastss_pairs(docs.unionByName(parts).unionByName(events))
