@@ -213,9 +213,18 @@ def chunk_class_stats(
 
     # media_ref is the PK: rows are independent → mapInPandas (no shuffle,
     # unlike a grouped applyInPandas, which would hash-repartition the blobs)
-    return media.select("media_ref", "proc_baseline", "payload").mapInPandas(
-        run, CHUNK_CLASS_SCHEMA
-    )
+    sel = media.select("media_ref", "proc_baseline", "payload")
+    # Size-gated spread (round 6): a `limit()` upstream collapses the plan
+    # to ONE partition (GlobalLimit), serializing the whole decode+chunk
+    # UDF (measured 1.3 s → 0.65 s at 256 tiles / local[32] once spread).
+    # Only a small input (plan estimate under the broadcast threshold) is
+    # worth shuffling payload blobs for; a production-sized media scan is
+    # already wide and must never pay a blob shuffle here.
+    from ..plans.skew import small_enough_to_broadcast
+
+    if small_enough_to_broadcast(sel):
+        sel = sel.repartition(media.sparkSession.sparkContext.defaultParallelism)
+    return sel.mapInPandas(run, CHUNK_CLASS_SCHEMA)
 
 
 CHUNK_PROB_SCHEMA = (

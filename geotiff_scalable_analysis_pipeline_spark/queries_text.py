@@ -1196,8 +1196,9 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars of ``md5(doc_id)`` are uniform over 256 buckets; byte-lexicographic
     thresholds 'cd' (205/256 ≈ 80.1%) and 'e6' (230/256 ≈ 89.8%) give an
     ~80/10/10 split. Map-only (narrow projection, no shuffle) — at 100 TB
-    this is a free column, not a job."""
-    d = _docs(spark, sf_dir)
+    this is a free column, not a job. Plain reader, not the dense one:
+    a map-only tag must never pay a scan-spread exchange."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (
         F.when(hx < F.lit("cd"), F.lit("train"))
@@ -1306,8 +1307,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decorrelated from the ``corpus_split`` hash, which keys on doc_id
     alone): no seed, no shuffle, no drift as the corpus grows, identical
     assignment on every engine and every rerun. Map-only narrow projection —
-    at 100 TB this is a filter, not a job."""
-    d = _docs(spark, sf_dir)
+    at 100 TB this is a filter, not a job. Plain reader, not the dense one:
+    a map-only filter must never pay a scan-spread exchange."""
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
     hx = F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "source")), 1, 2)
     thr = F.lit(STRATA_DEFAULT)
     for src, t in sorted(STRATA_THRESHOLDS.items()):

@@ -196,10 +196,18 @@ def test_doc_keywords_topk_aggregate_is_wave_amortized(spark):
         assert "CartesianProduct" not in p and "Python" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-    # small-corpus branch: the explicit exchange is skipped (the groupBy's
-    # own partitioning suffices; no 4×cores-wide shuffle of a tiny frame)
+    # small-corpus branch: the explicit wave exchange is skipped (the
+    # groupBy's own partitioning suffices). Exactly ONE user repartition
+    # remains — the dense reader's round-robin scan spread — and the
+    # doc_id-keyed 4×cores wave exchange is gone.
     p = _plan(q_doc_keywords(spark, "/root/testdata/sf0.01"))
-    assert "REPARTITION_BY_NUM" not in p
+    # no user repartition is HASH-keyed (the wave pin was hashpartitioning
+    # on doc_id); the remaining REPARTITION_BY_NUM nodes are the dense
+    # reader's RoundRobin scan spreads
+    assert not any(
+        "REPARTITION_BY_NUM" in ln and "hashpartitioning" in ln
+        for ln in p.splitlines()
+    )
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
 
 
