@@ -116,6 +116,18 @@ def ihash_col(k: Column, salt: int) -> Column:
     return F.shiftright(x, 16).bitwiseXOR(x)
 
 
+def ihash_expr(k: str, salt: int) -> str:
+    """Spark-SQL text twin of :func:`ihash_col` over a BIGINT expression —
+    one ``F.expr`` parse instead of ~30 py4j round-trips per call (query
+    builders re-run every bench rep). The textual duplication of ``x``
+    mirrors the Column form's shared-node tree; codegen's common-
+    subexpression elimination evaluates it once either way."""
+    x = f"((({k}) * {M1} + {salt * M2 + 12345}) % {MOD})"
+    x = f"(((shiftright({x}, 15) ^ {x}) * {M3}) % {MOD})"
+    x = f"(((shiftright({x}, 13) ^ {x}) * {M4}) % {MOD})"
+    return f"(shiftright({x}, 16) ^ {x})"
+
+
 def ihash_sql(k: str, salt: int) -> str:
     x = f"((CAST({k} AS BIGINT) * {M1} + {salt * M2 + 12345}) % {MOD})"
     x = f"((xor({x} >> 15, {x}) * {M3}) % {MOD})"

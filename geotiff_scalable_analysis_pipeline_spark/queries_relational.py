@@ -30,23 +30,26 @@ _D = "decimal(18,2)"
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-12-31")
-    qty = F.col("l_quantity").cast(_D)
-    price = F.col("l_extendedprice").cast(_D)
-    disc = F.col("l_discount").cast(_D)
-    tax = F.col("l_tax").cast(_D)
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast(_D) - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1).cast(_D) - disc) * (F.lit(1).cast(_D) + tax))
-            .cast("double")
-            .alias("sum_charge"),
-            F.count("*").alias("count_order"),
-        )
-        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    # one parameterized spark.sql parse (round 6): the Column-chain builder
+    # cost ~430 py4j round-trips per construction, re-paid every bench rep;
+    # the parsed tree (decimal-cast sums, post-agg avg projection) is the
+    # same expression tree the Column form built
+    qty, price, disc, tax = (
+        f"CAST({c} AS {_D})"
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    one = f"CAST(1 AS {_D})"
+    return spark.sql(
+        f"SELECT *, sum_qty / count_order AS avg_qty FROM ("
+        f"SELECT l_returnflag, l_linestatus,"
+        f" CAST(sum({qty}) AS DOUBLE) AS sum_qty,"
+        f" CAST(sum({price}) AS DOUBLE) AS sum_base_price,"
+        f" CAST(sum({price} * ({one} - {disc})) AS DOUBLE) AS sum_disc_price,"
+        f" CAST(sum({price} * ({one} - {disc}) * ({one} + {tax})) AS DOUBLE) AS sum_charge,"
+        f" count(*) AS count_order"
+        f" FROM {{li}} WHERE l_shipdate <= '2000-12-31'"
+        f" GROUP BY l_returnflag, l_linestatus)",
+        li=_t(spark, sf_dir, "lineitem"),
     )
 
 
@@ -102,21 +105,26 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rev = (F.col("l_extendedprice").cast(_D) * (F.lit(1).cast(_D) - F.col("l_discount").cast(_D)))
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(_t(spark, sf_dir, "supplier")),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(_t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    # one parameterized spark.sql parse (round 6 — was ~550 py4j round-trips
+    # of join-chain construction per bench rep); identical left-deep join
+    # order and explicit broadcasts of the three dim tables
+    return spark.sql(
+        f"SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */ n_name,"
+        f" CAST(sum(CAST(l_extendedprice AS {_D})"
+        f"  * (CAST(1 AS {_D}) - CAST(l_discount AS {_D}))) AS DOUBLE) AS revenue,"
+        f" count(*) AS n_items"
+        f" FROM {{li}} JOIN {{o}} ON l_orderkey = o_orderkey"
+        f" JOIN {{c}} ON o_custkey = c_custkey"
+        f" JOIN {{s}} s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+        f" JOIN {{n}} n ON s_nationkey = n_nationkey"
+        f" JOIN {{r}} r ON n_regionkey = r_regionkey"
+        f" WHERE r_name = 'ASIA' GROUP BY n_name",
+        li=_t(spark, sf_dir, "lineitem"),
+        o=_t(spark, sf_dir, "orders"),
+        c=_t(spark, sf_dir, "customer"),
+        s=_t(spark, sf_dir, "supplier"),
+        n=_t(spark, sf_dir, "nation"),
+        r=_t(spark, sf_dir, "region"),
     )
 
 
@@ -463,7 +471,7 @@ _KMV_HASH_SQL = _tid_sql("md5(CAST(user_id AS VARCHAR))")
 
 
 def _kmv_hash_col():
-    return _tid_col(F.md5(F.col("user_id").cast("string")))
+    return _tid_col("md5(CAST(user_id AS STRING))")
 
 
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,7 +628,7 @@ def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group regardless of corpus size — then a 64-row fold per flag.
     """
     li = _t(spark, sf_dir, "lineitem")
-    h = _tid_col(F.md5(F.col("l_orderkey").cast("string")))
+    h = _tid_col("md5(CAST(l_orderkey AS STRING))")
     rest = F.floor(h / HLL_M).cast("long")
     # rho = 1-based position of the first set bit in the 25-bit window
     # (leading zeros + 1); all-zero window → 26. bin() drops leading zeros
@@ -913,39 +921,35 @@ def skyline_2d(
 ) -> DataFrame:
     """Core of :func:`q_skyline_parts`: minimize (x, y) over any frame;
     returns the non-dominated distinct points with their multiplicity."""
+    # One parameterized spark.sql parse (round 6 — the Window-spec Column
+    # chain cost ~490 py4j round-trips per construction). The deliberate
+    # single-partition window keeps its constant `bkt & 0` partition key (a
+    # bare literal 0 would be constant-folded out of the spec, reintroducing
+    # the WindowExec no-partition warning); its input is the bucket-min
+    # table, whose cardinality is price-range/bwidth — a constant, not
+    # data-sized. The broadcast hint replicates the F.broadcast(bprev) of
+    # the Column form.
     pts = src.groupBy(x, y).agg(F.count("*").alias(count_alias))
-    perx = pts.groupBy(x).agg(F.min(y).alias("min_size")).withColumn(
-        "bkt", F.expr(f"{x} div {bwidth}")
-    )
-    wloc = (
-        Window.partitionBy("bkt")
-        .orderBy(x)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # deliberate single-partition window: its input is the bucket-min table,
-    # whose cardinality is price-range/bwidth — a constant, not data-sized.
-    # The partition key is the constant bkt&0 (a bare lit(0) would be
-    # constant-folded out of the spec, reintroducing the WindowExec
-    # no-partition warning); the explicit spec states the bounded contract.
-    wbkt = (
-        Window.partitionBy(F.col("bkt").bitwiseAND(F.lit(0)))
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bprev = (
-        perx.groupBy("bkt")
-        .agg(F.min("min_size").alias("bmin"))
-        .withColumn("bprev", F.min("bmin").over(wbkt))
-        .select("bkt", "bprev")
-    )
-    frontier = (
-        perx.join(F.broadcast(bprev), "bkt")
-        .withColumn("prev_min", F.least(F.min("min_size").over(wloc), F.col("bprev")))
-        .filter(F.col("prev_min").isNull() | (F.col("min_size") < F.col("prev_min")))
-        .select(x, F.col("min_size").alias(y))
-    )
-    return frontier.join(pts, [x, y]).select(
-        x, y, F.col(count_alias).cast("long").alias(count_alias)
+    return src.sparkSession.sql(
+        f"""
+WITH perx AS (
+  SELECT {x}, min({y}) AS min_size, {x} div {bwidth} AS bkt
+  FROM {{pts}} GROUP BY {x}),
+bprev AS (
+  SELECT bkt, min(bmin) OVER (PARTITION BY bkt & 0 ORDER BY bkt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bprev
+  FROM (SELECT bkt, min(min_size) AS bmin FROM perx GROUP BY bkt)),
+frontier AS (
+  SELECT {x}, min_size AS {y} FROM (
+    SELECT /*+ BROADCAST(bprev) */ {x}, min_size,
+           least(min(min_size) OVER (PARTITION BY bkt ORDER BY {x}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), bprev)
+             AS prev_min
+    FROM perx JOIN bprev USING (bkt))
+  WHERE prev_min IS NULL OR min_size < prev_min)
+SELECT {x}, {y}, CAST({count_alias} AS BIGINT) AS {count_alias}
+FROM frontier JOIN {{pts}} USING ({x}, {y})""",
+        pts=pts,
     )
 
 

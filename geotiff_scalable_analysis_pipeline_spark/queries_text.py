@@ -39,6 +39,15 @@ N_BANDS, ROWS_PER_BAND = 4, 2
 
 STOP_EN = ("the", "a", "of", "to", "and", "is")
 
+# whitespace tokenization of the `text` column as ONE parsed expression —
+# the Python-lambda form (F.filter(F.split(...), lambda ...)) costs ~40
+# py4j round-trips per use and query builders re-run every bench rep
+_TOKS_EXPR = "filter(split(text, ' '), t -> t != '')"
+
+
+def _toks_col():
+    return F.expr(_TOKS_EXPR)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dense reader: every consumer's first stage is CPU-dense tokenization
@@ -303,15 +312,21 @@ FROM s"""
 HMUL = 1000003  # shingle-combine multiplier (fits int64: 2^31 * 1e6 < 2^62)
 
 
-def _tid_col(token):
-    """Portable string hash: fold chars as (acc·131 + codepoint) mod 2³¹.
-    ``token`` is any string Column expression (tokens here; md5 hex digests
-    in the KMV sketch, queries_relational.py)."""
-    return F.aggregate(
-        F.filter(F.split(token, ""), lambda c: c != ""),
-        F.lit(0).cast("long"),
-        lambda a, c: (a * 131 + F.ascii(c).cast("long")) % M31,
+def _tid_expr(expr: str = "token") -> str:
+    """Spark-SQL text of the portable string hash (see :func:`_tid_col`)."""
+    return (
+        f"aggregate(filter(split({expr}, ''), c -> c != ''), CAST(0 AS BIGINT), "
+        f"(a, c) -> (a * 131 + CAST(ascii(c) AS BIGINT)) % {M31})"
     )
+
+
+def _tid_col(token: str):
+    """Portable string hash: fold chars as (acc·131 + codepoint) mod 2³¹.
+    ``token`` is any string SQL expression text (tokens here; md5 hex
+    digests in the KMV sketch, queries_relational.py). One ``F.expr``
+    parse — the Python-lambda HOF builder cost ~80 py4j round-trips per
+    call (round 6)."""
+    return F.expr(_tid_expr(token))
 
 
 def _tid_sql(expr: str = "token") -> str:
@@ -329,7 +344,7 @@ _TID_SQL = _tid_sql()
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, code) 3-gram shingle codes folded from token hashes:
     code = ((h1·HMUL + h2) mod 2³¹ · HMUL + h3) mod 2³¹."""
-    toks = _tokens(spark, sf_dir).withColumn("tid", _tid_col(F.col("token")))
+    toks = _tokens(spark, sf_dir).withColumn("tid", _tid_col("token"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         toks.withColumn("t2", F.lead("tid", 1).over(w))
@@ -511,7 +526,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result set is identical to the brute-force form (the oracle)."""
     tid = (
         _tokens(spark, sf_dir)
-        .select("doc_id", _tid_col(F.col("token")).alias("t0"))
+        .select("doc_id", _tid_col("token").alias("t0"))
         .select(
             "doc_id",
             (
@@ -524,29 +539,22 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σ(±1) = 2·(#tokens with bit set) − n, so 16 sums of (h>>b)&1 plus one
     # count replace the previous 16× bit-explode + (doc_id, bit) groupBy —
     # one map-side-combined shuffle instead of two over a 16×-inflated frame.
-    # Built as SQL strings (round 6): the 60-agg + 60-term-majority Column
-    # chain cost ~0.9 s of py4j round-trips PER CONSTRUCTION (paid every
-    # bench rep); one parse builds the identical expression tree.
-    sig = (
-        tid.groupBy("doc_id")
-        .agg(
-            F.expr("count(*) AS n"),
-            *[
-                F.expr(f"sum(shiftright(h, {b}) & 1) AS c{b}")
-                for b in range(SIMHASH_BITS)
-            ],
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST("
-                + " + ".join(
-                    f"IF(c{b} * 2 > n, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
-                    for b in range(SIMHASH_BITS)
-                )
-                + " AS BIGINT) AS simhash"
-            ),
-        )
+    # Built as ONE parameterized spark.sql parse (round 6): the 60-agg +
+    # 60-term-majority Column chain cost ~0.9 s of py4j round-trips PER
+    # CONSTRUCTION (paid every bench rep); even as 61 separate F.expr
+    # calls it still paid ~200 py4j round-trips. A single sql() call
+    # builds the identical expression tree (~3 ms).
+    sums = ", ".join(
+        f"sum(shiftright(h, {b}) & 1) AS c{b}" for b in range(SIMHASH_BITS)
+    )
+    majority = " + ".join(
+        f"IF(c{b} * 2 > n, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = spark.sql(
+        f"SELECT doc_id, CAST({majority} AS BIGINT) AS simhash FROM "
+        f"(SELECT doc_id, count(*) AS n, {sums} FROM {{tid}} GROUP BY doc_id)",
+        tid=tid,
     )
     width = SIMHASH_BITS // SIMHASH_BANDS
     bands = sig.select(
@@ -564,24 +572,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "band_val"),
     )
     # shuffle_hash for the same reason as q_minhash_lsh_pairs: never broadcast
-    # a corpus-sized band frame; ReuseExchange computes the signatures once
-    a = bands.alias("a").hint("shuffle_hash")
-    b = bands.alias("b")
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.simhash").alias("sim1"),
-            F.col("b.simhash").alias("sim2"),
-        )
-        .withColumn(
-            "hamming", F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).cast("int")
-        )
-        .filter(F.col("hamming") <= 3)  # verify BEFORE dedup — shrinks the distinct
-        .distinct()  # a pair can agree on several bands
-        .select("d1", "d2", "hamming", "sim1", "sim2")
+    # a corpus-sized band frame; ReuseExchange computes the signatures once.
+    # Verify (hamming ≤ 3) BEFORE the dedup — shrinks the distinct; one
+    # sql() parse for the whole tail (round 6, same tree as the Column form)
+    return spark.sql(
+        "SELECT d1, d2, hamming, sim1, sim2 FROM ("
+        " SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,"
+        "        CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming,"
+        "        a.simhash AS sim1, b.simhash AS sim2"
+        " FROM {bands_a} a JOIN {bands_b} b"
+        "   ON a.band_idx = b.band_idx AND a.band_val = b.band_val"
+        "   AND a.doc_id < b.doc_id"
+        " WHERE bit_count(a.simhash ^ b.simhash) <= 3)",
+        bands_a=bands.hint("shuffle_hash"),  # hinted LEFT → BuildLeft, as before
+        bands_b=bands,
     )
 
 
@@ -1337,18 +1341,24 @@ def _adjacent_grams(arr, n: int):
     ``sequence`` is guarded — Spark generates a DESCENDING sequence when
     stop < start, so the short-doc case must never reach it.
 
-    ``arr`` MUST be a materialized column (AttributeReference), not a
+    ``arr`` MUST be a materialized column (AttributeReference) NAME, not a
     computed expression: higher-order functions are interpreted
     (CodegenFallback) and re-evaluate everything inside the lambda body PER
     ELEMENT — an expression-valued ``arr`` turns this O(d) transform into
     O(d²) (measured: minutes over just 5 k docs). An attribute is one
-    row-field read per access."""
-    idx = F.sequence(F.lit(1), F.size(arr) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(arr, i + k) for k in range(n)])
+    row-field read per access.
+
+    Built as ONE ``F.expr`` parse (round 6): the Python-lambda HOF builder
+    costs ~40 py4j round-trips per call and the builders re-run every bench
+    rep; the parsed tree is the same expression."""
+    els = ", ".join(
+        f"element_at({arr}, i + {k})" if k else f"element_at({arr}, i)"
+        for k in range(n)
     )
-    return F.when(F.size(arr) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    return F.expr(
+        f"CASE WHEN size({arr}) >= {n} THEN "
+        f"transform(sequence(1, size({arr}) - {n - 1}), i -> concat_ws(' ', {els})) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 
@@ -1359,43 +1369,25 @@ def _rep_agg(s):
     reference ONLY lambda variables (acc, x) — the interpreted-HOF trap that
     makes expression references O(d²) cannot apply; ``s`` itself is the
     aggregate's input argument, evaluated once per row. O(d) per row after
-    the O(d log d) sort."""
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("top"),
-        F.lit(0).cast("long").alias("singles"),
+    the O(d log d) sort. One ``F.expr`` parse (round 6 — the Python-lambda
+    builder cost ~90 py4j round-trips per call); the textual duplication of
+    ``same``/``new_run`` matches the Column form's tree, whose interpreted
+    evaluation re-computes shared nodes anyway."""
+    same = f"(acc.prev IS NOT NULL AND x = acc.prev)"
+    new_run = f"CASE WHEN {same} THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END"
+    add_single = (
+        "acc.singles + CASE WHEN acc.run = 1 THEN CAST(1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
     )
-
-    def step(acc, x):
-        same = acc["prev"].isNotNull() & (x == acc["prev"])
-        new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            x.alias("prev"),
-            new_run.alias("run"),
-            F.greatest(acc["top"], new_run).alias("top"),
-            F.when(same, acc["singles"])
-            .otherwise(
-                acc["singles"]
-                + F.when(acc["run"] == 1, F.lit(1).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-            .alias("singles"),
-        )
-
-    def finish(acc):
-        return F.struct(
-            acc["top"].alias("top"),
-            (
-                acc["singles"]
-                + F.when(acc["run"] == 1, F.lit(1).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("singles"),
-        )
-
-    return F.aggregate(s, zero, step, finish)
+    return F.expr(
+        f"aggregate({s}, "
+        "struct(CAST(NULL AS string) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS top, CAST(0 AS BIGINT) AS singles), "
+        f"(acc, x) -> struct(x AS prev, {new_run} AS run, "
+        f"greatest(acc.top, {new_run}) AS top, "
+        f"CASE WHEN {same} THEN acc.singles ELSE {add_single} END AS singles), "
+        f"acc -> struct(acc.top AS top, ({add_single}) AS singles))"
+    )
 
 
 def _run_bounds(s):
@@ -1405,12 +1397,12 @@ def _run_bounds(s):
     is guarded against the empty case (stop < start generates a DESCENDING
     sequence) and the ``i == 1`` disjunct short-circuits before
     ``element_at`` could see index 0."""
-    b = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size(s), F.lit(1))),
-        lambda i: (i == F.lit(1))
-        | (F.element_at(s, i) != F.element_at(s, i - 1)),
+    return F.expr(
+        f"CASE WHEN size({s}) > 0 THEN "
+        f"filter(sequence(1, greatest(size({s}), 1)), "
+        f"i -> i = 1 OR element_at({s}, i) != element_at({s}, i - 1)) "
+        f"ELSE CAST(array() AS array<int>) END"
     )
-    return F.when(F.size(s) > 0, b).otherwise(F.array().cast("array<int>"))
 
 
 def _run_pairs(s, b):
@@ -1420,19 +1412,14 @@ def _run_pairs(s, b):
     boundary (sentinel: size+1); the ``nxt`` array is an argument of
     ``zip_with`` (evaluated once per row), only attribute probes happen
     per element."""
-    nxt = F.concat(
-        F.slice(b, 2, F.greatest(F.size(b) - 1, F.lit(0))),
-        F.array(F.size(s) + 1),
+    nxt = (
+        f"concat(slice({b}, 2, greatest(size({b}) - 1, 0)), array(size({s}) + 1))"
     )
-    pairs = F.zip_with(
-        b,
-        nxt,
-        lambda st, en: F.struct(
-            F.element_at(s, st).alias("token"), (en - st).cast("long").alias("tf")
-        ),
-    )
-    return F.when(F.size(s) > 0, pairs).otherwise(
-        F.array().cast("array<struct<token:string,tf:bigint>>")
+    return F.expr(
+        f"CASE WHEN size({s}) > 0 THEN "
+        f"zip_with({b}, {nxt}, (st, en) -> "
+        f"struct(element_at({s}, st) AS token, CAST(en - st AS BIGINT) AS tf)) "
+        f"ELSE CAST(array() AS array<struct<token:string,tf:bigint>>) END"
     )
 
 
@@ -1459,23 +1446,20 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch only lambda variables. Counts are integers; each fraction is one
     exact-operand double division."""
     d = _docs(spark, sf_dir)
-    toked = d.select(
-        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
-    )
-    tk = F.col("toks")
+    toked = d.select("doc_id", _toks_col().alias("toks"))
     sorted_grams = toked.select(
         "doc_id",
         # gram count without materializing the gram strings: a doc of t
         # tokens has max(t-n+1, 0) adjacent n-grams
-        F.greatest(F.size(tk) - 1, F.lit(0)).cast("long").alias("n2"),
-        F.array_sort(_adjacent_grams(tk, 2)).alias("s2"),
-        F.greatest(F.size(tk) - 2, F.lit(0)).cast("long").alias("n3"),
-        F.array_sort(_adjacent_grams(tk, 3)).alias("s3"),
+        F.expr("CAST(greatest(size(toks) - 1, 0) AS BIGINT)").alias("n2"),
+        F.array_sort(_adjacent_grams("toks", 2)).alias("s2"),
+        F.expr("CAST(greatest(size(toks) - 2, 0) AS BIGINT)").alias("n3"),
+        F.array_sort(_adjacent_grams("toks", 3)).alias("s3"),
     )
     agged = sorted_grams.select(
         "doc_id", "n2", "n3",
-        _rep_agg(F.col("s2")).alias("a2"),
-        _rep_agg(F.col("s3")).alias("a3"),
+        _rep_agg("s2").alias("a2"),
+        _rep_agg("s3").alias("a3"),
     )
 
     def stats(n: str):
@@ -1583,38 +1567,35 @@ def corpus_filter_verdicts(docs: DataFrame) -> DataFrame:
     hash-groupBy as ``dedup_exact`` over survivors only, left-joined back on
     the md5 — no sort, two shuffles total (md5 groupBy + final lang rollup).
     Counts are integers → exact pair."""
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    n_tok = F.size(toks)
-    swr = F.size(F.filter(toks, lambda t: t.isin(*STOP_EN))).cast(
-        "double"
-    ) / F.greatest(n_tok, F.lit(1)).cast("double")
-    passes = (
-        (n_tok >= FILTER_MIN_TOKENS)
-        & (n_tok <= FILTER_MAX_TOKENS)
-        & (swr >= FILTER_MIN_STOPWORD_RATIO)
+    # one parameterized spark.sql parse (round 6 — the Column form cost
+    # ~550 py4j round-trips per construction); same expression tree: the
+    # token array is textually re-expanded exactly where the Column form
+    # duplicated its subtree, and the ratio threshold uses a D-suffixed
+    # DOUBLE literal to match the Python-float literal of the Column form
+    n_tok = f"size({_TOKS_EXPR})"
+    swr = (
+        f"CAST(size(filter({_TOKS_EXPR}, t -> t IN ({_STOP_LIST}))) AS DOUBLE)"
+        f" / CAST(greatest({n_tok}, 1) AS DOUBLE)"
     )
-    sig = docs.select(
-        "doc_id", "lang", F.md5("text").alias("h"),
-        n_tok.alias("n_tok"), swr.alias("swr"), passes.alias("passes"),
-    )
-    keepers = (
-        sig.filter("passes").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    )
-    j = sig.join(keepers, "h", "left")
-    verdict = (
-        F.when(
-            (F.col("n_tok") < FILTER_MIN_TOKENS)
-            | (F.col("n_tok") > FILTER_MAX_TOKENS),
-            "drop_length",
-        )
-        .when(F.col("swr") < FILTER_MIN_STOPWORD_RATIO, "drop_quality")
-        .when(F.col("doc_id") != F.col("keep_id"), "drop_duplicate")
-        .otherwise("keep")
-    )
-    return (
-        j.select("lang", verdict.alias("verdict"))
-        .groupBy("lang", "verdict")
-        .agg(F.count("*").alias("n_docs"))
+    ratio = f"{FILTER_MIN_STOPWORD_RATIO!r}D"
+    return docs.sparkSession.sql(
+        f"""
+WITH sig AS (
+  SELECT doc_id, lang, md5(text) AS h, {n_tok} AS n_tok, {swr} AS swr,
+         ({n_tok} >= {FILTER_MIN_TOKENS} AND {n_tok} <= {FILTER_MAX_TOKENS}
+          AND {swr} >= {ratio}) AS passes
+  FROM {{docs}}),
+keepers AS (SELECT h, min(doc_id) AS keep_id FROM sig WHERE passes GROUP BY h)
+SELECT lang,
+  CASE WHEN n_tok < {FILTER_MIN_TOKENS} OR n_tok > {FILTER_MAX_TOKENS}
+         THEN 'drop_length'
+       WHEN swr < {ratio} THEN 'drop_quality'
+       WHEN doc_id != keep_id THEN 'drop_duplicate'
+       ELSE 'keep' END AS verdict,
+  count(*) AS n_docs
+FROM sig LEFT JOIN keepers USING (h)
+GROUP BY lang, verdict""",
+        docs=docs,
     )
 
 
@@ -1723,16 +1704,13 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior)."""
     d = _docs(spark, sf_dir)
     sorted_toks = d.select(
-        "doc_id",
-        F.array_sort(
-            F.filter(F.split("text", " "), lambda t: t != "")
-        ).alias("s"),
+        "doc_id", F.array_sort(_toks_col()).alias("s")
     )
     bounded = sorted_toks.select(
-        "doc_id", "s", _run_bounds(F.col("s")).alias("b")
+        "doc_id", "s", _run_bounds("s").alias("b")
     )
     tf = bounded.select(
-        "doc_id", F.explode(_run_pairs(F.col("s"), F.col("b"))).alias("p")
+        "doc_id", F.explode(_run_pairs("s", "b")).alias("p")
     ).select("doc_id", "p.token", "p.tf")
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     # EXPLICIT broadcast of the (token, df) dim: letting AQE discover it
@@ -1904,32 +1882,28 @@ def cm_sketch_frame(
     from . import datagen as dg
 
     spark = docs.sparkSession
-    toks = docs.select(
-        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    toks = docs.select(F.explode(_toks_col()).alias("token"))
+
+    # one parsed expression for the DEPTH register coordinates (round 6:
+    # the Column-form listcomp cost ~1,100 py4j round-trips per build)
+    rc_arr = ", ".join(
+        f"struct({r} AS r, ({dg.ihash_expr('tid', CM_SALT + r)}) % {width} AS c)"
+        for r in range(depth)
     )
 
     def cells(frame):
         return frame.select(
             *[c for c in frame.columns if c != "tid"],
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            (dg.ihash_col(F.col("tid"), CM_SALT + r) % width).alias("c"),
-                        )
-                        for r in range(depth)
-                    ]
-                )
-            ).alias("rc"),
+            F.expr(f"explode(array({rc_arr}))").alias("rc"),
         )
 
-    tid = toks.withColumn("tid", _tid_col(F.col("token"))).drop("token")
+    tid = toks.select(_tid_col("token").alias("tid"))
     sketch = cells(tid).groupBy("rc.r", "rc.c").agg(F.count("*").alias("cnt"))
 
+    probe_vals = ", ".join(f"'{w}'" for w in probes)
     probe_df = spark.range(1).select(
-        F.explode(F.array(*[F.lit(w) for w in probes])).alias("token")
-    ).withColumn("tid", _tid_col(F.col("token")))
+        F.expr(f"explode(array({probe_vals}))").alias("token")
+    ).withColumn("tid", _tid_col("token"))
     probe_cells = cells(probe_df).select("token", "rc.r", "rc.c")
     est = (
         probe_cells.join(sketch, ["r", "c"], "left")
@@ -2015,40 +1989,33 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bigram_pmi_frame(docs: DataFrame, min_pair: int = PMI_MIN_PAIR) -> DataFrame:
     """Core of :func:`q_bigram_pmi` over any frame with a ``text`` column."""
-    arr = F.filter(F.split("text", " "), lambda t: t != "")
-    pairs = F.expr(
-        "transform(sequence(1, size(_arr) - 1), "
-        "          i -> struct(element_at(_arr, i) AS w1, element_at(_arr, i + 1) AS w2))"
-    )
-    big = (
-        docs.select(arr.alias("_arr"))
-        .filter(F.size("_arr") >= 2)  # sequence(1, 0) would run DESCENDING
-        .select(F.explode(pairs).alias("p"))
-        .select("p.w1", "p.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= min_pair)
-    )
-    uni = (
-        docs.select(F.explode(arr).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-    )
-    tot = uni.agg(F.sum("cnt").alias("t_tokens"))
+    # one parameterized spark.sql parse (round 6 — the Column form cost
+    # ~460 py4j round-trips per construction); identical tree: pair
+    # transform rides the explode (filter size ≥ 2 BEFORE it — sequence(1,0)
+    # would run DESCENDING), vocabulary joins left to AQE, the 1-row total
+    # broadcast-cross-joined, decimal(38,0) integral-divide lift
     d = "CAST({} AS DECIMAL(38,0))"
-    return (
-        big.join(uni.select(F.col("token").alias("w1"), F.col("cnt").alias("c1")), "w1")
-        .join(uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c2")), "w2")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "w1",
-            "w2",
-            F.col("pair_cnt").cast("long").alias("pair_cnt"),
-            F.expr(
-                f"({d.format('pair_cnt')} * {d.format('t_tokens')}) "
-                f"div ({d.format('c1')} * {d.format('c2')})"
-            ).alias("lift"),
-        )
+    return docs.sparkSession.sql(
+        f"""
+WITH big AS (
+  SELECT w1, w2, count(*) AS pair_cnt FROM (
+    SELECT p.w1, p.w2 FROM (
+      SELECT explode(transform(sequence(1, size(_arr) - 1),
+               i -> struct(element_at(_arr, i) AS w1,
+                           element_at(_arr, i + 1) AS w2))) AS p
+      FROM (SELECT {_TOKS_EXPR} AS _arr FROM {{docs}}) WHERE size(_arr) >= 2))
+  GROUP BY w1, w2 HAVING count(*) >= {min_pair}),
+uni AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT explode({_TOKS_EXPR}) AS token FROM {{docs}}) GROUP BY token),
+tot AS (SELECT sum(cnt) AS t_tokens FROM uni)
+SELECT /*+ BROADCAST(tot) */ w1, w2, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+       ({d.format('pair_cnt')} * {d.format('t_tokens')})
+         div ({d.format('c1')} * {d.format('c2')}) AS lift
+FROM big JOIN (SELECT token AS w1, cnt AS c1 FROM uni) USING (w1)
+         JOIN (SELECT token AS w2, cnt AS c2 FROM uni) USING (w2)
+         CROSS JOIN tot""",
+        docs=docs,
     )
 
 
