@@ -13,14 +13,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .session import read_parquet, read_parquet_dense
+from .session import read_parquet
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # dense reader: the sf tables are single-row-group files whose scans
-    # cannot split, serializing the first (filter/decimal/window-feed)
-    # stage; the size gate keeps wide production scans untouched
-    return read_parquet_dense(spark, f"{sf_dir}/{name}.parquet")
+    # PLAIN schema-memoized reader, deliberately not read_parquet_dense: the
+    # relational first stages (filter + decimal partial-agg / window feed)
+    # are byte-light enough that the dense round-robin spread's extra
+    # exchange LOSES — measured per-query A/B in one session (warm,
+    # min-of-2, both orders): plain wins every family member, family sum
+    # 8.96/6.06 s dense vs 5.23/4.30 s plain — and the dim tables
+    # (nation/region/supplier) were paying a pointless exchange before
+    # every broadcast build. The dense reader stays where per-row CPU
+    # dominates (text tokenization HOFs, embedding math — queries_text).
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 _D = "decimal(18,2)"
