@@ -102,15 +102,22 @@ def rank_tests_2sample(
     ``u2_* = 2·U_*`` and ``ks_num`` are exact int64; ``ks_d`` is the one
     double division ks_num / (n_a·n_b). Identity ``u2_a + u2_b =
     2·n_a·n_b`` holds exactly (pinned in tests). Rows in neither group
-    are ignored; NULL values are ignored.  ``split_partitions`` sets the
+    are ignored; NULL values are ignored, and for float/double value
+    columns NaN values are ignored too: rank tests are defined over
+    comparable reals, and NaN is the one value engines disagree on
+    (NaN != NaN makes each NaN its own tie block in the numpy fold while
+    SQL per-value grouping collapses all NaNs into one tied value), so
+    the operator pins the drop-them contract instead (ADVICE r5).
+    ``split_partitions`` sets the
     range-split width P (default: ``spark.sql.shuffle.partitions``);
     the result is invariant to it."""
     spark = df.sparkSession
     if split_partitions is None:
         split_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    src = df.filter(
-        F.col(group).isin(group_a, group_b) & F.col(value).isNotNull()
-    ).select(
+    keep = F.col(group).isin(group_a, group_b) & F.col(value).isNotNull()
+    if dict(df.dtypes).get(value) in ("float", "double"):
+        keep = keep & ~F.isnan(F.col(value))
+    src = df.filter(keep).select(
         F.col(value).alias("val"),
         F.when(F.col(group) == group_a, F.lit(1))
         .otherwise(F.lit(0))

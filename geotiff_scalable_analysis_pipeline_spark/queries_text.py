@@ -206,8 +206,11 @@ SELECT doc_id,
 FROM t"""
 
 
-# context-window chunking: W-token windows advancing by S = W − O (overlap O)
-CHUNK_W, CHUNK_O = 32, 8
+# context-window chunking: W-token windows advancing by S = W − O (overlap O);
+# at most CHUNK_MAX chunks per document (embedded in the oracle's range() join
+# and enforced engine-side by a least() — docs past ~98k tokens truncate
+# identically in both engines)
+CHUNK_W, CHUNK_O, CHUNK_MAX = 32, 8, 4096
 _CHUNK_S = CHUNK_W - CHUNK_O
 
 
@@ -232,9 +235,17 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         F.size("toks").alias("n"),
     )
-    nc = F.when(F.col("n") <= CHUNK_W, F.lit(1)).otherwise(
-        F.expr(f"(n - {CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S} + 1")
-    ).cast("long")
+    # chunks per doc are capped at CHUNK_MAX on BOTH sides (the oracle joins
+    # range(0, CHUNK_MAX)); without the engine-side least() a document longer
+    # than CHUNK_W + (CHUNK_MAX-1)·S ≈ 98k tokens would keep tail chunks only
+    # on the Spark side, breaking parity (ADVICE r5). The cap is the
+    # documented max-doc-length contract of this splitter.
+    nc = F.least(
+        F.lit(CHUNK_MAX).cast("long"),
+        F.when(F.col("n") <= CHUNK_W, F.lit(1))
+        .otherwise(F.expr(f"(n - {CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S} + 1"))
+        .cast("long"),
+    )
     chunks = base.select(
         "doc_id",
         "toks",

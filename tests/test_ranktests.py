@@ -89,6 +89,23 @@ def test_null_values_and_other_groups_ignored(spark):
     assert (r["n_a"], r["n_b"]) == (2, 1)
 
 
+def test_nan_values_ignored_like_null(spark):
+    """NaN is dropped alongside NULL (ADVICE r5): NaN != NaN would make
+    each NaN its own tie block in the numpy fold while SQL per-value
+    grouping collapses them, so the operator's contract is to ignore
+    non-comparable values entirely — the result over data containing NaN
+    equals the result over the same data with NaN rows removed."""
+    nan = float("nan")
+    extra = [("a", nan), ("b", nan), ("b", nan)]
+    r = _run(spark, [1, 2, 5], [3, 4], extra=extra)
+    clean = _run(spark, [1, 2, 5], [3, 4])
+    assert tuple(r) == tuple(clean)
+    na, nb, u2a, u2b, ks = _ref([1, 2, 5], [3, 4])
+    assert (r["n_a"], r["n_b"], r["u2_a"], r["u2_b"], r["ks_num"]) == (
+        na, nb, u2a, u2b, ks,
+    )
+
+
 def test_split_partition_invariance(spark):
     """Round-5 two-phase rework (VERDICT r4 #4): the range-split width P is
     a physical knob — results must be identical at P=1 (degenerate, the old

@@ -163,3 +163,30 @@ def test_chunk_windows_cover_and_overlap(spark, tmp_path):
         for a, b in zip(chunks, chunks[1:]):
             got_overlap = a["start_tok"] + a["len_toks"] - b["start_tok"]
             assert got_overlap == CHUNK_O or a["len_toks"] < CHUNK_W
+
+
+def test_chunk_windows_per_doc_cap_matches_oracle(spark, tmp_path):
+    """The oracle joins range(0, CHUNK_MAX), silently capping chunks per
+    doc; the engine enforces the same cap with least() (ADVICE r5) so a
+    pathological >98k-token document truncates IDENTICALLY in both
+    engines. A doc needing CHUNK_MAX+2 windows must emit exactly
+    CHUNK_MAX chunks, ids 0..CHUNK_MAX-1, all full-width."""
+    from geotiff_scalable_analysis_pipeline_spark.queries_text import (
+        CHUNK_MAX,
+        CHUNK_O,
+        CHUNK_W,
+        q_doc_chunk_windows,
+    )
+
+    stride = CHUNK_W - CHUNK_O
+    n = CHUNK_W + (CHUNK_MAX + 1) * stride  # would need CHUNK_MAX+2 windows
+    text = " ".join(f"w{j}" for j in range(n))
+    df = spark.createDataFrame(
+        [(0, text, "en", "s", n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_doc_chunk_windows(spark, str(tmp_path)).collect()
+    assert len(out) == CHUNK_MAX
+    assert {r["chunk_id"] for r in out} == set(range(CHUNK_MAX))
+    assert all(r["len_toks"] == CHUNK_W for r in out)
